@@ -1,0 +1,34 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX loads.
+
+Multi-chip sharding paths are validated on a virtual CPU mesh
+(``xla_force_host_platform_device_count=8``), the strategy the reference's
+SURVEY.md section 4 prescribes for this rebuild; benchmarks run on real TPU
+hardware separately via ``bench.py``.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def synth_archive(tmp_path_factory):
+    """A small synthetic FAST archive shared across tests (3 orbits x 4 inst)."""
+    from configurable_spectrograms_tpu.data.synthetic import synth_fast_archive
+
+    root = tmp_path_factory.mktemp("fast_data")
+    csv = root / "cusp.tsv"
+    orbits = [100, 101, 102]
+    mapping = synth_fast_archive(str(root), orbits, n_time=96, n_angle=16, n_energy=24, cusp_csv_path=str(csv))
+    return {"root": str(root), "orbits": orbits, "mapping": mapping, "cusp_csv": str(csv)}

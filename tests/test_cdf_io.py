@@ -1,0 +1,76 @@
+"""Round-trip and structural tests for the self-contained CDF reader/writer."""
+
+import numpy as np
+import pytest
+
+from configurable_spectrograms_tpu.data.cdf import CDF, CDFError, write_cdf
+
+
+@pytest.fixture(scope="module")
+def sample_vars():
+    rng = np.random.default_rng(7)
+    T, A, E = 23, 8, 12
+    return {
+        "time_unix": np.linspace(9.4e8, 9.4e8 + 300, T),
+        "data": rng.normal(size=(T, A, E)).astype(np.float32),
+        "energy": np.tile(np.geomspace(30000, 4, E).astype(np.float32), (T, A, 1)),
+        "pitch_angle": np.tile(np.linspace(0, 360, A, endpoint=False).astype(np.float32)[None, :, None], (T, 1, E)),
+        "counts_int": rng.integers(0, 1000, size=(T, E)).astype(np.int32),
+        "flags_u2": rng.integers(0, 60000, size=(T,)).astype(np.uint16),
+    }
+
+
+@pytest.mark.parametrize("compress", ["none", "gzip", "file"])
+def test_roundtrip(tmp_path, sample_vars, compress):
+    path = str(tmp_path / f"rt_{compress}.cdf")
+    write_cdf(path, sample_vars, global_attrs={"Project": "FAST", "Rev": np.int32(3)}, compress=compress)
+    with CDF(path) as c:
+        for name, expected in sample_vars.items():
+            got = c.varget(name)
+            assert got.shape == expected.shape
+            assert got.dtype == expected.dtype.newbyteorder("=")
+            np.testing.assert_array_equal(got, expected)
+        assert c.globalattsget() == {"Project": "FAST", "Rev": 3}
+        assert set(c.cdf_info()["zVariables"]) == set(sample_vars)
+
+
+def test_column_major_roundtrip(tmp_path, sample_vars):
+    path = str(tmp_path / "cm.cdf")
+    write_cdf(path, sample_vars, compress="none", row_major=False)
+    with CDF(path) as c:
+        for name, expected in sample_vars.items():
+            np.testing.assert_array_equal(c.varget(name), expected)
+
+
+def test_nan_preserved(tmp_path):
+    arr = np.array([[1.0, np.nan], [np.inf, -np.inf]], dtype=np.float32)
+    path = str(tmp_path / "nan.cdf")
+    write_cdf(path, {"v": arr})
+    with CDF(path) as c:
+        got = c.varget("v")
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(arr))
+    np.testing.assert_array_equal(got[~np.isnan(arr)], arr[~np.isnan(arr)])
+
+
+def test_varinq(tmp_path, sample_vars):
+    path = str(tmp_path / "inq.cdf")
+    write_cdf(path, sample_vars)
+    with CDF(path) as c:
+        info = c.varinq("data")
+    assert info["Dim_Sizes"] == [8, 12]
+    assert info["Last_Rec"] == 22
+    assert info["Rec_Vary"] is True
+
+
+def test_not_a_cdf(tmp_path):
+    path = tmp_path / "bogus.cdf"
+    path.write_bytes(b"this is not a cdf file at all........")
+    with pytest.raises(CDFError):
+        CDF(str(path))
+
+
+def test_missing_variable(tmp_path, sample_vars):
+    path = str(tmp_path / "missing.cdf")
+    write_cdf(path, sample_vars)
+    with CDF(path) as c, pytest.raises(CDFError):
+        c.varget("nope")

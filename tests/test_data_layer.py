@@ -1,0 +1,118 @@
+"""Tests for cdf_utils / orbit_discovery / synthetic archive behavior."""
+
+import numpy as np
+import pandas as pd
+
+from configurable_spectrograms_tpu.data.cdf_utils import (
+    get_cdf_file_type,
+    get_timestamps_for_orbit,
+    load_fast_cdf_dataset,
+    load_filtered_orbits,
+)
+from configurable_spectrograms_tpu.data.orbit_discovery import (
+    classify_error_reason,
+    discover_orbit_files,
+    extract_orbit_and_instrument,
+    parse_year_month,
+    resolve_orbit_from_files,
+    resolve_shared_orbit,
+)
+
+
+def test_get_cdf_file_type():
+    assert get_cdf_file_type("fa_esa_l2_eeb_20000101001737_13312_v02.cdf") == "eeb"
+    assert get_cdf_file_type("fa_k0_orb_13312_v01.cdf") == "orb"
+    assert get_cdf_file_type("x/y/FA_ESA_L2_IES_20000101_5_v02.CDF") == "ies"
+    assert get_cdf_file_type("whatever.cdf") is None
+
+
+def test_extract_orbit_and_instrument():
+    assert extract_orbit_and_instrument("fa_esa_l2_eeb_20000101001737_13312_v02.cdf") == (
+        13312,
+        "eeb",
+        "fa_esa_l2_eeb_20000101001737_13312_v02.cdf",
+    )
+    assert extract_orbit_and_instrument("fa_k0_orb_13312_v01.cdf") is None
+    assert extract_orbit_and_instrument("fa_esa_l2_eeb_x_notanorbit_v02.cdf") is None
+    assert extract_orbit_and_instrument("short.cdf") is None
+
+
+def test_parse_year_month():
+    assert parse_year_month("./FAST_data/2000/01/f.cdf") == ("2000", "01")
+    assert parse_year_month("nope.cdf") == ("unknown", "unknown")
+
+
+def test_classify_error_reason():
+    assert classify_error_reason("divide by zero encountered") == "divide-by-zero"
+    assert classify_error_reason("x is not a CDF file or invalid cdf") == "invalid-cdf"
+    assert classify_error_reason("Timeout hit") == "timeout"
+    assert classify_error_reason("plotting exploded") == "plotting"
+    assert classify_error_reason("???") == "generic"
+
+
+def test_get_timestamps_for_orbit():
+    orbits = pd.DataFrame({"orbit": [42, 43], "ees min index": [1, 2], "ees max index": [3, 2]})
+    times = np.array([100.0, 200.0, 300.0, 400.0])
+    assert get_timestamps_for_orbit(orbits, 42, "ees", times) == [200.0, 400.0]
+    assert get_timestamps_for_orbit(orbits, 43, "ees", times) == [300.0]  # degenerate
+    assert get_timestamps_for_orbit(orbits, 99, "ees", times) == []
+    assert get_timestamps_for_orbit(None, 42, "ees", times) == []
+    # Index clamping
+    big = pd.DataFrame({"orbit": [1], "ies min index": [-5], "ies max index": [999]})
+    assert get_timestamps_for_orbit(big, 1, "ies", times) == [100.0, 400.0]
+
+
+def test_resolve_shared_orbit_and_from_files():
+    assert resolve_shared_orbit(
+        {
+            "eeb": ["fa_esa_l2_eeb_20000101001737_100_v02.cdf", "fa_esa_l2_eeb_20000101031737_101_v02.cdf"],
+            "ies": ["fa_esa_l2_ies_20000101001738_100_v02.cdf"],
+        }
+    ) == (
+        100,
+        {"eeb": "fa_esa_l2_eeb_20000101001737_100_v02.cdf", "ies": "fa_esa_l2_ies_20000101001738_100_v02.cdf"},
+    )
+    assert resolve_shared_orbit({"eeb": [], "ies": []}) == (None, {})
+    assert resolve_orbit_from_files({"eeb": "fa_esa_l2_eeb_20000101001737_13312_v02.cdf"}) == 13312
+    assert resolve_orbit_from_files({"eeb": "not_a_fast_file.cdf"}) is None
+
+
+def test_synth_archive_discovery_and_load(synth_archive):
+    mapping = discover_orbit_files(synth_archive["root"])
+    assert sorted(mapping) == synth_archive["orbits"]
+    for orbit, inst_files in mapping.items():
+        assert sorted(inst_files) == ["eeb", "ees", "ieb", "ies"]
+    ds = load_fast_cdf_dataset(mapping[100]["ees"])
+    assert ds["data"].shape == (96, 16, 24)
+    assert ds["energy"].shape == (24,)
+    assert ds["pitch_angle"].shape == (16,)
+    assert ds["energy"][0] > ds["energy"][-1]  # descending, like real FAST
+    assert np.isnan(ds["data"]).any()
+
+
+def test_load_transposes_energy_major(tmp_path):
+    """A (time, energy, pitch) stored cube is transposed to (time, pitch, energy)."""
+    from configurable_spectrograms_tpu.data.cdf import write_cdf
+
+    T, E, A = 5, 7, 3
+    data_te_a = np.arange(T * E * A, dtype=np.float32).reshape(T, E, A)
+    energy = np.tile(np.geomspace(100, 1, E).astype(np.float32)[None, None, :], (T, A, 1))
+    pitch = np.tile(np.linspace(0, 360, A, endpoint=False).astype(np.float32)[None, :, None], (T, 1, E))
+    path = str(tmp_path / "fa_esa_l2_ees_20000101_77_v02.cdf")
+    write_cdf(
+        path,
+        {"time_unix": np.arange(T, dtype=np.float64), "data": data_te_a, "energy": energy, "pitch_angle": pitch},
+    )
+    ds = load_fast_cdf_dataset(path)
+    assert ds["data"].shape == (T, A, E)
+    np.testing.assert_array_equal(ds["data"], np.transpose(data_te_a, (0, 2, 1)))
+
+
+def test_load_filtered_orbits(synth_archive):
+    df = load_filtered_orbits(synth_archive["cusp_csv"])
+    assert df is not None
+    assert list(df["Orbit Number"]) == synth_archive["orbits"]
+    times = np.arange(96, dtype=np.float64) * 10.0
+    marks = get_timestamps_for_orbit(df, 100, "ees", times)
+    assert len(marks) == 2 and marks[0] < marks[1]
+    assert load_filtered_orbits("/nonexistent/nope.tsv") is None

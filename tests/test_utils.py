@@ -1,0 +1,102 @@
+"""Tests for utils: percentiles, logging, progress store."""
+
+import json
+
+import numpy as np
+import pytest
+
+from configurable_spectrograms_tpu.utils.logging import (
+    configure_log_batch,
+    flush_log_buffer,
+    get_logfile_path,
+    log_error,
+    log_message,
+    set_logfile_path,
+)
+from configurable_spectrograms_tpu.utils.percentiles import compute_percentile_bounds, round_extrema
+from configurable_spectrograms_tpu.utils.progress import ProgressStore, add_to_orbit_list, new_generic_progress
+
+
+def test_round_extrema():
+    assert round_extrema(1234, "up") == 1300.0
+    assert round_extrema(1234, "down") == 1200.0
+    assert round_extrema(0.0123, "down") == 0.012
+    assert round_extrema(0, "up") == 0.0
+    assert round_extrema(-1234, "up") == -1200.0
+    with pytest.raises(ValueError):
+        round_extrema(5, "sideways")
+
+
+def test_compute_percentile_bounds():
+    m = np.array([[1.0, 2.0, 3.0, 100.0]])
+    assert compute_percentile_bounds(m, 0, 100) == (1.0, 100.0)
+    assert compute_percentile_bounds(m, z_min=-5.0, z_max=5.0) == (-5.0, 5.0)
+    lo, hi = compute_percentile_bounds(np.array([np.nan, 1.0, 2.0, 3.0]), 0, 100)
+    assert (lo, hi) == (1.0, 3.0)
+    # one explicit, one percentile
+    lo, hi = compute_percentile_bounds(m, 0, 100, z_min=0.5)
+    assert (lo, hi) == (0.5, 100.0)
+
+
+def test_buffered_logging(tmp_path):
+    logfile = tmp_path / "run.log"
+    set_logfile_path(str(logfile))
+    configure_log_batch(100)
+    try:
+        log_message("hello")
+        log_error("boom")
+        assert not logfile.exists() or "hello" not in logfile.read_text()
+        flush_log_buffer(force=True)
+        text = logfile.read_text()
+        assert "hello" in text
+        assert "[ERROR] boom" in text
+    finally:
+        set_logfile_path(None)
+        configure_log_batch(10)
+
+
+def test_get_logfile_path_marker_reuse(tmp_path):
+    marker = tmp_path / "marker.txt"
+    p1 = get_logfile_path(str(tmp_path / "log"), str(marker))
+    p2 = get_logfile_path(str(tmp_path / "log"), str(marker))
+    assert p1 == p2
+    assert marker.exists()
+
+
+def test_progress_store_batched_flush(tmp_path):
+    path = tmp_path / "progress.json"
+    store = ProgressStore(str(path), flush_batch_size=3)
+    store.load(new_generic_progress())
+    store["completed_items"].append("'a'")
+    store.mark_dirty()
+    store.mark_dirty()
+    assert not path.exists()  # below threshold
+    store.mark_dirty()
+    assert path.exists()  # hit threshold -> flushed
+    store["last_index"] = 41
+    store.mark_dirty()
+    store.flush(force=True)
+    on_disk = json.loads(path.read_text())
+    assert on_disk["last_index"] == 41
+    assert on_disk["completed_items"] == ["'a'"]
+    # reload merges over defaults
+    store2 = ProgressStore(str(path))
+    state = store2.load(new_generic_progress())
+    assert state["last_index"] == 41
+
+
+def test_progress_store_none_path():
+    store = ProgressStore(None)
+    store.load({"x": 1})
+    store["x"] = 2
+    store.mark_dirty()
+    store.flush(force=True)  # no-op, no crash
+    assert store["x"] == 2
+
+
+def test_add_to_orbit_list():
+    d = {}
+    add_to_orbit_list(d, "errs", 5)
+    add_to_orbit_list(d, "errs", 3)
+    add_to_orbit_list(d, "errs", 5)
+    assert d["errs"] == [3, 5]
