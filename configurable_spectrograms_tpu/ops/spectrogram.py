@@ -1,0 +1,305 @@
+"""Core jittable spectrogram rasterization pipeline.
+
+One :func:`render_matrix` call reproduces, on device, everything the
+reference's ``make_spectrogram`` does to the *data* between numpy input and
+the colored pixels matplotlib's ``imshow`` produces
+(reference plotting.py:92-330):
+
+1. pitch-category masked ``nansum`` collapse (:func:`collapse_cube`;
+   reference plotting.py:188, fast/plotting.py:121-131)
+2. all-NaN-column + energy-range masking (reference plotting.py:191-195)
+3. descending-energy flip (reference plotting.py:200-202)
+4. zoom-window / x-range row selection (host passes a contiguous
+   ``t_start``/``t_count`` window; reference plotting.py:204-219)
+5. percentile color bounds over the filtered matrix
+   (reference plotting.py:259, percentile_utils.py:47-89)
+6. log-z masking/floors or linear-z NaN/inf substitution
+   (reference plotting.py:264-315)
+7. ``imshow(extent=..., origin='lower', aspect='auto')`` pixel-replication
+   resampling onto a fixed output grid, including the nonlinear warp a log
+   y-axis applies to the drawn image (reference plotting.py:280-284,316-321,
+   352-353)
+8. colormap LUT application with matplotlib's ``Colormap.__call__`` index
+   rule (``int(norm * 256)`` clipped to ``[0, 255]``)
+
+All shapes are static: callers pad the time/energy axes and pass validity
+counts, so one compiled program serves every orbit in a padding bucket.
+``render_panels`` vmaps the whole pipeline across the rows of a figure (and
+across figures), which is where the TPU throughput comes from: an entire
+multirow grid -- or a whole batch of orbits -- rasterizes in one device
+dispatch instead of one matplotlib Agg draw per panel.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = np.float32(3.0e38)
+
+
+@dataclass(frozen=True)
+class RenderSpec:
+    """Static configuration for one panel rasterization program.
+
+    Hashable so it can be a ``jax.jit`` static argument; a distinct spec
+    (size or scale combo) compiles a distinct XLA program.
+    """
+
+    height: int
+    width: int
+    y_scale: str = "linear"  # 'linear' | 'log'
+    z_scale: str = "linear"  # 'linear' | 'log'
+    low_percentile: float = 1.0
+    high_percentile: float = 99.0
+    bg_rgba: tuple[int, int, int, int] = (255, 255, 255, 255)
+
+
+def collapse_cube(cube: jax.Array, pitch_mask: jax.Array, t_valid: jax.Array | int) -> jax.Array:
+    """Collapse a (T, A, E) cube to (T, E) with masked ``nansum`` semantics.
+
+    ``pitch_mask`` is a boolean (A,) selecting pitch-angle bins (the
+    reference slices ``data[:, mask, :]`` then ``np.nansum(..., axis=1)``,
+    fast/plotting.py:121-131).  NaNs count as zero; +/-inf propagate as in
+    ``np.nansum``.  Rows at or beyond ``t_valid`` are forced to NaN so
+    downstream all-NaN-column logic ignores padding.
+    """
+    cube = jnp.asarray(cube)
+    masked = jnp.where(pitch_mask[None, :, None], cube, jnp.nan)
+    finite_or_inf = ~jnp.isnan(masked)
+    collapsed = jnp.sum(jnp.where(finite_or_inf, masked, 0.0), axis=1)
+    # np.nansum over an all-NaN (or empty) selection yields 0.0, which the
+    # sum-of-zeros above already produces.
+    t_index = jax.lax.broadcasted_iota(jnp.int32, collapsed.shape, 0)
+    return jnp.where(t_index < t_valid, collapsed, jnp.nan)
+
+
+def masked_nanpercentile(values: jax.Array, valid: jax.Array, q: jax.Array | float) -> jax.Array:
+    """``np.nanpercentile`` (linear interpolation) over ``values[valid]``.
+
+    Sort-based with static shapes: invalid/NaN entries are pushed to the
+    top with +BIG, the valid count ``n`` is dynamic, and the result
+    interpolates between ``sorted[floor(pos)]`` and ``sorted[ceil(pos)]``
+    at ``pos = q/100 * (n-1)``.  Returns NaN when nothing is valid.
+    """
+    flat = jnp.ravel(values)
+    ok = jnp.ravel(valid) & ~jnp.isnan(flat)
+    n = jnp.sum(ok)
+    # Invalid entries become +inf: they sort past every valid finite value,
+    # and any slot below index n-1 they could occupy would have held a
+    # valid +inf of equal value anyway, so indices < n stay exact.
+    s = jnp.sort(jnp.where(ok, flat, jnp.inf))
+    pos = jnp.asarray(q, jnp.float32) / 100.0 * jnp.maximum(n - 1, 0).astype(jnp.float32)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.ceil(pos).astype(jnp.int32)
+    frac = pos - lo.astype(jnp.float32)
+    # frac == 0 short-circuits so +/-inf endpoints don't produce inf*0 NaNs.
+    v = jnp.where(frac == 0, s[lo], s[lo] * (1.0 - frac) + s[hi] * frac)
+    return jnp.where(n > 0, v, jnp.nan)
+
+
+def _kept_energy_order(m_all_nan_col: jax.Array, e_valid: jax.Array, energy: jax.Array):
+    """Resolve which energy columns survive masking and in what draw order.
+
+    Returns ``(kept_pos, n_kept, flip, y0, y1)`` where ``kept_pos[j]`` is
+    the original column index of the j-th kept bin (original file order),
+    ``flip`` mirrors the reference's descending-energy reversal, and
+    ``y0``/``y1`` are the *drawn* extent endpoints (post-flip first/last
+    kept energies; reference plotting.py:200-202,284).
+    """
+    e_keep = (~m_all_nan_col) & e_valid
+    n_e = energy.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n_e, 1), 0)[:, 0]
+    key = jnp.where(e_keep, iota, n_e + 1)
+    kept_pos = jnp.argsort(key)  # kept columns first, original order
+    n_kept = jnp.sum(e_keep).astype(jnp.int32)
+    first = energy[kept_pos[0]]
+    last = energy[kept_pos[jnp.maximum(n_kept - 1, 0)]]
+    flip = first > last
+    y0 = jnp.where(flip, last, first)
+    y1 = jnp.where(flip, first, last)
+    return kept_pos, n_kept, flip, y0, y1
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def render_matrix(
+    matrix: jax.Array,
+    energy: jax.Array,
+    e_valid: jax.Array,
+    t_valid: jax.Array,
+    t_start: jax.Array,
+    t_count: jax.Array,
+    x_map: jax.Array,
+    z_bounds: jax.Array,
+    lut: jax.Array,
+    spec: RenderSpec,
+) -> dict[str, jax.Array]:
+    """Rasterize one collapsed (T, E) matrix to an RGBA tile.
+
+    Parameters
+    ----------
+    matrix : (T, E) float32
+        Collapsed spectrogram matrix; rows at/after ``t_valid`` must be NaN
+        (as :func:`collapse_cube` produces).
+    energy : (E,) float32
+        Energy value per column (unfiltered).
+    e_valid : (E,) bool
+        Energy-range mask ``(energy >= y_min) & (energy <= y_max)``.
+    t_valid : int32
+        Number of real (unpadded) time rows in ``matrix``.
+    t_start, t_count : int32
+        Contiguous time window selected by zoom/x-clipping (host-computed
+        via searchsorted over the host-resident time array; reference
+        plotting.py:204-219).
+    x_map : (2,) float32
+        ``col_f = x_map[0] * px + x_map[1]`` maps output pixel column to a
+        fractional matrix-row index in ``[0, t_count]``; out-of-range pixels
+        render as background.  Encodes xlim vs. data extent (zoom columns
+        may have blank margins, reference plotting.py:238-253).
+    z_bounds : (2,) float32
+        Explicit (z_min, z_max); NaN entries mean "compute the percentile
+        bound" (reference percentile_utils.py:47-89).
+    lut : (256, 4) uint8
+        Colormap lookup table (:func:`..ops.colormap_lut`).
+    spec : RenderSpec
+        Static geometry/scale configuration.
+
+    Returns
+    -------
+    dict
+        ``rgba`` (H, W, 4) uint8; scalars ``vmin``, ``vmax`` (resolved
+        color bounds), ``y0``, ``y1`` (drawn y extent), ``n_kept`` (kept
+        energy columns), ``empty`` (bool: nothing to draw, the reference's
+        ``(None, None)`` return path).
+    """
+    H, W = spec.height, spec.width
+    T, E = matrix.shape
+    matrix = matrix.astype(jnp.float32)
+    energy = energy.astype(jnp.float32)
+
+    t_index = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)[:, 0]
+    in_file = t_index < t_valid
+    # All-NaN-column mask over the full (unzoomed) file rows
+    # (reference plotting.py:191).
+    col_all_nan = jnp.all(jnp.isnan(matrix) | ~in_file[:, None], axis=0)
+    kept_pos, n_kept, flip, y0, y1 = _kept_energy_order(col_all_nan, e_valid, energy)
+
+    in_window = in_file & (t_index >= t_start) & (t_index < t_start + t_count)
+    e_keep = (~col_all_nan) & e_valid
+    sel = in_window[:, None] & e_keep[None, :]
+    empty = (n_kept == 0) | (t_count <= 0)
+
+    # --- color bounds (reference plotting.py:259-277,307-315) -------------
+    zmin_arg, zmax_arg = z_bounds[0], z_bounds[1]
+    vmin = jnp.where(
+        jnp.isnan(zmin_arg), masked_nanpercentile(matrix, sel, spec.low_percentile), zmin_arg
+    ).astype(jnp.float32)
+    vmax = jnp.where(
+        jnp.isnan(zmax_arg), masked_nanpercentile(matrix, sel, spec.high_percentile), zmax_arg
+    ).astype(jnp.float32)
+
+    finite_positive = jnp.isfinite(matrix) & (matrix > 0) & sel
+    safe_vmin = jnp.where(
+        jnp.any(finite_positive),
+        jnp.min(jnp.where(finite_positive, matrix, _BIG)),
+        jnp.float32(1e-10),
+    )
+
+    if spec.z_scale == "log":
+        vmin = jnp.maximum(jnp.maximum(vmin, safe_vmin), 1e-10)
+        work = jnp.where(~jnp.isfinite(matrix) | (matrix <= 0), vmin, matrix)
+        log_vmin = jnp.log10(vmin)
+        log_span = jnp.log10(vmax) - log_vmin
+        norm = (jnp.log10(jnp.maximum(work, 1e-37)) - log_vmin) / jnp.where(log_span == 0, 1.0, log_span)
+    else:
+        work = jnp.where(jnp.isnan(matrix), vmin, matrix)
+        work = jnp.where(jnp.isneginf(work), vmin, work)
+        work = jnp.where(jnp.isposinf(work), vmax, work)
+        # Degenerate/invalid bounds fall back to the substituted matrix's
+        # own min/max (reference plotting.py:313-315).
+        bad = ~(jnp.isfinite(vmin) & jnp.isfinite(vmax) & (vmax > vmin))
+        fb_min = jnp.min(jnp.where(sel, work, _BIG))
+        fb_max = jnp.max(jnp.where(sel, work, -_BIG))
+        vmin = jnp.where(bad & ~empty, fb_min, vmin)
+        vmax = jnp.where(bad & ~empty, fb_max, vmax)
+        span = vmax - vmin
+        norm = (work - vmin) / jnp.where(span == 0, 1.0, span)
+
+    # matplotlib Colormap.__call__ index rule: int(norm * N), N==256,
+    # under -> 0, over -> N-1 (the default under/over colors).
+    idx = jnp.clip(jnp.floor(norm * 256.0), 0, 255).astype(jnp.int32)
+
+    # --- imshow extent resampling (pixel replication) ----------------------
+    px = jax.lax.broadcasted_iota(jnp.float32, (1, W), 1)
+    col_f = x_map[0] * px + x_map[1]
+    x_ok = (col_f >= 0.0) & (col_f <= t_count.astype(jnp.float32))
+    col = jnp.clip(col_f.astype(jnp.int32), 0, jnp.maximum(t_count - 1, 0))
+    t_idx = jnp.clip(t_start + col, 0, T - 1)
+
+    py = (jax.lax.broadcasted_iota(jnp.float32, (H, 1), 0) + 0.5) / H
+    nk = jnp.maximum(n_kept, 1).astype(jnp.float32)
+    if spec.y_scale == "log":
+        # Drawn image warps with the log axis: pixel -> data y via the
+        # log-scaled ylim, then extent pixel replication in data space.
+        ly0 = jnp.log10(jnp.maximum(y0, 1e-37))
+        ly1 = jnp.log10(jnp.maximum(y1, 1e-37))
+        y_data = jnp.power(10.0, ly0 + py * (ly1 - ly0))
+        row_f = (y_data - y0) / jnp.where(y1 == y0, 1.0, y1 - y0) * nk
+    else:
+        row_f = py * nk
+    row = jnp.clip(row_f.astype(jnp.int32), 0, jnp.maximum(n_kept - 1, 0))
+    row_eff = jnp.where(flip, n_kept - 1 - row, row)
+    e_idx = kept_pos[jnp.clip(row_eff, 0, E - 1)]  # (H, 1)
+
+    tile_idx = idx[t_idx[0], :][:, e_idx[:, 0]]  # (W, H) gather rows then cols
+    tile_idx = tile_idx.T  # (H, W)
+    visible = x_ok & ~empty  # (1, W) broadcast over rows
+
+    lut_ext = jnp.concatenate(
+        [jnp.asarray(lut, jnp.uint8), jnp.asarray(spec.bg_rgba, jnp.uint8)[None, :]], axis=0
+    )
+    final_idx = jnp.where(visible, tile_idx, 256)
+    rgba = lut_ext[final_idx]  # (H, W, 4), origin='lower': row 0 = bottom
+    # Flip vertically so row 0 is the image top (PNG convention).
+    rgba = rgba[::-1, :, :]
+
+    return {
+        "rgba": rgba,
+        "vmin": vmin,
+        "vmax": vmax,
+        "y0": y0,
+        "y1": y1,
+        "n_kept": n_kept,
+        "empty": empty,
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def render_panels(
+    matrices: jax.Array,
+    energies: jax.Array,
+    e_valids: jax.Array,
+    t_valids: jax.Array,
+    t_starts: jax.Array,
+    t_counts: jax.Array,
+    x_maps: jax.Array,
+    z_bounds: jax.Array,
+    luts: jax.Array,
+    spec: RenderSpec,
+) -> dict[str, jax.Array]:
+    """Vmapped :func:`render_matrix` across a batch of panels.
+
+    All leading dimensions are the panel axis; one dispatch rasterizes a
+    whole figure (or a whole batch of figures sharing a ``RenderSpec``).
+    """
+
+    def one(m, en, ev, tv, ts, tc, xm, zb, lut):
+        return render_matrix(m, en, ev, tv, ts, tc, xm, zb, lut, spec)
+
+    return jax.vmap(one)(
+        matrices, energies, e_valids, t_valids, t_starts, t_counts, x_maps, z_bounds, luts
+    )
