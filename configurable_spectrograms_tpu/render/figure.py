@@ -1,0 +1,476 @@
+"""Figure/axes model with deferred, batched device rasterization.
+
+A :class:`SpectroFigure` mirrors the slice of the matplotlib
+``Figure``/``Axes`` API the reference's pipelines touch (``add_subplot``,
+``suptitle``, ``text``, ``savefig``, per-axes ``set_title``/``set_ylabel``),
+but nothing rasterizes until :meth:`SpectroFigure.savefig`/:meth:`render`:
+the figure only accumulates :class:`PanelData` descriptions.  At render
+time every panel in the figure (and, via :func:`device_render_panels`, every
+panel across a *batch* of figures) is padded into shape buckets and
+rasterized in a handful of vmapped TPU dispatches; the PIL compositor then
+draws frames, ticks, labels, colorbars, cusp markers, and titles around the
+device-produced tiles.
+
+This replaces the reference's per-panel matplotlib Agg pipeline
+(reference plotting.py:229-235,392-502,505-698) with: device = all pixel
+math, host = text/decoration only.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any
+
+import numpy as np
+from PIL import Image, ImageDraw
+
+from configurable_spectrograms_tpu.render import locators
+from configurable_spectrograms_tpu.render.cusp import CUSP_MARKER_DRAWERS
+from configurable_spectrograms_tpu.render.text import (
+    draw_pow10,
+    draw_rotated_text,
+    draw_text,
+    pow10_width,
+    pt_to_px,
+    text_size,
+)
+from configurable_spectrograms_tpu.render.tile import TimeWindow, make_x_map
+
+TICK_LABEL_PT = 15.0
+AXIS_LABEL_PT = 18.0
+
+
+def _bucket(n: int, step: int, minimum: int) -> int:
+    return max(minimum, int(math.ceil(n / step)) * step)
+
+
+@dataclass
+class PanelData:
+    """Everything needed to rasterize and decorate one spectrogram panel."""
+
+    cube: np.ndarray  # (T, A, E) float32, collapse axis already at 1
+    pitch_mask: np.ndarray  # (A,) bool
+    energy: np.ndarray  # (E,)
+    times: np.ndarray  # (T,) x values (unix seconds or raw)
+    window: TimeWindow
+    y_min: float
+    y_max: float
+    z_min: float | None
+    z_max: float | None
+    y_scale: str
+    z_scale: str
+    colormap: str
+    x_is_unix: bool
+    z_label: str
+    vertical_lines: list[float] = field(default_factory=list)
+    cusp_marker_style: str = "both"
+    cusp_marker_kwargs: dict = field(default_factory=dict)
+    line_color: str = "red"
+    low_percentile: float = 1.0
+    high_percentile: float = 99.0
+
+
+class Axes:
+    """One grid cell of a :class:`SpectroFigure` (a matplotlib-Axes stand-in)."""
+
+    def __init__(self, figure: "SpectroFigure", row: int, col: int):
+        self.figure = figure
+        self.row = row
+        self.col = col
+        self.panel: PanelData | None = None
+        self.title: str | None = None
+        self.title_fontsize_pt: float = AXIS_LABEL_PT
+        self.xlabel: str | None = None
+        self.ylabel: str | None = None
+        self.ylabel_rotation: float = 90.0
+        self.result: dict[str, Any] | None = None  # device outputs after render
+
+    # -- matplotlib-parity setters -----------------------------------------
+
+    def set_title(self, title: str, fontsize: float | None = None) -> None:
+        self.title = title
+        if fontsize is not None:
+            self.title_fontsize_pt = float(fontsize)
+
+    def set_xlabel(self, label: str) -> None:
+        self.xlabel = label
+
+    def set_ylabel(self, label: str, fontsize: float | None = None, rotation: float = 90, **kwargs) -> None:
+        self.ylabel = label
+        self.ylabel_rotation = rotation
+
+
+class SpectroFigure:
+    """A deferred-render figure; the matplotlib-Figure stand-in."""
+
+    def __init__(self, figsize: tuple[float, float] = (6.25, 2.0), dpi: float = 100.0):
+        self.figsize = figsize
+        self.dpi = dpi
+        self.nrows = 1
+        self.ncols = 1
+        self.axes: list[Axes] = []
+        self._grid: dict[tuple[int, int], Axes] = {}
+        self.suptitle_text: str | None = None
+        self.suptitle_pt: float = AXIS_LABEL_PT + 2
+        self.fig_texts: list[dict] = []
+        self.bottom_reserve: float = 0.0  # figure-fraction bottom space
+        self.number = None  # Gcf-compat attribute
+
+    # -- construction --------------------------------------------------------
+
+    def add_subplot(self, nrows: int, ncols: int, index: int) -> Axes:
+        self.nrows, self.ncols = nrows, ncols
+        row, col = divmod(index - 1, ncols)
+        ax = Axes(self, row, col)
+        self.axes.append(ax)
+        self._grid[(row, col)] = ax
+        return ax
+
+    def suptitle(self, text: str, fontsize: float | None = None) -> None:
+        self.suptitle_text = text
+        if fontsize is not None:
+            self.suptitle_pt = float(fontsize)
+
+    def text(self, x: float, y: float, s: str, ha: str = "center", va: str = "bottom",
+             fontsize: float = 13.0, color: str = "black", **kwargs) -> None:
+        self.fig_texts.append({"x": x, "y": y, "s": s, "ha": ha, "va": va, "pt": fontsize, "color": color})
+
+    def subplots_adjust(self, bottom: float | None = None, **kwargs) -> None:
+        if bottom is not None:
+            self.bottom_reserve = max(self.bottom_reserve, bottom)
+
+    def tight_layout(self, rect: tuple | None = None) -> None:
+        if rect is not None:
+            self.bottom_reserve = max(self.bottom_reserve, rect[1])
+
+    # -- rendering -----------------------------------------------------------
+
+    def savefig(self, path: str, dpi: float | None = None) -> None:
+        self.render(dpi=dpi).save(path)
+
+    def render(self, dpi: float | None = None) -> Image.Image:
+        dpi = float(dpi or self.dpi)
+        layout = _Layout(self, dpi)
+        panels = [ax.panel for ax in self.axes if ax.panel is not None]
+        results = device_render_panels(panels, layout.tile_h, layout.tile_w)
+        it = iter(results)
+        for ax in self.axes:
+            ax.result = next(it) if ax.panel is not None else None
+        return layout.composite()
+
+    def clear(self) -> None:
+        self.axes.clear()
+        self._grid.clear()
+
+    # matplotlib-compat aliases used by close_all_axes_and_clear
+    def clf(self) -> None:
+        self.clear()
+
+    def delaxes(self, ax: Axes) -> None:
+        if ax in self.axes:
+            self.axes.remove(ax)
+
+
+# ---------------------------------------------------------------------------
+# batched device rasterization
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_render_fn(spec_key):
+    """Build (and cache) the jitted collapse+render program for a RenderSpec."""
+    import jax
+
+    from configurable_spectrograms_tpu.ops.spectrogram import RenderSpec, collapse_cube, render_matrix
+
+    spec = RenderSpec(*spec_key)
+
+    def one(cube, pm, tv, en, ev, ts, tc, xm, zb, lut):
+        m = collapse_cube(cube, pm, tv)
+        return render_matrix(m, en, ev, tv, ts, tc, xm, zb, lut, spec)
+
+    return jax.jit(jax.vmap(one))
+
+
+def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> list[dict]:
+    """Rasterize many panels in few device dispatches.
+
+    Panels are grouped into (T, A, E, scale-combo) padding buckets; each
+    bucket is one vmapped TPU call.  Returns host-side dicts (rgba uint8 +
+    scalars) in input order.  Shared across single-figure rendering and the
+    batch engine, so one compiled program serves every orbit whose shapes
+    land in the same bucket.
+    """
+    from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
+
+    if not panels:
+        return []
+    groups: dict[tuple, list[int]] = {}
+    for i, p in enumerate(panels):
+        T, A, E = p.cube.shape
+        key = (
+            _bucket(T, 256, 64),
+            _bucket(A, 8, 8),
+            _bucket(E, 8, 8),
+            p.y_scale,
+            p.z_scale,
+            float(p.low_percentile),
+            float(p.high_percentile),
+        )
+        groups.setdefault(key, []).append(i)
+
+    results: list[dict | None] = [None] * len(panels)
+    for (Tp, Ap, Ep, y_scale, z_scale, lo_pct, hi_pct), idxs in groups.items():
+        n = len(idxs)
+        cubes = np.full((n, Tp, Ap, Ep), np.nan, np.float32)
+        masks = np.zeros((n, Ap), bool)
+        energies = np.zeros((n, Ep), np.float32)
+        e_valids = np.zeros((n, Ep), bool)
+        t_valids = np.zeros((n,), np.int32)
+        t_starts = np.zeros((n,), np.int32)
+        t_counts = np.zeros((n,), np.int32)
+        x_maps = np.zeros((n, 2), np.float32)
+        z_bounds = np.zeros((n, 2), np.float32)
+        luts = np.zeros((n, 256, 4), np.uint8)
+        for j, i in enumerate(idxs):
+            p = panels[i]
+            T, A, E = p.cube.shape
+            cubes[j, :T, :A, :E] = p.cube
+            masks[j, :A] = p.pitch_mask
+            energies[j, :E] = p.energy
+            e_valids[j, :E] = (p.energy >= p.y_min) & (p.energy <= p.y_max)
+            t_valids[j] = T
+            t_starts[j] = p.window.t_start
+            t_counts[j] = p.window.t_count
+            x_maps[j] = make_x_map(p.window, tile_w)
+            z_bounds[j] = (
+                np.nan if p.z_min is None else p.z_min,
+                np.nan if p.z_max is None else p.z_max,
+            )
+            luts[j] = colormap_lut(p.colormap)
+        fn = _batched_render_fn((tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct))
+        out = fn(cubes, masks, t_valids, energies, e_valids, t_starts, t_counts, x_maps, z_bounds, luts)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        for j, i in enumerate(idxs):
+            results[i] = {k: out[k][j] for k in out}
+    return results  # type: ignore[return-value]
+
+
+# ---------------------------------------------------------------------------
+# layout + compositing
+# ---------------------------------------------------------------------------
+
+
+class _Layout:
+    """Pixel geometry and PIL compositing for one figure render."""
+
+    def __init__(self, fig: SpectroFigure, dpi: float):
+        self.fig = fig
+        self.dpi = dpi
+        self.W = max(8, round(fig.figsize[0] * dpi))
+        self.H = max(8, round(fig.figsize[1] * dpi))
+        self.tick_px = pt_to_px(TICK_LABEL_PT, dpi)
+        self.label_px = pt_to_px(AXIS_LABEL_PT, dpi)
+        self.tick_len = pt_to_px(8, dpi)
+
+        self.sup_h = 0
+        if fig.suptitle_text:
+            self.sup_h = text_size(fig.suptitle_text, pt_to_px(fig.suptitle_pt, dpi))[1] + self.tick_px
+        self.footer_h = round(self.H * max(fig.bottom_reserve, 0.0))
+
+        grid_h = self.H - self.sup_h - self.footer_h
+        self.cell_w = self.W // max(1, fig.ncols)
+        self.cell_h = grid_h // max(1, fig.nrows)
+
+        # Margins inside each cell (estimated text extents; the data tile
+        # fills what remains).
+        ytick_est = text_size("30000", self.tick_px)[0]
+        self.m_left = self.label_px + ytick_est + self.tick_len + round(0.04 * self.cell_w)
+        # Row labels (rotated multi-line) claim extra left space when present.
+        extra = 0
+        for ax in fig.axes:
+            if ax.col == 0 and ax.ylabel and "\n" in ax.ylabel:
+                lines = ax.ylabel.count("\n") + 1
+                extra = max(extra, lines * round(self.label_px * 1.25))
+        self.m_left += extra
+        self.m_right = round(0.16 * self.cell_w) + text_size("30000", self.tick_px)[0] + self.label_px
+        self.m_top = round(self.label_px * 1.6)
+        self.m_bottom = self.tick_len + round(self.tick_px * 1.4) + round(self.label_px * 1.5) + round(
+            0.10 * self.cell_h
+        )
+
+        self.tile_w = max(8, self.cell_w - self.m_left - self.m_right)
+        self.tile_h = max(8, self.cell_h - self.m_top - self.m_bottom)
+
+    def axes_rect(self, ax: Axes) -> tuple[int, int, int, int]:
+        x0 = ax.col * self.cell_w + self.m_left
+        y0 = self.sup_h + ax.row * self.cell_h + self.m_top
+        return (x0, y0, x0 + self.tile_w, y0 + self.tile_h)
+
+    # -- full composite -------------------------------------------------------
+
+    def composite(self) -> Image.Image:
+        img = Image.new("RGBA", (self.W, self.H), (255, 255, 255, 255))
+        draw = ImageDraw.Draw(img)
+        for ax in self.fig.axes:
+            self._draw_axes(img, draw, ax)
+        if self.fig.suptitle_text:
+            draw_text(
+                draw,
+                (self.W / 2, max(2, self.sup_h // 4)),
+                self.fig.suptitle_text,
+                pt_to_px(self.fig.suptitle_pt, self.dpi),
+                anchor="ma",
+            )
+        for t in self.fig.fig_texts:
+            px = pt_to_px(t["pt"], self.dpi)
+            x = t["x"] * self.W
+            y = (1.0 - t["y"]) * self.H
+            anchor = {"center": "m", "left": "l", "right": "r"}.get(t["ha"], "m") + {
+                "bottom": "s",
+                "top": "a",
+                "center": "m",
+            }.get(t["va"], "s")
+            draw_text(draw, (x, y), t["s"], px, fill=t["color"], anchor=anchor)
+        return img.convert("RGB")
+
+    def _draw_axes(self, img: Image.Image, draw: ImageDraw.ImageDraw, ax: Axes) -> None:
+        rect = self.axes_rect(ax)
+        x0, y0, x1, y1 = rect
+        p, r = ax.panel, ax.result
+        drew_tile = False
+        if p is not None and r is not None and not bool(r["empty"]):
+            tile = Image.fromarray(r["rgba"])
+            img.paste(tile, (x0, y0))
+            drew_tile = True
+        draw.rectangle([x0, y0, x1, y1], outline="black", width=max(1, round(self.dpi / 100)))
+
+        if p is None or r is None:
+            if ax.title:
+                draw_text(draw, ((x0 + x1) / 2, y0 - self.label_px - 2), ax.title,
+                          pt_to_px(ax.title_fontsize_pt, self.dpi), anchor="ma")
+            return
+
+        self._draw_x_ticks(draw, rect, p)
+        self._draw_y_ticks(draw, rect, p, r)
+        self._draw_colorbar(img, draw, rect, p, r)
+
+        if drew_tile and p.vertical_lines:
+            xl0, xl1 = p.window.xlim
+            span = (xl1 - xl0) or 1.0
+            marker_px = [(v - xl0) / span * self.tile_w for v in p.vertical_lines]
+            drawer = CUSP_MARKER_DRAWERS.get(p.cusp_marker_style, CUSP_MARKER_DRAWERS["both"])
+            kw = dict(p.cusp_marker_kwargs)
+            kw.setdefault("line_color", p.line_color)
+            drawer(draw, rect, marker_px, self.dpi, **kw)
+
+        if ax.title:
+            draw_text(draw, ((x0 + x1) / 2, y0 - self.label_px - 2), ax.title,
+                      pt_to_px(ax.title_fontsize_pt, self.dpi), anchor="ma")
+        if ax.xlabel:
+            draw_text(draw, ((x0 + x1) / 2, y1 + self.tick_len + round(self.tick_px * 1.3)),
+                      ax.xlabel, self.label_px, anchor="ma")
+        if ax.ylabel:
+            ytick_w = text_size("30000", self.tick_px)[0]
+            cx = x0 - self.tick_len - ytick_w - self.label_px // 2 - 4
+            if "\n" in ax.ylabel:
+                cx -= (ax.ylabel.count("\n")) * round(self.label_px * 0.7)
+            draw_rotated_text(img, (max(self.label_px // 2, cx), (y0 + y1) / 2), ax.ylabel,
+                              self.label_px, angle=ax.ylabel_rotation)
+
+    # -- tick drawing ---------------------------------------------------------
+
+    def _draw_x_ticks(self, draw, rect, p: PanelData) -> None:
+        x0, y0, x1, y1 = rect
+        xl0, xl1 = p.window.xlim
+        span = (xl1 - xl0) or 1.0
+        if p.x_is_unix:
+            ticks, fmt = locators.time_ticks(xl0, xl1)
+            labels = [locators.format_time_tick(t, fmt) for t in ticks]
+        else:
+            ticks = locators.nice_linear_ticks(xl0, xl1)
+            labels = [locators.format_linear_tick(t) for t in ticks]
+        for t, lab in zip(ticks, labels):
+            px = x0 + (t - xl0) / span * self.tile_w
+            if px < x0 - 0.5 or px > x1 + 0.5:
+                continue
+            draw.line([(px, y1), (px, y1 + self.tick_len)], fill="black", width=1)
+            draw_text(draw, (px, y1 + self.tick_len + 2), lab, self.tick_px, anchor="ma")
+
+    def _y_to_px(self, value: float, rect, p: PanelData, r: dict) -> float | None:
+        y0v, y1v = float(r["y0"]), float(r["y1"])
+        _, top, _, bottom = rect[1], rect[1], rect[2], rect[3]
+        if p.y_scale == "log":
+            if value <= 0 or y0v <= 0 or y1v <= 0 or y1v == y0v:
+                return None
+            frac = (math.log10(value) - math.log10(y0v)) / (math.log10(y1v) - math.log10(y0v))
+        else:
+            if y1v == y0v:
+                return None
+            frac = (value - y0v) / (y1v - y0v)
+        if frac < -1e-9 or frac > 1 + 1e-9:
+            return None
+        return rect[3] - frac * self.tile_h
+
+    def _draw_y_ticks(self, draw, rect, p: PanelData, r: dict) -> None:
+        x0 = rect[0]
+        if p.y_scale == "log":
+            exps = locators.log_ticks(max(float(r["y0"]), 1e-300), float(r["y1"]))
+            for k in exps:
+                py = self._y_to_px(10.0**k, rect, p, r)
+                if py is None:
+                    continue
+                draw.line([(x0 - self.tick_len, py), (x0, py)], fill="black", width=1)
+                draw_pow10(draw, (x0 - self.tick_len - pow10_width(k, self.tick_px) - 2, py), k,
+                           self.tick_px, anchor_left=True)
+        else:
+            ticks = locators.synthesize_linear_y_ticks(p.y_min, p.y_max)
+            if not ticks:
+                ticks = locators.nice_linear_ticks(float(r["y0"]), float(r["y1"]))
+            for t in ticks:
+                py = self._y_to_px(float(t), rect, p, r)
+                if py is None:
+                    continue
+                draw.line([(x0 - self.tick_len, py), (x0, py)], fill="black", width=1)
+                draw_text(draw, (x0 - self.tick_len - 3, py), locators.format_linear_tick(t),
+                          self.tick_px, anchor="rm")
+
+    def _draw_colorbar(self, img, draw, rect, p: PanelData, r: dict) -> None:
+        from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
+
+        x0, y0, x1, y1 = rect
+        cb_x0 = x1 + round(0.035 * self.cell_w)
+        cb_w = max(4, round(0.045 * self.cell_w))
+        lut = colormap_lut(p.colormap)
+        h = self.tile_h
+        rows = np.clip(((1.0 - (np.arange(h) + 0.5) / h) * 256).astype(int), 0, 255)
+        strip = np.repeat(lut[rows][:, None, :], cb_w, axis=1)
+        img.paste(Image.fromarray(strip, "RGBA"), (cb_x0, y0))
+        draw.rectangle([cb_x0, y0, cb_x0 + cb_w, y1], outline="black", width=1)
+
+        vmin, vmax = float(r["vmin"]), float(r["vmax"])
+        tick_max_w = 0
+        if p.z_scale == "log" and vmin > 0 and vmax > vmin:
+            lmin, lmax = math.log10(vmin), math.log10(vmax)
+            for k in locators.log_ticks(vmin, vmax):
+                frac = (k - lmin) / (lmax - lmin)
+                py = y1 - frac * h
+                draw.line([(cb_x0 + cb_w, py), (cb_x0 + cb_w + self.tick_len // 2, py)], fill="black", width=1)
+                w = draw_pow10(draw, (cb_x0 + cb_w + self.tick_len // 2 + 2, py), k, self.tick_px)
+                tick_max_w = max(tick_max_w, w)
+        elif math.isfinite(vmin) and math.isfinite(vmax) and vmax > vmin:
+            for t in locators.nice_linear_ticks(vmin, vmax):
+                frac = (t - vmin) / (vmax - vmin)
+                py = y1 - frac * h
+                draw.line([(cb_x0 + cb_w, py), (cb_x0 + cb_w + self.tick_len // 2, py)], fill="black", width=1)
+                lab = locators.format_linear_tick(t)
+                draw_text(draw, (cb_x0 + cb_w + self.tick_len // 2 + 2, py), lab, self.tick_px, anchor="lm")
+                tick_max_w = max(tick_max_w, text_size(lab, self.tick_px)[0])
+        # The reference overrides the colorbar label to "Counts" at the end
+        # regardless of z_label (reference plotting.py:387).
+        label_x = cb_x0 + cb_w + self.tick_len // 2 + tick_max_w + self.label_px // 2 + 6
+        draw_rotated_text(img, (min(label_x, self.W - self.label_px // 2 - 2), (y0 + y1) / 2),
+                          "Counts", self.label_px, angle=90)

@@ -1,0 +1,148 @@
+"""Font loading and text drawing helpers for the PIL compositor.
+
+Uses DejaVu Sans (matplotlib's default font family, so rendered figures
+look like the reference's) located from matplotlib's data directory when
+available, with a bundled-PIL fallback.  No matplotlib rendering code runs;
+only the .ttf file is borrowed.
+"""
+
+from __future__ import annotations
+
+import functools
+import glob
+import os
+
+from PIL import Image, ImageDraw, ImageFont
+
+_FONT_CANDIDATES = [
+    "/opt/venv/lib/python*/site-packages/matplotlib/mpl-data/fonts/ttf/DejaVuSans.ttf",
+    "/usr/lib/python*/site-packages/matplotlib/mpl-data/fonts/ttf/DejaVuSans.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+]
+
+
+@functools.lru_cache(maxsize=1)
+def _font_path() -> str | None:
+    try:
+        import matplotlib
+
+        p = os.path.join(matplotlib.get_data_path(), "fonts", "ttf", "DejaVuSans.ttf")
+        if os.path.exists(p):
+            return p
+    except Exception:
+        pass
+    for pattern in _FONT_CANDIDATES:
+        hits = glob.glob(pattern)
+        if hits:
+            return hits[0]
+    return None
+
+
+@functools.lru_cache(maxsize=64)
+def get_font(px: int) -> ImageFont.FreeTypeFont | ImageFont.ImageFont:
+    """A font whose nominal size is *px* pixels."""
+    path = _font_path()
+    if path is not None:
+        return ImageFont.truetype(path, px)
+    return ImageFont.load_default()
+
+
+def pt_to_px(points: float, dpi: float) -> int:
+    """Convert a point size to pixels at *dpi* (matplotlib's 72 pt/inch)."""
+    return max(1, round(points * dpi / 72.0))
+
+
+_measure_img = Image.new("RGB", (8, 8))
+_measure_draw = ImageDraw.Draw(_measure_img)
+
+
+def text_size(text: str, px: int) -> tuple[int, int]:
+    """(width, height) in pixels of *text* at font size *px*."""
+    if not text:
+        return 0, 0
+    lines = text.split("\n")
+    font = get_font(px)
+    w = h = 0
+    for line in lines:
+        box = _measure_draw.textbbox((0, 0), line or " ", font=font)
+        w = max(w, box[2] - box[0])
+        h += box[3] - box[1] + max(2, px // 5)
+    return w, h
+
+
+def draw_text(
+    draw: ImageDraw.ImageDraw,
+    xy: tuple[float, float],
+    text: str,
+    px: int,
+    fill: str | tuple = "black",
+    anchor: str = "la",
+) -> None:
+    """Draw (possibly multi-line) *text*; multi-line is centered per line."""
+    if not text:
+        return
+    font = get_font(px)
+    if "\n" in text:
+        draw.multiline_text(xy, text, font=font, fill=fill, anchor=anchor.replace("s", "a"), align="center")
+    else:
+        draw.text(xy, text, font=font, fill=fill, anchor=anchor)
+
+
+def draw_rotated_text(
+    canvas: Image.Image,
+    center: tuple[float, float],
+    text: str,
+    px: int,
+    angle: float = 90.0,
+    fill: str | tuple = "black",
+) -> None:
+    """Draw *text* rotated by *angle* degrees, centered at *center*."""
+    if not text:
+        return
+    w, h = text_size(text, px)
+    if w == 0:
+        return
+    tmp = Image.new("RGBA", (w + 4, h + 4), (0, 0, 0, 0))
+    d = ImageDraw.Draw(tmp)
+    font = get_font(px)
+    if "\n" in text:
+        d.multiline_text((2, 2), text, font=font, fill=fill, align="center")
+    else:
+        d.text((2, 2), text, font=font, fill=fill)
+    rot = tmp.rotate(angle, expand=True)
+    canvas.paste(rot, (round(center[0] - rot.width / 2), round(center[1] - rot.height / 2)), rot)
+
+
+def draw_pow10(
+    draw: ImageDraw.ImageDraw,
+    xy: tuple[float, float],
+    exponent: int,
+    px: int,
+    fill: str | tuple = "black",
+    anchor_left: bool = True,
+) -> int:
+    """Draw ``10^exponent`` with a raised superscript; returns total width.
+
+    Replaces the reference's mathtext ``$10^{k}$`` colorbar/axis labels
+    (reference plotting.py:292-298).
+    """
+    base = "10"
+    sup = str(exponent)
+    f_base = get_font(px)
+    f_sup = get_font(max(1, round(px * 0.72)))
+    bw = _measure_draw.textbbox((0, 0), base, font=f_base)[2]
+    sw = _measure_draw.textbbox((0, 0), sup, font=f_sup)[2]
+    x, y = xy
+    if not anchor_left:
+        x -= bw + sw
+    draw.text((x, y), base, font=f_base, fill=fill, anchor="lm")
+    draw.text((x + bw + 1, y - px * 0.35), sup, font=f_sup, fill=fill, anchor="lm")
+    return bw + sw + 1
+
+
+def pow10_width(exponent: int, px: int) -> int:
+    f_base = get_font(px)
+    f_sup = get_font(max(1, round(px * 0.72)))
+    bw = _measure_draw.textbbox((0, 0), "10", font=f_base)[2]
+    sw = _measure_draw.textbbox((0, 0), str(exponent), font=f_sup)[2]
+    return bw + sw + 1

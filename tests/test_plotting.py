@@ -1,0 +1,189 @@
+"""Tests for the public plotting API and figure compositor."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from configurable_spectrograms_tpu.data.synthetic import synth_instrument_arrays
+from configurable_spectrograms_tpu.render import (
+    close_all_axes_and_clear,
+    generic_plot_multirow_optional_zoom,
+    generic_plot_spectrogram_set,
+    make_spectrogram,
+)
+from configurable_spectrograms_tpu.render.figure import SpectroFigure
+from configurable_spectrograms_tpu.render.locators import (
+    log_ticks,
+    nice_linear_ticks,
+    synthesize_linear_y_ticks,
+    time_ticks,
+)
+
+
+@pytest.fixture(scope="module")
+def arrays():
+    rng = np.random.default_rng(11)
+    a = synth_instrument_arrays(rng, n_time=120, n_angle=16, n_energy=24, t0=9.468e8, duration=900)
+    return {
+        "t": a["time_unix"],
+        "energy": a["energy"][0, 0, :],
+        "pitch": a["pitch_angle"][0, :, 0],
+        "cube": a["data"],
+    }
+
+
+def test_make_spectrogram_returns_axis_and_xplot(arrays):
+    ax, x_plot = make_spectrogram(arrays["t"], arrays["energy"], arrays["cube"])
+    assert ax is not None
+    assert x_plot.shape == arrays["t"].shape
+    np.testing.assert_allclose(x_plot, arrays["t"] / 86400.0)  # matplotlib date nums
+    assert ax.panel is not None
+    assert ax.xlabel == "Time (UTC)"
+    assert ax.ylabel == "Energy (eV)"
+
+
+def test_make_spectrogram_empty_paths(arrays):
+    # Every energy filtered out -> (None, None), reference plotting.py:196-198
+    ax, xp = make_spectrogram(arrays["t"], arrays["energy"], arrays["cube"], y_axis_min=1e9, y_axis_max=2e9)
+    assert (ax, xp) == (None, None)
+    # Zoom window beyond the data -> (None, None), reference plotting.py:255-257
+    ax, xp = make_spectrogram(
+        arrays["t"], arrays["energy"], arrays["cube"], center_timestamp=0.0, window_duration_seconds=10.0
+    )
+    assert (ax, xp) == (None, None)
+
+
+def test_make_spectrogram_zoom_filters_xplot(arrays):
+    t = arrays["t"]
+    center = float(t[60])
+    ax, x_plot = make_spectrogram(
+        arrays["t"], arrays["energy"], arrays["cube"], center_timestamp=center, window_duration_seconds=120.0
+    )
+    assert ax is not None
+    lo, hi = center - 60, center + 60
+    sel = t[(t >= lo) & (t <= hi)]
+    assert len(x_plot) == len(sel)
+
+
+def test_vertical_lines_filtered_to_extent(arrays):
+    t = arrays["t"]
+    marks = [float(t[10]), float(t[50]), float(t[-1]) + 9999.0]
+    ax, _ = make_spectrogram(arrays["t"], arrays["energy"], arrays["cube"], vertical_lines_unix=marks)
+    assert len(ax.panel.vertical_lines) == 2  # out-of-range mark dropped
+
+
+def test_red_heavy_colormap_line_color(arrays):
+    ax, _ = make_spectrogram(arrays["t"], arrays["energy"], arrays["cube"], colormap="turbo",
+                             vertical_lines_unix=[float(arrays["t"][5])])
+    assert ax.panel.line_color == "white"
+    ax2, _ = make_spectrogram(arrays["t"], arrays["energy"], arrays["cube"], colormap="viridis",
+                              vertical_lines_unix=[float(arrays["t"][5])])
+    assert ax2.panel.line_color == "red"
+
+
+def test_generic_set_renders_png(tmp_path, arrays):
+    fig, canvas = generic_plot_spectrogram_set(
+        [
+            {"x": arrays["t"], "y": arrays["energy"], "data": arrays["cube"], "label": "row one"},
+            {"x": arrays["t"], "y": arrays["energy"], "data": arrays["cube"], "z_min": 0.0, "z_max": 50.0},
+        ],
+        z_scale="log",
+        colormap="cividis",
+        figure_title="Title",
+    )
+    assert fig is canvas and fig is not None
+    out = tmp_path / "set.png"
+    fig.savefig(str(out), dpi=60)
+    img = Image.open(out)
+    assert img.size == (600, 360)  # 10x6 inches at 60 dpi
+    assert np.asarray(img).std() > 0  # not blank
+
+
+def test_generic_set_empty():
+    assert generic_plot_spectrogram_set([]) == (None, None)
+
+
+def test_multirow_zoom_decision(arrays):
+    t = arrays["t"]
+    ds = [{"x": t, "y": arrays["energy"], "data": arrays["cube"], "label": "r"}]
+    # Two markers inside data -> zoom column appears (2 cols).
+    fig, _ = generic_plot_multirow_optional_zoom(ds, vertical_lines=[float(t[40]), float(t[70])])
+    assert fig.ncols == 2
+    assert fig.axes[0].title == "Full"
+    assert fig.axes[1].title == "Zoomed"
+    # No markers -> single column.
+    fig2, _ = generic_plot_multirow_optional_zoom(ds)
+    assert fig2.ncols == 1
+    # Markers in a data-free (all-NaN) window -> no zoom column.
+    cube_nan = arrays["cube"].copy()
+    cube_nan[30:50] = np.nan
+    ds3 = [{"x": t, "y": arrays["energy"], "data": cube_nan}]
+    center = float(t[40])
+    fig3, _ = generic_plot_multirow_optional_zoom(ds3, vertical_lines=[center], zoom_duration_minutes=1.0)
+    assert fig3.ncols == 1
+
+
+def test_multirow_two_marker_window_expansion(arrays):
+    """duration = max(requested, 1.5x span) (reference plotting.py:586-594)."""
+    t = arrays["t"]
+    marks = [float(t[10]), float(t[110])]  # wide span
+    fig, _ = generic_plot_multirow_optional_zoom(
+        [{"x": t, "y": arrays["energy"], "data": arrays["cube"]}],
+        vertical_lines=marks,
+        zoom_duration_minutes=0.5,
+    )
+    if fig.ncols == 2:
+        zoom_ax = fig.axes[1]
+        span = zoom_ax.panel.window.xlim[1] - zoom_ax.panel.window.xlim[0]
+        np.testing.assert_allclose(span, (marks[1] - marks[0]) * 1.5, rtol=1e-6)
+
+
+def test_multirow_row_labels_and_footer(tmp_path, arrays):
+    t = arrays["t"]
+    fig, _ = generic_plot_multirow_optional_zoom(
+        [{"x": t, "y": arrays["energy"], "data": arrays["cube"], "label": "EES"}],
+        vertical_lines=[float(t[40]), float(t[60])],
+        title="Orbit 1 -  ESA Spectrograms",
+        y_scale="log",
+        z_scale="log",
+        colormap="inferno",
+    )
+    assert fig.axes[0].ylabel == "EES"
+    texts = [t["s"] for t in fig.fig_texts]
+    assert any("Data timespan" in s for s in texts)
+    assert any("Marked range" in s for s in texts)
+    out = tmp_path / "grid.png"
+    fig.savefig(str(out), dpi=50)
+    assert Image.open(out).size == (1200, 150)
+
+
+def test_close_all_axes_and_clear(arrays):
+    fig = SpectroFigure()
+    ax = fig.add_subplot(1, 1, 1)
+    make_spectrogram(arrays["t"], arrays["energy"], arrays["cube"], axis_object=ax)
+    assert fig.axes
+    close_all_axes_and_clear(fig)
+    assert not fig.axes
+
+
+def test_collapse_axis_2(arrays):
+    """(T, E, A)-ordered data with collapse_axis=2 moves A to the collapse slot."""
+    ax, _ = make_spectrogram(
+        arrays["t"], arrays["energy"], arrays["cube"].transpose(0, 2, 1), collapse_axis=2,
+    )
+    assert ax is not None
+    assert ax.panel.cube.shape == (120, 16, 24)  # (T, collapse=A, y=E)
+
+
+def test_locators():
+    assert synthesize_linear_y_ticks(0, 4000) == [0, 1000, 2000, 3000, 4000]
+    assert synthesize_linear_y_ticks(0, 1400) == [0, 1000]
+    assert log_ticks(1.0, 1000.0) == [0, 1, 2, 3]
+    assert log_ticks(0.5, 200.0) == [0, 1, 2]
+    ticks = nice_linear_ticks(0.0, 100.0)
+    assert ticks[0] >= 0.0 and ticks[-1] <= 100.0 and len(ticks) >= 3
+    tt, fmt = time_ticks(0.0, 60.0)
+    assert fmt == "%H:%M:%S"
+    tt2, fmt2 = time_ticks(0.0, 3600.0)
+    assert fmt2 == "%H:%M"
+    assert all(b > a for a, b in zip(tt2, tt2[1:]))
