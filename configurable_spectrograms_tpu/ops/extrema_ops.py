@@ -1,0 +1,99 @@
+"""Device-side statistics for the folder-wide extrema pass.
+
+The reference's extrema scan pools every positive sample of every file in
+host memory and re-runs ``np.nanpercentile`` per orbit
+(reference fast/extrema.py:245-285) -- O(total samples) memory.  Here each
+file reduces on device to two fixed-size summaries:
+
+* per-energy-bin positive-finite counts (E,), feeding the 99%%-cumulative
+  energy-coverage rule, exactly as the reference computes it;
+* a 4096-bin log10 histogram of positive-finite collapsed values, from
+  which any percentile is answered with bounded relative error
+  (bin width = 24 decades / 4096 = 0.0059 dex, i.e. < 1.4%% relative),
+  instead of an exact pool.  The reference then applies ``math.ceil`` to
+  the result, absorbing most of that error.
+
+These summaries are tiny, mergeable by addition, and therefore shard
+cleanly: :mod:`configurable_spectrograms_tpu.parallel.extrema` psums them
+across a device mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from configurable_spectrograms_tpu.ops.spectrogram import collapse_cube
+
+HIST_BINS = 4096
+LOG_LO = -12.0
+LOG_HI = 12.0
+
+
+@functools.partial(jax.jit, static_argnames=())
+def file_extrema_stats(cube: jax.Array, t_valid: jax.Array) -> dict[str, jax.Array]:
+    """Reduce one (T, A, E) cube to extrema summaries.
+
+    Returns ``counts`` (E,) int32 positive-finite samples per energy bin of
+    the pitch-collapsed matrix, and ``hist`` (HIST_BINS,) int32 log10
+    histogram of the positive-finite collapsed values.
+    """
+    A = cube.shape[1]
+    collapsed = collapse_cube(cube, jnp.ones((A,), bool), t_valid)  # (T, E)
+    fp = jnp.isfinite(collapsed) & (collapsed > 0)
+    counts = jnp.sum(fp, axis=0).astype(jnp.int32)
+    logv = jnp.log10(jnp.where(fp, collapsed, 1.0))
+    bin_f = (logv - LOG_LO) / (LOG_HI - LOG_LO) * HIST_BINS
+    bins = jnp.clip(bin_f.astype(jnp.int32), 0, HIST_BINS - 1)
+    flat_bins = jnp.ravel(jnp.where(fp, bins, HIST_BINS))  # invalid -> overflow slot
+    hist = jnp.zeros((HIST_BINS + 1,), jnp.int32).at[flat_bins].add(1)
+    return {"counts": counts, "hist": hist[:HIST_BINS]}
+
+
+_batched_stats = jax.jit(jax.vmap(file_extrema_stats))
+
+
+def batched_file_stats(cubes: list[np.ndarray]) -> list[dict[str, np.ndarray]]:
+    """Compute :func:`file_extrema_stats` for many host cubes in one dispatch.
+
+    Cubes are padded to the max (T, A, E) in the batch (NaN padding, which
+    the collapse masks out via ``t_valid`` and nansum semantics).
+    """
+    if not cubes:
+        return []
+    Tm = max(c.shape[0] for c in cubes)
+    Am = max(c.shape[1] for c in cubes)
+    Em = max(c.shape[2] for c in cubes)
+    batch = np.full((len(cubes), Tm, Am, Em), np.nan, np.float32)
+    t_valids = np.zeros((len(cubes),), np.int32)
+    for i, c in enumerate(cubes):
+        T, A, E = c.shape
+        batch[i, :T, :A, :E] = c
+        t_valids[i] = T
+    out = _batched_stats(jnp.asarray(batch), jnp.asarray(t_valids))
+    counts = np.asarray(out["counts"])
+    hist = np.asarray(out["hist"])
+    return [
+        {"counts": counts[i, : cubes[i].shape[2]], "hist": hist[i]} for i in range(len(cubes))
+    ]
+
+
+def hist_percentile(hist: np.ndarray, q: float) -> float:
+    """Percentile of the values summarized by a log10 *hist* (upper-edge rule).
+
+    Linear-interpolation position like ``np.nanpercentile`` on the sample
+    count, resolved to the containing bin's upper edge in value space.
+    Returns 0.0 for an empty histogram.
+    """
+    n = int(hist.sum())
+    if n == 0:
+        return 0.0
+    pos = q / 100.0 * (n - 1)
+    cum = np.cumsum(hist)
+    b = int(np.searchsorted(cum, pos + 1.0, side="left"))
+    b = min(b, HIST_BINS - 1)
+    edge = LOG_LO + (b + 1) / HIST_BINS * (LOG_HI - LOG_LO)
+    return float(10.0**edge)

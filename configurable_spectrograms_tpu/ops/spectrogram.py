@@ -137,6 +137,10 @@ def render_matrix(
     z_bounds: jax.Array,
     lut: jax.Array,
     spec: RenderSpec,
+    zb_e_valid: jax.Array | None = None,
+    zb_full_time: jax.Array | bool = False,
+    out_h: jax.Array | int | None = None,
+    out_w: jax.Array | int | None = None,
 ) -> dict[str, jax.Array]:
     """Rasterize one collapsed (T, E) matrix to an RGBA tile.
 
@@ -167,6 +171,24 @@ def render_matrix(
         Colormap lookup table (:func:`..ops.colormap_lut`).
     spec : RenderSpec
         Static geometry/scale configuration.
+    zb_e_valid : (E,) bool, optional
+        Energy mask used only for the percentile *bounds* selection.  The
+        FAST grids compute color bounds over the extrema-restricted energy
+        range while the panel still displays 0-4000
+        (reference fast/plotting.py:118-134,288-296 vs plotting.py:618-656).
+        Defaults to ``e_valid``.
+    zb_full_time : bool scalar, optional
+        When true, percentile bounds pool the full file's rows rather than
+        the zoom window (the FAST grids bound on the unzoomed matrix,
+        reference fast/plotting.py:131-134).
+    out_h, out_w : int32 scalars, optional
+        Actual output size when ``spec.height``/``spec.width`` are padded
+        bucket dimensions; pixels at or beyond them render as background
+        and the host crops.  Letting these be *dynamic* means one compiled
+        program serves every figure geometry in a bucket instead of one
+        XLA program per exact tile size.  Default: the full static size.
+        NOTE: the returned ``rgba`` is in origin-lower order (row 0 =
+        bottom); the host flips after cropping.
 
     Returns
     -------
@@ -177,6 +199,8 @@ def render_matrix(
         ``(None, None)`` return path).
     """
     H, W = spec.height, spec.width
+    out_h = jnp.asarray(H if out_h is None else out_h, jnp.int32)
+    out_w = jnp.asarray(W if out_w is None else out_w, jnp.int32)
     T, E = matrix.shape
     matrix = matrix.astype(jnp.float32)
     energy = energy.astype(jnp.float32)
@@ -194,12 +218,17 @@ def render_matrix(
     empty = (n_kept == 0) | (t_count <= 0)
 
     # --- color bounds (reference plotting.py:259-277,307-315) -------------
+    if zb_e_valid is None:
+        zb_sel = sel
+    else:
+        zb_rows = jnp.where(jnp.asarray(zb_full_time), in_file, in_window)
+        zb_sel = zb_rows[:, None] & ((~col_all_nan) & zb_e_valid)[None, :]
     zmin_arg, zmax_arg = z_bounds[0], z_bounds[1]
     vmin = jnp.where(
-        jnp.isnan(zmin_arg), masked_nanpercentile(matrix, sel, spec.low_percentile), zmin_arg
+        jnp.isnan(zmin_arg), masked_nanpercentile(matrix, zb_sel, spec.low_percentile), zmin_arg
     ).astype(jnp.float32)
     vmax = jnp.where(
-        jnp.isnan(zmax_arg), masked_nanpercentile(matrix, sel, spec.high_percentile), zmax_arg
+        jnp.isnan(zmax_arg), masked_nanpercentile(matrix, zb_sel, spec.high_percentile), zmax_arg
     ).astype(jnp.float32)
 
     finite_positive = jnp.isfinite(matrix) & (matrix > 0) & sel
@@ -234,13 +263,16 @@ def render_matrix(
     idx = jnp.clip(jnp.floor(norm * 256.0), 0, 255).astype(jnp.int32)
 
     # --- imshow extent resampling (pixel replication) ----------------------
-    px = jax.lax.broadcasted_iota(jnp.float32, (1, W), 1)
+    px_i = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    px = px_i.astype(jnp.float32)
     col_f = x_map[0] * px + x_map[1]
-    x_ok = (col_f >= 0.0) & (col_f <= t_count.astype(jnp.float32))
+    x_ok = (col_f >= 0.0) & (col_f <= t_count.astype(jnp.float32)) & (px_i < out_w)
     col = jnp.clip(col_f.astype(jnp.int32), 0, jnp.maximum(t_count - 1, 0))
     t_idx = jnp.clip(t_start + col, 0, T - 1)
 
-    py = (jax.lax.broadcasted_iota(jnp.float32, (H, 1), 0) + 0.5) / H
+    py_r = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
+    py = (py_r.astype(jnp.float32) + 0.5) / out_h.astype(jnp.float32)
+    y_ok = py_r < out_h
     nk = jnp.maximum(n_kept, 1).astype(jnp.float32)
     if spec.y_scale == "log":
         # Drawn image warps with the log axis: pixel -> data y via the
@@ -257,14 +289,16 @@ def render_matrix(
 
     tile_idx = idx[t_idx[0], :][:, e_idx[:, 0]]  # (W, H) gather rows then cols
     tile_idx = tile_idx.T  # (H, W)
-    visible = x_ok & ~empty  # (1, W) broadcast over rows
+    visible = x_ok & y_ok & ~empty  # (H, W) after broadcast
 
     lut_ext = jnp.concatenate(
         [jnp.asarray(lut, jnp.uint8), jnp.asarray(spec.bg_rgba, jnp.uint8)[None, :]], axis=0
     )
     final_idx = jnp.where(visible, tile_idx, 256)
     rgba = lut_ext[final_idx]  # (H, W, 4), origin='lower': row 0 = bottom
-    # Flip vertically so row 0 is the image top (PNG convention).
+    # Flip vertically so the last row is the image bottom (PNG convention);
+    # with padded buckets the valid region lands at rows [H-out_h, H), so
+    # hosts crop ``rgba[H-out_h:, :out_w]``.
     rgba = rgba[::-1, :, :]
 
     return {

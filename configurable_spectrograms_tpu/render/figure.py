@@ -71,6 +71,10 @@ class PanelData:
     line_color: str = "red"
     low_percentile: float = 1.0
     high_percentile: float = 99.0
+    #: Optional override of the energy range used only for percentile color
+    #: bounds (y_min, y_max), pooled over the full file's rows -- the FAST
+    #: grids' bound rule (reference fast/plotting.py:118-134).
+    bounds_energy_range: tuple[float, float] | None = None
 
 
 class Axes:
@@ -188,9 +192,12 @@ def _batched_render_fn(spec_key):
 
     spec = RenderSpec(*spec_key)
 
-    def one(cube, pm, tv, en, ev, ts, tc, xm, zb, lut):
+    def one(cube, pm, tv, en, ev, ts, tc, xm, zb, lut, zbev, zbft, oh, ow):
         m = collapse_cube(cube, pm, tv)
-        return render_matrix(m, en, ev, tv, ts, tc, xm, zb, lut, spec)
+        return render_matrix(
+            m, en, ev, tv, ts, tc, xm, zb, lut, spec,
+            zb_e_valid=zbev, zb_full_time=zbft, out_h=oh, out_w=ow,
+        )
 
     return jax.jit(jax.vmap(one))
 
@@ -208,6 +215,10 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
 
     if not panels:
         return []
+    # Tile sizes are padded to buckets too, with the true size dynamic, so
+    # one compiled program serves every figure geometry in a bucket.
+    tile_hp = _bucket(tile_h, 128, 128)
+    tile_wp = _bucket(tile_w, 256, 256)
     groups: dict[tuple, list[int]] = {}
     for i, p in enumerate(panels):
         T, A, E = p.cube.shape
@@ -223,6 +234,8 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
         groups.setdefault(key, []).append(i)
 
     results: list[dict | None] = [None] * len(panels)
+    oh = np.full((1,), tile_h, np.int32)
+    ow = np.full((1,), tile_w, np.int32)
     for (Tp, Ap, Ep, y_scale, z_scale, lo_pct, hi_pct), idxs in groups.items():
         n = len(idxs)
         cubes = np.full((n, Tp, Ap, Ep), np.nan, np.float32)
@@ -235,6 +248,8 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
         x_maps = np.zeros((n, 2), np.float32)
         z_bounds = np.zeros((n, 2), np.float32)
         luts = np.zeros((n, 256, 4), np.uint8)
+        zb_e_valids = np.zeros((n, Ep), bool)
+        zb_full = np.zeros((n,), bool)
         for j, i in enumerate(idxs):
             p = panels[i]
             T, A, E = p.cube.shape
@@ -251,11 +266,26 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
                 np.nan if p.z_max is None else p.z_max,
             )
             luts[j] = colormap_lut(p.colormap)
-        fn = _batched_render_fn((tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct))
-        out = fn(cubes, masks, t_valids, energies, e_valids, t_starts, t_counts, x_maps, z_bounds, luts)
+            if p.bounds_energy_range is not None:
+                b_lo, b_hi = p.bounds_energy_range
+                zb_e_valids[j, :E] = (p.energy >= b_lo) & (p.energy <= b_hi)
+                zb_full[j] = True
+            else:
+                zb_e_valids[j, :E] = e_valids[j, :E]
+                zb_full[j] = False
+        fn = _batched_render_fn((tile_hp, tile_wp, y_scale, z_scale, lo_pct, hi_pct))
+        out = fn(
+            cubes, masks, t_valids, energies, e_valids, t_starts, t_counts, x_maps, z_bounds, luts,
+            zb_e_valids, zb_full,
+            np.broadcast_to(oh, (n,)), np.broadcast_to(ow, (n,)),
+        )
         out = {k: np.asarray(v) for k, v in out.items()}
         for j, i in enumerate(idxs):
-            results[i] = {k: out[k][j] for k in out}
+            r = {k: out[k][j] for k in out}
+            # Crop the padded tile to the true size (valid region sits at the
+            # bottom rows after the device's vertical flip).
+            r["rgba"] = r["rgba"][tile_hp - tile_h :, :tile_w]
+            results[i] = r
     return results  # type: ignore[return-value]
 
 

@@ -73,6 +73,7 @@ def make_spectrogram(
     cusp_marker_style="both",
     cusp_marker_kwargs=None,
     pitch_angle_mask=None,
+    bounds_energy_range=None,
 ):
     """Describe one spectrogram panel (API parity with reference plotting.py:92-176).
 
@@ -154,6 +155,7 @@ def make_spectrogram(
         cusp_marker_style=cusp_marker_style,
         cusp_marker_kwargs=dict(cusp_marker_kwargs or {}),
         line_color="white" if colormap in _RED_HEAVY_COLORMAPS else "red",
+        bounds_energy_range=bounds_energy_range,
     )
     axis_object.set_xlabel(x_label)
     axis_object.set_ylabel(y_axis_label if y_axis_label is not None else "Energy (eV)")
@@ -315,6 +317,7 @@ def generic_plot_multirow_optional_zoom(
             z_axis_max=vmax if z_max is None else z_max,
             colormap=colormap,
             pitch_angle_mask=ds.get("pitch_angle_mask"),
+            bounds_energy_range=ds.get("bounds_energy_range"),
         )
         make_spectrogram(
             x_axis_min=times[0],
