@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Benchmark: FAST spectrogram panels/sec per chip vs the matplotlib baseline.
+
+Prints exactly one JSON line:
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}``.
+
+Workload (mirrors the reference's flagship batch path, SURVEY.md section 3.1):
+pitch-angle grids -- per (orbit, instrument) figure, 4 category rows x 2
+columns (full + zoom) = 8 spectrogram panels, composited and PNG-encoded at
+200 DPI.  ``value`` is steady-state panels/sec through this framework's
+device pipeline on the available chip.  ``vs_baseline`` divides by a
+matplotlib-Agg baseline rendering the *same* figures the reference's way
+(imshow + LogNorm + colorbars per panel, savefig dpi=200) measured in this
+same environment -- the reference publishes no numbers and cannot run here
+directly (cdflib is not installed), so the baseline re-creates its render
+path faithfully (reference plotting.py:92-389,505-698).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+N_ORBITS = 6
+N_TIME = 2048
+N_ANGLE = 32
+N_ENERGY = 48
+BASELINE_FIGURES = 2  # matplotlib figures to time (slow)
+PANELS_PER_FIGURE = 8  # 4 pitch rows x (full + zoom)
+
+
+def _build_archive(root: str) -> dict:
+    from configurable_spectrograms_tpu.data.synthetic import synth_fast_archive
+
+    csv = os.path.join(root, "cusp.tsv")
+    mapping = synth_fast_archive(
+        os.path.join(root, "data"),
+        list(range(300, 300 + N_ORBITS)),
+        n_time=N_TIME,
+        n_angle=N_ANGLE,
+        n_energy=N_ENERGY,
+        cusp_csv_path=csv,
+    )
+    return {"mapping": mapping, "csv": csv}
+
+
+def _bench_ours(archive: dict, out_dir: str) -> tuple[float, float]:
+    """Return (panels_per_sec, p50_figure_latency_sec)."""
+    from configurable_spectrograms_tpu.data.cdf_utils import load_filtered_orbits
+    from configurable_spectrograms_tpu.fast.plotting import FAST_plot_pitch_angle_grid
+
+    df = load_filtered_orbits(archive["csv"])
+    jobs = [
+        (orbit, inst, paths[inst])
+        for orbit, paths in sorted(archive["mapping"].items())
+        for inst in ("ees", "eeb", "ies", "ieb")
+    ]
+
+    def render_one(orbit, path, out_path):
+        fig, _ = FAST_plot_pitch_angle_grid(
+            path,
+            filtered_orbits_df=df,
+            orbit_number=orbit,
+            scale_function_y="log",
+            scale_function_z="log",
+            show=False,
+            colormap="inferno",
+        )
+        fig.savefig(out_path, dpi=200)
+        return fig
+
+    # Warmup: compile the render programs once.
+    render_one(jobs[0][0], jobs[0][2], os.path.join(out_dir, "warmup.png"))
+
+    latencies = []
+    t0 = time.perf_counter()
+    for k, (orbit, inst, path) in enumerate(jobs):
+        f0 = time.perf_counter()
+        render_one(orbit, path, os.path.join(out_dir, f"{orbit}_{inst}.png"))
+        latencies.append(time.perf_counter() - f0)
+    elapsed = time.perf_counter() - t0
+    panels = len(jobs) * PANELS_PER_FIGURE
+    return panels / elapsed, float(np.percentile(latencies, 50))
+
+
+def _bench_matplotlib(archive: dict, out_dir: str) -> float:
+    """Reference-equivalent matplotlib render of the same figures; panels/sec."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.colors as mcolors
+    from matplotlib.backends.backend_agg import FigureCanvasAgg as FigureCanvas
+    from matplotlib.figure import Figure
+
+    from configurable_spectrograms_tpu.data.cdf_utils import (
+        get_timestamps_for_orbit,
+        load_fast_cdf_dataset,
+        load_filtered_orbits,
+    )
+    from configurable_spectrograms_tpu.fast.constants import DEFAULT_PITCH_ANGLE_CATEGORIES
+
+    df = load_filtered_orbits(archive["csv"])
+    jobs = [
+        (orbit, inst, paths[inst])
+        for orbit, paths in sorted(archive["mapping"].items())
+        for inst in ("ees", "eeb", "ies", "ieb")
+    ][:BASELINE_FIGURES]
+
+    t0 = time.perf_counter()
+    for orbit, inst, path in jobs:
+        ds = load_fast_cdf_dataset(path)
+        times, data, energy, pitch = ds["times"], ds["data"], ds["energy"], ds["pitch_angle"]
+        marks = get_timestamps_for_orbit(df, orbit, inst, times)
+        center = 0.5 * (marks[0] + marks[1]) if len(marks) == 2 else None
+        duration = max(6.25 * 60, abs(marks[1] - marks[0]) * 1.5) if len(marks) == 2 else None
+        n_rows, n_cols = 4, 2
+        fig = Figure(figsize=(12 * n_cols, 3 * n_rows))
+        FigureCanvas(fig)
+        for i, (key, ranges) in enumerate(DEFAULT_PITCH_ANGLE_CATEGORIES.items()):
+            mask = np.zeros_like(pitch, dtype=bool)
+            for lo, hi in ranges:
+                mask |= (pitch >= lo) & (pitch <= hi)
+            collapsed = np.nansum(data[:, mask, :], axis=1)
+            for j in range(n_cols):
+                ax = fig.add_subplot(n_rows, n_cols, i * n_cols + j + 1)
+                if j == 1 and center is not None:
+                    zmask = (times >= center - duration / 2) & (times <= center + duration / 2)
+                    mat, tt = collapsed[zmask], times[zmask]
+                else:
+                    mat, tt = collapsed, times
+                mp = mat.T
+                vmin = max(float(np.nanpercentile(mp[mp > 0], 1)) if (mp > 0).any() else 1e-10, 1e-10)
+                vmax = float(np.nanpercentile(mp, 99))
+                mp = np.where(~np.isfinite(mp) | (mp <= 0), vmin, mp)
+                im = ax.imshow(
+                    mp,
+                    aspect="auto",
+                    origin="lower",
+                    extent=(tt[0], tt[-1], float(energy[-1]), float(energy[0])),
+                    cmap="inferno",
+                    norm=mcolors.LogNorm(vmin=vmin, vmax=max(vmax, vmin * 10)),
+                )
+                ax.set_yscale("log")
+                fig.colorbar(im, ax=ax, label="Counts")
+                for m in marks:
+                    ax.axvline(m, color="black", linewidth=4)
+                    ax.axvline(m, color="red", linewidth=2)
+        fig.savefig(os.path.join(out_dir, f"mpl_{orbit}_{inst}.png"), dpi=200)
+    elapsed = time.perf_counter() - t0
+    return len(jobs) * PANELS_PER_FIGURE / elapsed
+
+
+def main() -> None:
+    with tempfile.TemporaryDirectory() as root:
+        archive = _build_archive(root)
+        ours_dir = os.path.join(root, "ours")
+        mpl_dir = os.path.join(root, "mpl")
+        os.makedirs(ours_dir)
+        os.makedirs(mpl_dir)
+        ours, p50 = _bench_ours(archive, ours_dir)
+        baseline = _bench_matplotlib(archive, mpl_dir)
+        print(
+            json.dumps(
+                {
+                    "metric": "FAST spectrogram panels/sec per chip (pitch-angle grid batch)",
+                    "value": round(ours, 2),
+                    "unit": "panels/sec",
+                    "vs_baseline": round(ours / baseline, 2),
+                    "p50_figure_latency_sec": round(p50, 3),
+                    "baseline_panels_per_sec": round(baseline, 2),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -14,6 +14,7 @@ from configurable_spectrograms_tpu.ops.spectrogram import (
     RenderSpec,
     collapse_cube,
     masked_nanpercentile,
+    quantize_matrix,
     render_matrix,
     render_panels,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "RenderSpec",
     "collapse_cube",
     "masked_nanpercentile",
+    "quantize_matrix",
     "render_matrix",
     "render_panels",
 ]

@@ -202,6 +202,84 @@ def render_matrix(
     out_h = jnp.asarray(H if out_h is None else out_h, jnp.int32)
     out_w = jnp.asarray(W if out_w is None else out_w, jnp.int32)
     T, E = matrix.shape
+    a = _analyze_matrix(
+        matrix, energy, e_valid, t_valid, t_start, t_count, z_bounds, spec, zb_e_valid, zb_full_time
+    )
+    idx = a["idx"].astype(jnp.int32)
+    kept_pos, n_kept, flip = a["kept_pos"], a["n_kept"], a["flip"]
+    y0, y1, vmin, vmax, empty = a["y0"], a["y1"], a["vmin"], a["vmax"], a["empty"]
+
+    # --- imshow extent resampling (pixel replication) ----------------------
+    px_i = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    px = px_i.astype(jnp.float32)
+    col_f = x_map[0] * px + x_map[1]
+    x_ok = (col_f >= 0.0) & (col_f <= t_count.astype(jnp.float32)) & (px_i < out_w)
+    col = jnp.clip(col_f.astype(jnp.int32), 0, jnp.maximum(t_count - 1, 0))
+    t_idx = jnp.clip(t_start + col, 0, T - 1)
+
+    py_r = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
+    py = (py_r.astype(jnp.float32) + 0.5) / out_h.astype(jnp.float32)
+    y_ok = py_r < out_h
+    nk = jnp.maximum(n_kept, 1).astype(jnp.float32)
+    if spec.y_scale == "log":
+        # Drawn image warps with the log axis: pixel -> data y via the
+        # log-scaled ylim, then extent pixel replication in data space.
+        ly0 = jnp.log10(jnp.maximum(y0, 1e-37))
+        ly1 = jnp.log10(jnp.maximum(y1, 1e-37))
+        y_data = jnp.power(10.0, ly0 + py * (ly1 - ly0))
+        row_f = (y_data - y0) / jnp.where(y1 == y0, 1.0, y1 - y0) * nk
+    else:
+        row_f = py * nk
+    row = jnp.clip(row_f.astype(jnp.int32), 0, jnp.maximum(n_kept - 1, 0))
+    row_eff = jnp.where(flip, n_kept - 1 - row, row)
+    e_idx = kept_pos[jnp.clip(row_eff, 0, E - 1)]  # (H, 1)
+
+    tile_idx = idx[t_idx[0], :][:, e_idx[:, 0]]  # (W, H) gather rows then cols
+    tile_idx = tile_idx.T  # (H, W)
+    visible = x_ok & y_ok & ~empty  # (H, W) after broadcast
+
+    lut_ext = jnp.concatenate(
+        [jnp.asarray(lut, jnp.uint8), jnp.asarray(spec.bg_rgba, jnp.uint8)[None, :]], axis=0
+    )
+    final_idx = jnp.where(visible, tile_idx, 256)
+    rgba = lut_ext[final_idx]  # (H, W, 4), origin='lower': row 0 = bottom
+    # Flip vertically so the last row is the image bottom (PNG convention);
+    # with padded buckets the valid region lands at rows [H-out_h, H), so
+    # hosts crop ``rgba[H-out_h:, :out_w]``.
+    rgba = rgba[::-1, :, :]
+
+    return {
+        "rgba": rgba,
+        "vmin": vmin,
+        "vmax": vmax,
+        "y0": y0,
+        "y1": y1,
+        "n_kept": n_kept,
+        "empty": empty,
+    }
+
+
+def _analyze_matrix(
+    matrix: jax.Array,
+    energy: jax.Array,
+    e_valid: jax.Array,
+    t_valid: jax.Array,
+    t_start: jax.Array,
+    t_count: jax.Array,
+    z_bounds: jax.Array,
+    spec: RenderSpec,
+    zb_e_valid: jax.Array | None = None,
+    zb_full_time: jax.Array | bool = False,
+) -> dict[str, jax.Array]:
+    """Masking, color bounds, normalization, and colormap quantization.
+
+    Everything in ``make_spectrogram``'s data path that depends on the
+    matrix *values* -- the output ``idx`` (T, E) uint8 plus small mapping
+    metadata fully determine the pixels, so this is all a host ever needs
+    to read back from the device (the resampling to screen pixels is pure
+    index arithmetic either side can do).
+    """
+    T, E = matrix.shape
     matrix = matrix.astype(jnp.float32)
     energy = energy.astype(jnp.float32)
 
@@ -260,56 +338,45 @@ def render_matrix(
 
     # matplotlib Colormap.__call__ index rule: int(norm * N), N==256,
     # under -> 0, over -> N-1 (the default under/over colors).
-    idx = jnp.clip(jnp.floor(norm * 256.0), 0, 255).astype(jnp.int32)
-
-    # --- imshow extent resampling (pixel replication) ----------------------
-    px_i = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    px = px_i.astype(jnp.float32)
-    col_f = x_map[0] * px + x_map[1]
-    x_ok = (col_f >= 0.0) & (col_f <= t_count.astype(jnp.float32)) & (px_i < out_w)
-    col = jnp.clip(col_f.astype(jnp.int32), 0, jnp.maximum(t_count - 1, 0))
-    t_idx = jnp.clip(t_start + col, 0, T - 1)
-
-    py_r = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)
-    py = (py_r.astype(jnp.float32) + 0.5) / out_h.astype(jnp.float32)
-    y_ok = py_r < out_h
-    nk = jnp.maximum(n_kept, 1).astype(jnp.float32)
-    if spec.y_scale == "log":
-        # Drawn image warps with the log axis: pixel -> data y via the
-        # log-scaled ylim, then extent pixel replication in data space.
-        ly0 = jnp.log10(jnp.maximum(y0, 1e-37))
-        ly1 = jnp.log10(jnp.maximum(y1, 1e-37))
-        y_data = jnp.power(10.0, ly0 + py * (ly1 - ly0))
-        row_f = (y_data - y0) / jnp.where(y1 == y0, 1.0, y1 - y0) * nk
-    else:
-        row_f = py * nk
-    row = jnp.clip(row_f.astype(jnp.int32), 0, jnp.maximum(n_kept - 1, 0))
-    row_eff = jnp.where(flip, n_kept - 1 - row, row)
-    e_idx = kept_pos[jnp.clip(row_eff, 0, E - 1)]  # (H, 1)
-
-    tile_idx = idx[t_idx[0], :][:, e_idx[:, 0]]  # (W, H) gather rows then cols
-    tile_idx = tile_idx.T  # (H, W)
-    visible = x_ok & y_ok & ~empty  # (H, W) after broadcast
-
-    lut_ext = jnp.concatenate(
-        [jnp.asarray(lut, jnp.uint8), jnp.asarray(spec.bg_rgba, jnp.uint8)[None, :]], axis=0
-    )
-    final_idx = jnp.where(visible, tile_idx, 256)
-    rgba = lut_ext[final_idx]  # (H, W, 4), origin='lower': row 0 = bottom
-    # Flip vertically so the last row is the image bottom (PNG convention);
-    # with padded buckets the valid region lands at rows [H-out_h, H), so
-    # hosts crop ``rgba[H-out_h:, :out_w]``.
-    rgba = rgba[::-1, :, :]
+    idx = jnp.clip(jnp.floor(norm * 256.0), 0, 255).astype(jnp.uint8)
 
     return {
-        "rgba": rgba,
-        "vmin": vmin,
-        "vmax": vmax,
+        "idx": idx,
+        "kept_pos": kept_pos.astype(jnp.int32),
+        "n_kept": n_kept,
+        "flip": flip,
         "y0": y0,
         "y1": y1,
-        "n_kept": n_kept,
+        "vmin": vmin,
+        "vmax": vmax,
         "empty": empty,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def quantize_matrix(
+    matrix: jax.Array,
+    energy: jax.Array,
+    e_valid: jax.Array,
+    t_valid: jax.Array,
+    t_start: jax.Array,
+    t_count: jax.Array,
+    z_bounds: jax.Array,
+    spec: RenderSpec,
+    zb_e_valid: jax.Array | None = None,
+    zb_full_time: jax.Array | bool = False,
+) -> dict[str, jax.Array]:
+    """Jitted :func:`_analyze_matrix`: the light-readback production path.
+
+    Returns the quantized colormap-index matrix (T, E) uint8 plus mapping
+    metadata.  The host resamples to screen pixels with
+    :func:`configurable_spectrograms_tpu.render.tile.resample_indices`,
+    keeping device->host traffic ~300x smaller than shipping RGBA tiles
+    (that path, :func:`render_matrix`, remains for fully-on-device use).
+    """
+    return _analyze_matrix(
+        matrix, energy, e_valid, t_valid, t_start, t_count, z_bounds, spec, zb_e_valid, zb_full_time
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))

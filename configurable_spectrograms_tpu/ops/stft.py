@@ -1,0 +1,133 @@
+"""Audio STFT / mel-spectrogram front-end feeding the spectrogram rasterizer.
+
+New capability beyond the reference (BASELINE.json configs[4]): a windowed
+FFT front-end producing (time, 1, freq) cubes that flow through the exact
+same collapse/percentile/normalize/resample/LUT pipeline as FAST ESA data.
+TPU mapping: framing is a strided gather, the window is a fused elementwise
+multiply, the FFT lowers to XLA's native TPU FFT, and the mel projection is
+a single (frames x n_fft/2+1) @ (n_fft/2+1 x n_mels) matmul on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(length: int) -> np.ndarray:
+    """Periodic Hann window (the STFT convention)."""
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(length) / length)).astype(np.float32)
+
+
+def frame_signal(x: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
+    """Slice a 1D signal into overlapping frames: (N,) -> (F, frame_length)."""
+    n = x.shape[0]
+    num_frames = max(0, 1 + (n - frame_length) // hop_length)
+    starts = jnp.arange(num_frames) * hop_length
+    idx = starts[:, None] + jnp.arange(frame_length)[None, :]
+    return x[idx]
+
+
+@functools.partial(jax.jit, static_argnames=("frame_length", "hop_length", "power"))
+def stft_magnitude(
+    x: jax.Array,
+    frame_length: int = 1024,
+    hop_length: int = 256,
+    power: float = 2.0,
+) -> jax.Array:
+    """Windowed-FFT magnitude spectrogram: (N,) -> (frames, n_fft//2 + 1)."""
+    frames = frame_signal(jnp.asarray(x, jnp.float32), frame_length, hop_length)
+    windowed = frames * jnp.asarray(hann_window(frame_length))
+    spec = jnp.fft.rfft(windowed, axis=-1)
+    mag = jnp.abs(spec)
+    return mag if power == 1.0 else jnp.power(mag, power)
+
+
+def hz_to_mel(f: np.ndarray | float) -> np.ndarray:
+    """HTK mel scale: ``2595 * log10(1 + f/700)``."""
+    return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def mel_to_hz(m: np.ndarray | float) -> np.ndarray:
+    return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(
+    n_mels: int,
+    n_fft: int,
+    sample_rate: float,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Triangular HTK mel filterbank.
+
+    Returns ``(weights (n_fft//2+1, n_mels) float32, center_freqs (n_mels,))``.
+    """
+    if fmax is None:
+        fmax = sample_rate / 2.0
+    n_freq = n_fft // 2 + 1
+    fft_freqs = np.linspace(0.0, sample_rate / 2.0, n_freq)
+    mel_pts = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+    weights = np.zeros((n_freq, n_mels), np.float32)
+    for m in range(n_mels):
+        lo, ctr, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        up = (fft_freqs - lo) / max(ctr - lo, 1e-9)
+        down = (hi - fft_freqs) / max(hi - ctr, 1e-9)
+        weights[:, m] = np.maximum(0.0, np.minimum(up, down))
+    return weights, hz_pts[1:-1].astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("frame_length", "hop_length", "power", "n_mels", "sample_rate"))
+def mel_spectrogram(
+    x: jax.Array,
+    sample_rate: int,
+    frame_length: int = 1024,
+    hop_length: int = 256,
+    n_mels: int = 128,
+    power: float = 2.0,
+) -> jax.Array:
+    """Mel spectrogram: (N,) -> (frames, n_mels) via an MXU matmul."""
+    mag = stft_magnitude(x, frame_length=frame_length, hop_length=hop_length, power=power)
+    weights, _ = mel_filterbank(n_mels, frame_length, float(sample_rate))
+    return jnp.dot(mag, jnp.asarray(weights), preferred_element_type=jnp.float32)
+
+
+def audio_spectrogram_dataset(
+    signal: np.ndarray,
+    sample_rate: int,
+    frame_length: int = 1024,
+    hop_length: int = 256,
+    n_mels: int | None = None,
+    power: float = 2.0,
+    label: str | None = None,
+) -> dict:
+    """Build a ``generic_plot_spectrogram_set`` dataset dict from audio.
+
+    The (frames, freq) device spectrogram becomes a (time, 1, freq) cube so
+    it flows through the standard pipeline; ``x`` is frame-center seconds
+    (``x_is_unix=False`` at plot time), ``y`` is Hz (FFT bins) or mel
+    center frequencies.
+    """
+    x = jnp.asarray(np.asarray(signal, np.float32))
+    if n_mels is not None:
+        spec = mel_spectrogram(x, sample_rate, frame_length, hop_length, n_mels, power)
+        _, centers = mel_filterbank(n_mels, frame_length, float(sample_rate))
+        freqs = centers
+    else:
+        spec = stft_magnitude(x, frame_length, hop_length, power)
+        freqs = np.linspace(0.0, sample_rate / 2.0, frame_length // 2 + 1).astype(np.float32)
+    spec_np = np.asarray(spec)
+    frames = spec_np.shape[0]
+    times = (np.arange(frames) * hop_length + frame_length / 2) / float(sample_rate)
+    return {
+        "x": times,
+        "y": freqs,
+        "data": spec_np[:, None, :],
+        "label": label or ("Mel spectrogram" if n_mels else "STFT spectrogram"),
+        "y_label": "Frequency (Hz)",
+        "z_label": "Power",
+    }

@@ -1,0 +1,37 @@
+"""Device-mesh construction helpers."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    axis_names: tuple[str, ...] = ("data",),
+    axis_sizes: tuple[int, ...] | None = None,
+) -> Mesh:
+    """Build a mesh over the first ``n_devices`` devices.
+
+    ``axis_sizes`` defaults to putting every device on the first axis.  On
+    a single chip this degenerates to a 1-device mesh, so the same sharded
+    code path runs everywhere (tests use the virtual 8-device CPU backend,
+    ``XLA_FLAGS=--xla_force_host_platform_device_count=8``).
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(f"requested {n_devices} devices but only {len(devices)} available")
+    devices = devices[:n_devices]
+    if axis_sizes is None:
+        axis_sizes = (n_devices,) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(axis_sizes)) != n_devices:
+        raise ValueError(f"axis sizes {axis_sizes} do not multiply to {n_devices}")
+    return Mesh(np.asarray(devices).reshape(axis_sizes), axis_names)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    """Smallest multiple of *m* that is >= *n* (and >= m)."""
+    return max(m, ((n + m - 1) // m) * m)

@@ -37,7 +37,7 @@ from configurable_spectrograms_tpu.render.text import (
     pt_to_px,
     text_size,
 )
-from configurable_spectrograms_tpu.render.tile import TimeWindow, make_x_map
+from configurable_spectrograms_tpu.render.tile import TimeWindow, make_x_map, resample_indices
 
 TICK_LABEL_PT = 15.0
 AXIS_LABEL_PT = 18.0
@@ -184,41 +184,49 @@ class SpectroFigure:
 
 
 @functools.lru_cache(maxsize=None)
-def _batched_render_fn(spec_key):
-    """Build (and cache) the jitted collapse+render program for a RenderSpec."""
+def _batched_quantize_fn(spec_key):
+    """Build (and cache) the jitted collapse+quantize program for a scale combo.
+
+    Cubes are passed once (deduplicated) and gathered per panel lane, so a
+    pitch-angle grid's eight panels upload one cube, not eight.  Geometry
+    is absent from the key: the device ships quantized (T, E) index
+    matrices, and the host resamples to any pixel size.
+    """
     import jax
 
-    from configurable_spectrograms_tpu.ops.spectrogram import RenderSpec, collapse_cube, render_matrix
+    from configurable_spectrograms_tpu.ops.spectrogram import (
+        RenderSpec,
+        collapse_cube,
+        quantize_matrix,
+    )
 
-    spec = RenderSpec(*spec_key)
+    y_scale, z_scale, lo_pct, hi_pct = spec_key
+    spec = RenderSpec(8, 8, y_scale, z_scale, lo_pct, hi_pct)
 
-    def one(cube, pm, tv, en, ev, ts, tc, xm, zb, lut, zbev, zbft, oh, ow):
-        m = collapse_cube(cube, pm, tv)
-        return render_matrix(
-            m, en, ev, tv, ts, tc, xm, zb, lut, spec,
-            zb_e_valid=zbev, zb_full_time=zbft, out_h=oh, out_w=ow,
-        )
+    def one(u, pm, tv, en, ev, ts, tc, zb, zbev, zbft, cubes):
+        m = collapse_cube(cubes[u], pm, tv)
+        return quantize_matrix(m, en, ev, tv, ts, tc, zb, spec, zb_e_valid=zbev, zb_full_time=zbft)
 
-    return jax.jit(jax.vmap(one))
+    return jax.jit(jax.vmap(one, in_axes=(0,) * 10 + (None,)))
 
 
 def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> list[dict]:
-    """Rasterize many panels in few device dispatches.
+    """Rasterize many panels with minimal device dispatches and readback.
 
-    Panels are grouped into (T, A, E, scale-combo) padding buckets; each
-    bucket is one vmapped TPU call.  Returns host-side dicts (rgba uint8 +
-    scalars) in input order.  Shared across single-figure rendering and the
-    batch engine, so one compiled program serves every orbit whose shapes
-    land in the same bucket.
+    Panels group into (T, A, E, scale-combo) padding buckets; each bucket
+    is one vmapped TPU call that collapses + quantizes every panel's
+    matrix.  Only the small uint8 index matrices and scalar metadata come
+    back over the wire; the host pixel-replicates and LUT-colors them
+    (:func:`..render.tile.resample_indices`), which profiling showed beats
+    shipping RGBA tiles by ~300x in device->host bytes.  Duplicate cubes
+    (the pitch grid's full/zoom pairs and four categories share one file)
+    upload once per bucket.  Returns dicts in input order with keys
+    ``rgba``, ``vmin``, ``vmax``, ``y0``, ``y1``, ``n_kept``, ``empty``.
     """
     from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
 
     if not panels:
         return []
-    # Tile sizes are padded to buckets too, with the true size dynamic, so
-    # one compiled program serves every figure geometry in a bucket.
-    tile_hp = _bucket(tile_h, 128, 128)
-    tile_wp = _bucket(tile_w, 256, 256)
     groups: dict[tuple, list[int]] = {}
     for i, p in enumerate(panels):
         T, A, E = p.cube.shape
@@ -234,38 +242,47 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
         groups.setdefault(key, []).append(i)
 
     results: list[dict | None] = [None] * len(panels)
-    oh = np.full((1,), tile_h, np.int32)
-    ow = np.full((1,), tile_w, np.int32)
     for (Tp, Ap, Ep, y_scale, z_scale, lo_pct, hi_pct), idxs in groups.items():
         n = len(idxs)
-        cubes = np.full((n, Tp, Ap, Ep), np.nan, np.float32)
+        # Deduplicate cube uploads within the bucket.
+        cube_slot: dict[int, int] = {}
+        unique_cubes: list[np.ndarray] = []
+        u_idx = np.zeros((n,), np.int32)
+        for j, i in enumerate(idxs):
+            c = panels[i].cube
+            slot = cube_slot.get(id(c))
+            if slot is None:
+                slot = len(unique_cubes)
+                cube_slot[id(c)] = slot
+                unique_cubes.append(c)
+            u_idx[j] = slot
+        cubes = np.full((len(unique_cubes), Tp, Ap, Ep), np.nan, np.float32)
+        for s, c in enumerate(unique_cubes):
+            T, A, E = c.shape
+            cubes[s, :T, :A, :E] = c
+
         masks = np.zeros((n, Ap), bool)
         energies = np.zeros((n, Ep), np.float32)
         e_valids = np.zeros((n, Ep), bool)
         t_valids = np.zeros((n,), np.int32)
         t_starts = np.zeros((n,), np.int32)
         t_counts = np.zeros((n,), np.int32)
-        x_maps = np.zeros((n, 2), np.float32)
         z_bounds = np.zeros((n, 2), np.float32)
-        luts = np.zeros((n, 256, 4), np.uint8)
         zb_e_valids = np.zeros((n, Ep), bool)
         zb_full = np.zeros((n,), bool)
         for j, i in enumerate(idxs):
             p = panels[i]
             T, A, E = p.cube.shape
-            cubes[j, :T, :A, :E] = p.cube
             masks[j, :A] = p.pitch_mask
             energies[j, :E] = p.energy
             e_valids[j, :E] = (p.energy >= p.y_min) & (p.energy <= p.y_max)
             t_valids[j] = T
             t_starts[j] = p.window.t_start
             t_counts[j] = p.window.t_count
-            x_maps[j] = make_x_map(p.window, tile_w)
             z_bounds[j] = (
                 np.nan if p.z_min is None else p.z_min,
                 np.nan if p.z_max is None else p.z_max,
             )
-            luts[j] = colormap_lut(p.colormap)
             if p.bounds_energy_range is not None:
                 b_lo, b_hi = p.bounds_energy_range
                 zb_e_valids[j, :E] = (p.energy >= b_lo) & (p.energy <= b_hi)
@@ -273,19 +290,42 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
             else:
                 zb_e_valids[j, :E] = e_valids[j, :E]
                 zb_full[j] = False
-        fn = _batched_render_fn((tile_hp, tile_wp, y_scale, z_scale, lo_pct, hi_pct))
+
+        fn = _batched_quantize_fn((y_scale, z_scale, lo_pct, hi_pct))
         out = fn(
-            cubes, masks, t_valids, energies, e_valids, t_starts, t_counts, x_maps, z_bounds, luts,
-            zb_e_valids, zb_full,
-            np.broadcast_to(oh, (n,)), np.broadcast_to(ow, (n,)),
+            u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
+            zb_e_valids, zb_full, cubes,
         )
         out = {k: np.asarray(v) for k, v in out.items()}
+
         for j, i in enumerate(idxs):
-            r = {k: out[k][j] for k in out}
-            # Crop the padded tile to the true size (valid region sits at the
-            # bottom rows after the device's vertical flip).
-            r["rgba"] = r["rgba"][tile_hp - tile_h :, :tile_w]
-            results[i] = r
+            p = panels[i]
+            rgba = resample_indices(
+                out["idx"][j],
+                out["kept_pos"][j],
+                int(out["n_kept"][j]),
+                bool(out["flip"][j]),
+                float(out["y0"][j]),
+                float(out["y1"][j]),
+                int(t_starts[j]),
+                int(t_counts[j]),
+                make_x_map(p.window, tile_w),
+                tile_h,
+                tile_w,
+                y_scale,
+                colormap_lut(p.colormap),
+                bg_rgba=p.bg_rgba if hasattr(p, "bg_rgba") else (255, 255, 255, 255),
+                empty=bool(out["empty"][j]),
+            )
+            results[i] = {
+                "rgba": rgba,
+                "vmin": out["vmin"][j],
+                "vmax": out["vmax"][j],
+                "y0": out["y0"][j],
+                "y1": out["y1"][j],
+                "n_kept": out["n_kept"][j],
+                "empty": out["empty"][j],
+            }
     return results  # type: ignore[return-value]
 
 

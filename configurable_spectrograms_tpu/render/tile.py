@@ -60,6 +60,62 @@ def compute_time_window(
     return TimeWindow(t_start=lo, t_count=hi - lo, extent=extent, xlim=xlim)
 
 
+def resample_indices(
+    idx: np.ndarray,
+    kept_pos: np.ndarray,
+    n_kept: int,
+    flip: bool,
+    y0: float,
+    y1: float,
+    t_start: int,
+    t_count: int,
+    x_map: np.ndarray,
+    out_h: int,
+    out_w: int,
+    y_scale: str,
+    lut: np.ndarray,
+    bg_rgba: tuple[int, int, int, int] = (255, 255, 255, 255),
+    empty: bool = False,
+) -> np.ndarray:
+    """Pixel-replicate a quantized (T, E) index matrix to an RGBA tile.
+
+    The numpy mirror of the device resampling in
+    :func:`configurable_spectrograms_tpu.ops.spectrogram.render_matrix`
+    (same float32 arithmetic, so outputs are bit-identical); used on the
+    readback-light production path where the device ships only the small
+    index matrix.  Returns (out_h, out_w, 4) uint8 in PNG row order.
+    """
+    lut_ext = np.concatenate([np.asarray(lut, np.uint8), np.asarray([bg_rgba], np.uint8)], axis=0)
+    if empty or n_kept <= 0 or t_count <= 0:
+        return np.broadcast_to(lut_ext[256], (out_h, out_w, 4)).copy()
+    T, E = idx.shape
+    xm = np.asarray(x_map, np.float32)
+    px = np.arange(out_w, dtype=np.float32)
+    col_f = xm[0] * px + xm[1]
+    x_ok = (col_f >= 0.0) & (col_f <= np.float32(t_count))
+    col = np.clip(col_f.astype(np.int32), 0, max(t_count - 1, 0))
+    t_idx = np.clip(t_start + col, 0, T - 1)
+
+    py = ((np.arange(out_h, dtype=np.float32) + np.float32(0.5)) / np.float32(out_h)).astype(np.float32)
+    nk = np.float32(max(n_kept, 1))
+    if y_scale == "log":
+        ly0 = np.log10(np.maximum(np.float32(y0), np.float32(1e-37)))
+        ly1 = np.log10(np.maximum(np.float32(y1), np.float32(1e-37)))
+        y_data = np.power(np.float32(10.0), ly0 + py * (ly1 - ly0)).astype(np.float32)
+        denom = np.float32(1.0) if y1 == y0 else np.float32(y1) - np.float32(y0)
+        row_f = (y_data - np.float32(y0)) / denom * nk
+    else:
+        row_f = py * nk
+    row = np.clip(row_f.astype(np.int32), 0, max(n_kept - 1, 0))
+    row_eff = (n_kept - 1 - row) if flip else row
+    e_idx = np.asarray(kept_pos)[np.clip(row_eff, 0, E - 1)]
+
+    tile = lut_ext[idx[np.ix_(t_idx, e_idx)].astype(np.int32)]  # (out_w, out_h, 4)
+    tile = tile.transpose(1, 0, 2)  # (out_h, out_w, 4), origin lower
+    tile[:, ~x_ok] = lut_ext[256]
+    return tile[::-1, :, :]
+
+
 def make_x_map(window: TimeWindow, width: int) -> np.ndarray:
     """Affine map ``col_f = a*px + b`` from output pixel column to matrix row.
 

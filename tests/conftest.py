@@ -8,10 +8,17 @@ hardware separately via ``bench.py``.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: this environment's sitecustomize imports jax at
+# interpreter startup with JAX_PLATFORMS pointing at the real TPU plugin,
+# so plain env-var edits here are too late -- update jax config directly.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

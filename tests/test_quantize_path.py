@@ -1,0 +1,71 @@
+"""The light-readback path (quantize + host resample) must match render_matrix."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from configurable_spectrograms_tpu.ops import (  # noqa: E402
+    RenderSpec,
+    colormap_lut,
+    quantize_matrix,
+    render_matrix,
+)
+from configurable_spectrograms_tpu.render.tile import TimeWindow, make_x_map, resample_indices  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "y_scale,z_scale", [("linear", "linear"), ("linear", "log"), ("log", "linear"), ("log", "log")]
+)
+def test_host_resample_matches_device_render(rng, y_scale, z_scale):
+    T, E = 60, 20
+    H, W = 48, 100
+    matrix = (rng.random((T, E)) * 500).astype(np.float32)
+    matrix[:, 7] = np.nan
+    energy = np.geomspace(20000, 5, E).astype(np.float32)
+    e_valid = (energy >= 0) & (energy <= 4000)
+    window = TimeWindow(t_start=5, t_count=40, extent=(5.0, 44.0), xlim=(0.0, 50.0))
+    x_map = make_x_map(window, W)
+    z_bounds = np.array([np.nan, np.nan], np.float32)
+    spec = RenderSpec(height=H, width=W, y_scale=y_scale, z_scale=z_scale)
+    lut = colormap_lut("plasma")
+
+    common = (
+        jnp.asarray(matrix),
+        jnp.asarray(energy),
+        jnp.asarray(e_valid),
+        jnp.int32(T),
+        jnp.int32(window.t_start),
+        jnp.int32(window.t_count),
+    )
+    device = render_matrix(*common, jnp.asarray(x_map), jnp.asarray(z_bounds), jnp.asarray(lut), spec)
+    q = quantize_matrix(*common, jnp.asarray(z_bounds), spec)
+    host_rgba = resample_indices(
+        np.asarray(q["idx"]),
+        np.asarray(q["kept_pos"]),
+        int(q["n_kept"]),
+        bool(q["flip"]),
+        float(q["y0"]),
+        float(q["y1"]),
+        window.t_start,
+        window.t_count,
+        x_map,
+        H,
+        W,
+        y_scale,
+        lut,
+        empty=bool(q["empty"]),
+    )
+    np.testing.assert_array_equal(host_rgba, np.asarray(device["rgba"]))
+    np.testing.assert_allclose(float(q["vmin"]), float(device["vmin"]), rtol=1e-6)
+    np.testing.assert_allclose(float(q["vmax"]), float(device["vmax"]), rtol=1e-6)
+
+
+def test_host_resample_empty():
+    lut = colormap_lut("viridis")
+    tile = resample_indices(
+        np.zeros((4, 4), np.uint8), np.arange(4), 0, False, 0.0, 1.0, 0, 0,
+        np.array([1.0, 0.0], np.float32), 8, 8, "linear", lut, empty=True,
+    )
+    assert np.all(tile == 255)

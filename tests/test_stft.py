@@ -1,0 +1,114 @@
+"""Tests for the audio STFT/mel front-end."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from configurable_spectrograms_tpu.ops.stft import (  # noqa: E402
+    audio_spectrogram_dataset,
+    frame_signal,
+    hann_window,
+    hz_to_mel,
+    mel_filterbank,
+    mel_spectrogram,
+    mel_to_hz,
+    stft_magnitude,
+)
+
+
+def test_frame_signal():
+    x = np.arange(10, dtype=np.float32)
+    frames = np.asarray(frame_signal(x, 4, 2))
+    assert frames.shape == (4, 4)
+    np.testing.assert_array_equal(frames[0], [0, 1, 2, 3])
+    np.testing.assert_array_equal(frames[1], [2, 3, 4, 5])
+
+
+def test_stft_pure_tone_peak():
+    rate, n = 8000, 8000
+    freq = 1000.0
+    t = np.arange(n) / rate
+    sig = np.sin(2 * np.pi * freq * t).astype(np.float32)
+    mag = np.asarray(stft_magnitude(sig, frame_length=512, hop_length=128, power=2.0))
+    assert mag.shape[1] == 257
+    peak_bin = mag.mean(axis=0).argmax()
+    peak_freq = peak_bin * rate / 512
+    assert abs(peak_freq - freq) < rate / 512  # within one bin
+
+
+def test_stft_matches_numpy():
+    rng = np.random.default_rng(3)
+    sig = rng.normal(size=2048).astype(np.float32)
+    L, H = 256, 64
+    got = np.asarray(stft_magnitude(sig, L, H, power=1.0))
+    w = hann_window(L)
+    for f in [0, 5, got.shape[0] - 1]:
+        seg = sig[f * H : f * H + L] * w
+        ref = np.abs(np.fft.rfft(seg))
+        np.testing.assert_allclose(got[f], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_mel_scale_roundtrip():
+    f = np.array([0.0, 440.0, 8000.0])
+    np.testing.assert_allclose(mel_to_hz(hz_to_mel(f)), f, rtol=1e-9)
+
+
+def test_mel_filterbank_shapes_and_coverage():
+    w, centers = mel_filterbank(40, 512, 16000.0)
+    assert w.shape == (257, 40)
+    assert centers.shape == (40,)
+    assert np.all(np.diff(centers) > 0)
+    assert w.sum() > 0 and np.all(w >= 0)
+
+
+def test_mel_spectrogram_shape_and_energy():
+    rate = 16000
+    t = np.arange(rate) / rate
+    sig = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    mel = np.asarray(mel_spectrogram(sig, rate, frame_length=512, hop_length=256, n_mels=40))
+    assert mel.shape[1] == 40
+    _, centers = mel_filterbank(40, 512, rate)
+    peak_center = centers[mel.mean(axis=0).argmax()]
+    assert 300 < peak_center < 650  # band containing 440 Hz
+
+
+def test_audio_dataset_renders(tmp_path):
+    from configurable_spectrograms_tpu.render.plotting import generic_plot_spectrogram_set
+
+    rate = 8000
+    t = np.arange(rate // 2) / rate
+    sig = np.sin(2 * np.pi * (500 + 1500 * t) * t).astype(np.float32)  # chirp
+    ds = audio_spectrogram_dataset(sig, rate, frame_length=256, hop_length=128)
+    assert ds["data"].shape[1] == 1  # singleton collapse axis
+    fig, _ = generic_plot_spectrogram_set(
+        [ds], x_is_unix=False, z_scale="log", colormap="magma",
+        y_min=float(ds["y"][0]), y_max=float(ds["y"][-1]),
+    )
+    assert fig is not None
+    out = tmp_path / "audio.png"
+    fig.savefig(str(out), dpi=50)
+    assert out.exists()
+
+
+def test_wav_cli_roundtrip(tmp_path):
+    import wave
+
+    import single_plot_audio_spectrogram as cli
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    sig = (np.sin(2 * np.pi * 660 * t) * 0.5 * 32767).astype(np.int16)
+    wav = str(tmp_path / "tone.wav")
+    with wave.open(wav, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(sig.tobytes())
+    loaded, r = cli.load_wav(wav)
+    assert r == rate and abs(loaded).max() <= 0.5 + 1e-3
+    out = str(tmp_path / "tone.png")
+    assert cli.render_audio_spectrogram(wav, out, n_mels=32)
+    from PIL import Image
+
+    assert Image.open(out).size[0] > 0
