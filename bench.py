@@ -50,7 +50,15 @@ def _build_archive(root: str) -> dict:
 
 
 def _bench_ours(archive: dict, out_dir: str) -> tuple[float, float]:
-    """Return (panels_per_sec, p50_figure_latency_sec)."""
+    """Return (panels_per_sec, p50_figure_latency_sec).
+
+    Throughput is measured through the production concurrency model (a
+    host thread pool feeding the one device, as the batch driver uses,
+    fast/batch_directory.py) -- CDF decode, device readback, and PNG encode
+    all release the GIL and overlap; p50 latency is measured single-stream.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     from configurable_spectrograms_tpu.data.cdf_utils import load_filtered_orbits
     from configurable_spectrograms_tpu.fast.plotting import FAST_plot_pitch_angle_grid
 
@@ -72,17 +80,26 @@ def _bench_ours(archive: dict, out_dir: str) -> tuple[float, float]:
             colormap="inferno",
         )
         fig.savefig(out_path, dpi=200)
-        return fig
 
     # Warmup: compile the render programs once.
     render_one(jobs[0][0], jobs[0][2], os.path.join(out_dir, "warmup.png"))
 
+    # Single-stream p50 figure latency.
     latencies = []
-    t0 = time.perf_counter()
-    for k, (orbit, inst, path) in enumerate(jobs):
+    for orbit, inst, path in jobs[:4]:
         f0 = time.perf_counter()
-        render_one(orbit, path, os.path.join(out_dir, f"{orbit}_{inst}.png"))
+        render_one(orbit, path, os.path.join(out_dir, f"lat_{orbit}_{inst}.png"))
         latencies.append(time.perf_counter() - f0)
+
+    # Batch throughput with the driver's thread-pool model.
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            pool.submit(render_one, orbit, path, os.path.join(out_dir, f"{orbit}_{inst}.png"))
+            for orbit, inst, path in jobs
+        ]
+        for f in futs:
+            f.result()
     elapsed = time.perf_counter() - t0
     panels = len(jobs) * PANELS_PER_FIGURE
     return panels / elapsed, float(np.percentile(latencies, 50))

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from typing import Any
@@ -152,8 +153,18 @@ class SpectroFigure:
 
     # -- rendering -----------------------------------------------------------
 
-    def savefig(self, path: str, dpi: float | None = None) -> None:
-        self.render(dpi=dpi).save(path)
+    def savefig(self, path: str, dpi: float | None = None, compress_level: int = 3) -> None:
+        """Render and write a PNG.
+
+        ``compress_level`` trades PNG size for encode speed (PIL's default
+        is 6; level 3 encodes ~2x faster within a few percent of the size,
+        which matters when the figure is a 4800x2400 batch product).
+        """
+        img = self.render(dpi=dpi)
+        if path.lower().endswith((".png", ".PNG")) or "." not in os.path.basename(path):
+            img.save(path, format="PNG", compress_level=compress_level)
+        else:
+            img.save(path)
 
     def render(self, dpi: float | None = None) -> Image.Image:
         dpi = float(dpi or self.dpi)
@@ -292,10 +303,16 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
                 zb_full[j] = False
 
         fn = _batched_quantize_fn((y_scale, z_scale, lo_pct, hi_pct))
+        import jax
+
         out = fn(
             u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
             zb_e_valids, zb_full, cubes,
         )
+        # device_get issues all copies asynchronously before waiting, so the
+        # per-transfer round-trip latency of this host<->device link is paid
+        # once, not once per output buffer.
+        out = jax.device_get(out)
         out = {k: np.asarray(v) for k, v in out.items()}
 
         for j, i in enumerate(idxs):
