@@ -302,12 +302,22 @@ def _analyze_matrix(
         zb_rows = jnp.where(jnp.asarray(zb_full_time), in_file, in_window)
         zb_sel = zb_rows[:, None] & ((~col_all_nan) & zb_e_valid)[None, :]
     zmin_arg, zmax_arg = z_bounds[0], z_bounds[1]
-    vmin = jnp.where(
-        jnp.isnan(zmin_arg), masked_nanpercentile(matrix, zb_sel, spec.low_percentile), zmin_arg
-    ).astype(jnp.float32)
-    vmax = jnp.where(
-        jnp.isnan(zmax_arg), masked_nanpercentile(matrix, zb_sel, spec.high_percentile), zmax_arg
-    ).astype(jnp.float32)
+    # One shared sort answers both percentile bounds.
+    flat = jnp.ravel(matrix)
+    ok = jnp.ravel(zb_sel) & ~jnp.isnan(flat)
+    n_ok = jnp.sum(ok)
+    sorted_vals = jnp.sort(jnp.where(ok, flat, jnp.inf))
+
+    def _pct(q):
+        pos = jnp.float32(q) / 100.0 * jnp.maximum(n_ok - 1, 0).astype(jnp.float32)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.ceil(pos).astype(jnp.int32)
+        frac = pos - lo.astype(jnp.float32)
+        v = jnp.where(frac == 0, sorted_vals[lo], sorted_vals[lo] * (1.0 - frac) + sorted_vals[hi] * frac)
+        return jnp.where(n_ok > 0, v, jnp.nan)
+
+    vmin = jnp.where(jnp.isnan(zmin_arg), _pct(spec.low_percentile), zmin_arg).astype(jnp.float32)
+    vmax = jnp.where(jnp.isnan(zmax_arg), _pct(spec.high_percentile), zmax_arg).astype(jnp.float32)
 
     finite_positive = jnp.isfinite(matrix) & (matrix > 0) & sel
     safe_vmin = jnp.where(

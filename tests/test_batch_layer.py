@@ -1,0 +1,149 @@
+"""Tests for run_batch, generic_batch_plot, and the (mocked) downloader."""
+
+import datetime as dt
+import functools
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+
+from configurable_spectrograms_tpu.batch_runner import run_batch
+from configurable_spectrograms_tpu.data import download as dl
+from configurable_spectrograms_tpu.generic_batch import generic_batch_plot
+
+
+def test_run_batch_statuses_and_resume(tmp_path):
+    progress = str(tmp_path / "p.json")
+
+    def worker(item):
+        if item == "bad":
+            return (item, "error")
+        if item == "empty":
+            return (item, "no_data")
+        return (item, "ok")
+
+    factory = functools.partial(ThreadPoolExecutor, max_workers=2)
+    results = run_batch(
+        ["a", "bad", "empty", "b"], worker, factory,
+        progress_json_path=progress, flush_batch_size=1, install_signal_handlers=False,
+    )
+    statuses = dict(results)
+    assert statuses == {"a": "ok", "bad": "error", "empty": "no_data", "b": "ok"}
+    state = json.loads(open(progress).read())
+    assert sorted(state["completed_items"]) == ["'a'", "'b'"]
+    assert state["errors"] == ["'bad'"]
+    assert state["no_data"] == ["'empty'"]
+
+    # Resume: completed items are skipped; errors/no_data are retried.
+    calls = []
+
+    def worker2(item):
+        calls.append(item)
+        return (item, "ok")
+
+    run_batch(["a", "bad", "empty", "b"], worker2, factory,
+              progress_json_path=progress, flush_batch_size=1, install_signal_handlers=False)
+    assert sorted(calls) == ["bad", "empty"]
+
+
+def test_run_batch_worker_exception(tmp_path):
+    def worker(item):
+        raise RuntimeError("boom")
+
+    results = run_batch(
+        [1], worker, functools.partial(ThreadPoolExecutor, max_workers=1),
+        progress_json_path=None, install_signal_handlers=False,
+    )
+    assert results == [(1, "error")]
+
+
+def test_generic_batch_plot(tmp_path, rng):
+    from configurable_spectrograms_tpu.data.synthetic import synth_instrument_arrays
+
+    arrays = synth_instrument_arrays(rng, n_time=60, n_angle=8, n_energy=16)
+
+    def build(item):
+        if item == "nodata":
+            return []
+        return [{
+            "x": arrays["time_unix"],
+            "y": arrays["energy"][0, 0, :],
+            "data": arrays["data"],
+            "label": str(item),
+        }]
+
+    out = str(tmp_path / "plots")
+    results = generic_batch_plot(
+        ["one", "nodata", "two"], out, build,
+        max_workers=2, progress_json_path=str(tmp_path / "gp.json"),
+        flush_batch_size=1, install_signal_handlers=False,
+    )
+    statuses = dict(results)
+    assert statuses == {"one": "ok", "nodata": "no_data", "two": "ok"}
+    assert os.path.exists(os.path.join(out, "one", "generic.png"))
+    assert os.path.exists(os.path.join(out, "two", "generic.png"))
+    assert not os.path.exists(os.path.join(out, "nodata"))
+
+
+def test_download_single_day_mocked(tmp_path, monkeypatch):
+    listings = {
+        "ees": ["fa_esa_l2_ees_20000101010203_100_v02.cdf", "fa_esa_l2_ees_20000102010203_101_v02.cdf"],
+        "ieb": ["fa_esa_l2_ieb_20000101010203_100_v02.cdf"],
+    }
+    downloaded = []
+
+    monkeypatch.setattr(dl, "_list_instrument_page_files", lambda page: listings[page.split("/")[-3]])
+    monkeypatch.setattr(
+        dl, "_download_single_cdf_file",
+        lambda link, out: (downloaded.append(link), open(out, "wb").write(b"x"))[0],
+    )
+    res = dl.download_single_day_cdf(
+        dt.date(2000, 1, 1), instruments=["ees", "ieb"], data_folder=str(tmp_path / "d")
+    )
+    assert len(res["ees"]) == 1 and len(res["ieb"]) == 1  # only the Jan-1 files
+    assert all("20000101" in p for p in res["ees"] + res["ieb"])
+    assert len(downloaded) == 2
+    # Second call: files exist, nothing re-downloaded.
+    downloaded.clear()
+    res2 = dl.download_single_day_cdf(
+        dt.date(2000, 1, 1), instruments=["ees", "ieb"], data_folder=str(tmp_path / "d")
+    )
+    assert downloaded == [] and res2 == res
+
+
+def test_download_threaded_mocked(tmp_path, monkeypatch):
+    listings = ["fa_esa_l2_ees_20000101010203_100_v02.cdf"]
+    monkeypatch.setattr(dl, "_list_instrument_page_files", lambda page: list(listings))
+    written = []
+    monkeypatch.setattr(
+        dl, "_download_single_cdf_file",
+        lambda link, out: (written.append(out), open(out, "wb").write(b"x"))[0],
+    )
+    results = dl.download_cdf_files_threaded(
+        years=[2000], instruments={"ees"}, data_folder=str(tmp_path / "d"),
+        progress_json_path=str(tmp_path / "dl.json"),
+    )
+    assert len(results) == 12  # one file listed per month page
+    assert all(status == "ok" for _, status in results)
+    assert len(written) == 12
+
+
+def test_gui_action_runner():
+    import GUI_batch_download_plot_FAST as gui
+
+    runner = gui.ActionRunner(_child_ok, ())
+    runner.start()
+    assert runner.wait() == 0
+    runner2 = gui.ActionRunner(_child_fail, ())
+    runner2.start()
+    assert runner2.wait() != 0
+
+
+def _child_ok():
+    pass
+
+
+def _child_fail():
+    raise SystemExit(3)
