@@ -9,6 +9,7 @@ cdflib.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import numpy as np
@@ -160,6 +161,10 @@ def get_cdf_var_shapes(
     return shapes_by_variable
 
 
+_dataset_cache: dict[tuple, dict[str, np.ndarray]] = {}
+_DATASET_CACHE_MAX = 8
+
+
 def load_fast_cdf_dataset(
     cdf_path: str, variable_names: tuple[str, ...] = tuple(CDF_VARIABLE_NAMES)
 ) -> dict[str, np.ndarray]:
@@ -170,7 +175,21 @@ def load_fast_cdf_dataset(
     bin arrays, and ``data`` is transposed to ``(time, pitch_angle, energy)``
     when stored ``(time, energy, pitch_angle)`` so the result is ready to
     collapse along pitch angle (reference cdf_utils.py:222-256).
+
+    A small (path, mtime)-keyed cache holds the most recent files: the FAST
+    per-orbit worker reads each instrument file three times (timestamps,
+    given-extrema grid, raw grid; reference fast/process_orbit.py:148-253),
+    and returning the *same* contiguous arrays also lets the device batcher
+    recognize and upload a shared cube once.  Treat the returned arrays as
+    read-only.
     """
+    try:
+        mtime = os.path.getmtime(cdf_path)
+    except OSError:
+        mtime = None
+    key = (cdf_path, mtime, tuple(variable_names))
+    if mtime is not None and key in _dataset_cache:
+        return _dataset_cache[key]
     with CDF(cdf_path) as cdf_file:
         times = np.asarray(cdf_file.varget(variable_names[0]))
         data = np.asarray(cdf_file.varget(variable_names[1]))
@@ -180,4 +199,10 @@ def load_fast_cdf_dataset(
     pitch_angle = pitch_angle_full[0, :, 0] if pitch_angle_full.ndim == 3 else pitch_angle_full
     if data.shape[1] == len(energy) and data.shape[2] == len(pitch_angle):
         data = np.transpose(data, (0, 2, 1))
-    return {"times": times, "data": data, "energy": energy, "pitch_angle": pitch_angle}
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    result = {"times": times, "data": data, "energy": energy, "pitch_angle": pitch_angle}
+    if mtime is not None:
+        if len(_dataset_cache) >= _DATASET_CACHE_MAX:
+            _dataset_cache.pop(next(iter(_dataset_cache)))
+        _dataset_cache[key] = result
+    return result

@@ -64,25 +64,43 @@ def FAST_process_single_orbit(
     timeout_type = None
     timeout_instrument = None
 
-    def _save_figure(fig, out_path: str, desc: str) -> None:
-        if not override_plots and os.path.exists(out_path):
-            log_exception(f"[SKIP] Plot already exists, skipping: {out_path}", level="message")
-            close_all_axes_and_clear(fig)
+    def _save_figures(figs: list[tuple[object, str, str]]) -> None:
+        """Render and save a group of figures in one pooled device batch."""
+        from configurable_spectrograms_tpu.render.figure import render_figures
+
+        to_render = []
+        for fig, out_path, desc in figs:
+            if not override_plots and os.path.exists(out_path):
+                log_exception(f"[SKIP] Plot already exists, skipping: {out_path}", level="message")
+                close_all_axes_and_clear(fig)
+                continue
+            to_render.append((fig, out_path, desc))
+        if not to_render:
             return
         try:
-            log_exception(
-                f"[DEBUG] Saving {desc} plot: y_axis_scale={y_axis_scale}, "
-                f"z_axis_scale={z_axis_scale}, filename={out_path}",
-                level="message",
-            )
-            fig.savefig(out_path, dpi=FAST_SAVE_DPI)
-            log_exception(f"[SAVED] {out_path}", level="message")
+            images = render_figures([fig for fig, _, _ in to_render], dpi=FAST_SAVE_DPI)
         except Exception as exc:
-            log_exception(f"[FAIL] Saving figure {out_path}", exc, level="error")
+            log_exception("[FAIL] Rendering figure batch", exc, level="error")
             result["status"] = "error"
             result["errors"].append(str(exc))
-        finally:
-            close_all_axes_and_clear(fig)
+            for fig, _, _ in to_render:
+                close_all_axes_and_clear(fig)
+            return
+        for (fig, out_path, desc), image in zip(to_render, images):
+            try:
+                log_exception(
+                    f"[DEBUG] Saving {desc} plot: y_axis_scale={y_axis_scale}, "
+                    f"z_axis_scale={z_axis_scale}, filename={out_path}",
+                    level="message",
+                )
+                image.save(out_path, format="PNG", compress_level=3)
+                log_exception(f"[SAVED] {out_path}", level="message")
+            except Exception as exc:
+                log_exception(f"[FAIL] Saving figure {out_path}", exc, level="error")
+                result["status"] = "error"
+                result["errors"].append(str(exc))
+            finally:
+                close_all_axes_and_clear(fig)
 
     try:
         first_path = next(
@@ -113,6 +131,7 @@ def FAST_process_single_orbit(
                     global_extrema, inst_detected, y_axis_scale, z_axis_scale
                 )
 
+                pending: list[tuple[object, str, str]] = []
                 for variant, bounds in (
                     ("given_extrema", (y_min_ov, y_max_ov, z_min_ov, z_max_ov)),
                     ("raw", (None, None, None, None)),
@@ -138,11 +157,14 @@ def FAST_process_single_orbit(
                             f"{orbit_number}{cusp_tag}_pitch-angle_ESA_{inst_detected}"
                             f"_y-{y_axis_scale}_z-{z_axis_scale}_{variant}-{colormap}.png"
                         )
-                        _save_figure(
-                            fig,
-                            os.path.join(output_dir, fname),
-                            f"pitch-angle {inst_detected} ({variant.replace('_', ' ')})",
+                        pending.append(
+                            (
+                                fig,
+                                os.path.join(output_dir, fname),
+                                f"pitch-angle {inst_detected} ({variant.replace('_', ' ')})",
+                            )
                         )
+                _save_figures(pending)
 
             except Exception as exc:
                 err = f"[FAIL] Plotting Orbit {orbit_number} pitch angle grid for {inst_type}"
@@ -168,6 +190,7 @@ def FAST_process_single_orbit(
         if not timeout_triggered:
             grid_start = _time.time()
             try:
+                pending = []
                 for variant, extrema in (("given_extrema", global_extrema), ("raw", None)):
                     fig, _canvas = FAST_plot_instrument_grid(
                         instrument_file_paths,
@@ -188,7 +211,8 @@ def FAST_process_single_orbit(
                             f"{orbit_number}_instrument-grid_ESA_y-{y_axis_scale}_z-{z_axis_scale}"
                             f"_{variant}-{colormap}.png"
                         )
-                        _save_figure(fig, os.path.join(output_dir, fname), f"instrument-grid ({variant})")
+                        pending.append((fig, os.path.join(output_dir, fname), f"instrument-grid ({variant})"))
+                _save_figures(pending)
             except Exception as exc:
                 err = f"[FAIL] Plotting Orbit {orbit_number} instrument grid"
                 log_exception(err, exc, level="error")

@@ -167,14 +167,7 @@ class SpectroFigure:
             img.save(path)
 
     def render(self, dpi: float | None = None) -> Image.Image:
-        dpi = float(dpi or self.dpi)
-        layout = _Layout(self, dpi)
-        panels = [ax.panel for ax in self.axes if ax.panel is not None]
-        results = device_render_panels(panels, layout.tile_h, layout.tile_w)
-        it = iter(results)
-        for ax in self.axes:
-            ax.result = next(it) if ax.panel is not None else None
-        return layout.composite()
+        return render_figures([self], dpi=dpi)[0]
 
     def clear(self) -> None:
         self.axes.clear()
@@ -187,6 +180,30 @@ class SpectroFigure:
     def delaxes(self, ax: Axes) -> None:
         if ax in self.axes:
             self.axes.remove(ax)
+
+
+def render_figures(figures: list["SpectroFigure"], dpi: float | None = None) -> list[Image.Image]:
+    """Render many figures with their panels pooled into shared dispatches.
+
+    Panels from every figure group by tile geometry, so e.g. an orbit's
+    eight pitch-angle grids plus two instrument grids rasterize in a couple
+    of device calls instead of ten -- the device fan-out the reference got
+    from its process pool (reference fast/batch_directory.py:337), obtained
+    here by widening the batch instead.
+    """
+    layouts = [_Layout(fig, float(dpi or fig.dpi)) for fig in figures]
+    by_tile: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for f_i, (fig, layout) in enumerate(zip(figures, layouts)):
+        for a_i, ax in enumerate(fig.axes):
+            ax.result = None
+            if ax.panel is not None:
+                by_tile.setdefault((layout.tile_h, layout.tile_w), []).append((f_i, a_i))
+    for (tile_h, tile_w), slots in by_tile.items():
+        panels = [figures[f_i].axes[a_i].panel for f_i, a_i in slots]
+        results = device_render_panels(panels, tile_h, tile_w)
+        for (f_i, a_i), res in zip(slots, results):
+            figures[f_i].axes[a_i].result = res
+    return [layout.composite() for layout in layouts]
 
 
 # ---------------------------------------------------------------------------
@@ -211,12 +228,34 @@ def _batched_quantize_fn(spec_key):
         quantize_matrix,
     )
 
+    import jax.numpy as jnp
+
     y_scale, z_scale, lo_pct, hi_pct = spec_key
     spec = RenderSpec(8, 8, y_scale, z_scale, lo_pct, hi_pct)
 
     def one(u, pm, tv, en, ev, ts, tc, zb, zbev, zbft, cubes):
         m = collapse_cube(cubes[u], pm, tv)
-        return quantize_matrix(m, en, ev, tv, ts, tc, zb, spec, zb_e_valid=zbev, zb_full_time=zbft)
+        q = quantize_matrix(m, en, ev, tv, ts, tc, zb, spec, zb_e_valid=zbev, zb_full_time=zbft)
+        # Pack everything except the index matrix into one float32 vector so
+        # the host readback is two buffers (idx + meta), not nine -- the
+        # slow host<->device link here charges latency per buffer.
+        meta = jnp.concatenate(
+            [
+                jnp.stack(
+                    [
+                        q["n_kept"].astype(jnp.float32),
+                        q["flip"].astype(jnp.float32),
+                        q["y0"],
+                        q["y1"],
+                        q["vmin"],
+                        q["vmax"],
+                        q["empty"].astype(jnp.float32),
+                    ]
+                ),
+                q["kept_pos"].astype(jnp.float32),
+            ]
+        )
+        return q["idx"], meta
 
     return jax.jit(jax.vmap(one, in_axes=(0,) * 10 + (None,)))
 
@@ -305,25 +344,25 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
         fn = _batched_quantize_fn((y_scale, z_scale, lo_pct, hi_pct))
         import jax
 
-        out = fn(
+        idx_dev, meta_dev = fn(
             u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
             zb_e_valids, zb_full, cubes,
         )
-        # device_get issues all copies asynchronously before waiting, so the
-        # per-transfer round-trip latency of this host<->device link is paid
-        # once, not once per output buffer.
-        out = jax.device_get(out)
-        out = {k: np.asarray(v) for k, v in out.items()}
+        idx_host, meta_host = jax.device_get((idx_dev, meta_dev))
+        idx_host = np.asarray(idx_host)
+        meta_host = np.asarray(meta_host)
 
         for j, i in enumerate(idxs):
             p = panels[i]
+            n_kept_j, flip_j, y0_j, y1_j, vmin_j, vmax_j, empty_j = meta_host[j, :7]
+            kept_pos_j = meta_host[j, 7:].astype(np.int32)
             rgba = resample_indices(
-                out["idx"][j],
-                out["kept_pos"][j],
-                int(out["n_kept"][j]),
-                bool(out["flip"][j]),
-                float(out["y0"][j]),
-                float(out["y1"][j]),
+                idx_host[j],
+                kept_pos_j,
+                int(n_kept_j),
+                bool(flip_j),
+                float(y0_j),
+                float(y1_j),
                 int(t_starts[j]),
                 int(t_counts[j]),
                 make_x_map(p.window, tile_w),
@@ -331,17 +370,16 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
                 tile_w,
                 y_scale,
                 colormap_lut(p.colormap),
-                bg_rgba=p.bg_rgba if hasattr(p, "bg_rgba") else (255, 255, 255, 255),
-                empty=bool(out["empty"][j]),
+                empty=bool(empty_j),
             )
             results[i] = {
                 "rgba": rgba,
-                "vmin": out["vmin"][j],
-                "vmax": out["vmax"][j],
-                "y0": out["y0"][j],
-                "y1": out["y1"][j],
-                "n_kept": out["n_kept"][j],
-                "empty": out["empty"][j],
+                "vmin": float(vmin_j),
+                "vmax": float(vmax_j),
+                "y0": float(y0_j),
+                "y1": float(y1_j),
+                "n_kept": int(n_kept_j),
+                "empty": bool(empty_j),
             }
     return results  # type: ignore[return-value]
 

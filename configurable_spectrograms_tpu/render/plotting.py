@@ -98,6 +98,13 @@ def make_spectrogram(
         raise ValueError(f"data_array_3d must be 3D, got shape {data_array.shape}")
     if collapse_axis != 1:
         data_array = np.moveaxis(data_array, collapse_axis, 1)
+    if x_axis.size > 1 and np.any(np.diff(x_axis) < 0):
+        # The reference's boolean-mask filters tolerate unsorted time; the
+        # contiguous-window fast path needs monotonic x, so sort rows once
+        # here (stable, so duplicate timestamps keep file order).
+        order = np.argsort(x_axis, kind="stable")
+        x_axis = x_axis[order]
+        data_array = data_array[order]
 
     y_lo = 0 if y_axis_min is None else float(y_axis_min)
     y_hi = 4000 if y_axis_max is None else float(y_axis_max)

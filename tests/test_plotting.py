@@ -187,3 +187,28 @@ def test_locators():
     tt2, fmt2 = time_ticks(0.0, 3600.0)
     assert fmt2 == "%H:%M"
     assert all(b > a for a, b in zip(tt2, tt2[1:]))
+
+
+def test_unsorted_x_is_sorted(arrays):
+    """Unsorted time arrays are stably sorted with their data rows."""
+    t = arrays["t"].copy()
+    cube = arrays["cube"].copy()
+    perm = np.random.default_rng(0).permutation(len(t))
+    ax, x_plot = make_spectrogram(t[perm], arrays["energy"], cube[perm])
+    assert ax is not None
+    np.testing.assert_allclose(np.asarray(x_plot) * 86400.0, t)
+    np.testing.assert_allclose(ax.panel.cube, cube, rtol=1e-6)
+
+
+def test_stage_timer_and_trace():
+    from configurable_spectrograms_tpu.utils.timing import StageTimer, device_trace
+
+    timer = StageTimer("unit")
+    with timer.stage("a"):
+        pass
+    with timer.stage("a"):
+        pass
+    assert timer.counts["a"] == 2
+    timer.log_summary()
+    with device_trace(None):
+        pass
