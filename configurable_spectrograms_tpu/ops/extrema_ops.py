@@ -33,6 +33,21 @@ LOG_LO = -12.0
 LOG_HI = 12.0
 
 
+def sorted_bincount(bins: jax.Array, n_bins: int) -> jax.Array:
+    """Histogram of integer *bins* via sort + vectorized binary search.
+
+    TPU-friendly: a scatter-add (``.at[].add``) histogram compiles to an
+    enormous serialized loop on TPU (observed ~9 min compile for ~50k
+    updates); sort + ``searchsorted`` over the bin edges compiles in
+    seconds and runs memory-bound.  Entries >= ``n_bins`` fall off the end
+    (use as the invalid/overflow slot).
+    """
+    s = jnp.sort(jnp.ravel(bins))
+    edges = jax.lax.broadcasted_iota(jnp.int32, (n_bins + 1, 1), 0)[:, 0]
+    starts = jnp.searchsorted(s, edges, side="left")
+    return (starts[1:] - starts[:-1]).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def file_extrema_stats(cube: jax.Array, t_valid: jax.Array) -> dict[str, jax.Array]:
     """Reduce one (T, A, E) cube to extrema summaries.
@@ -48,9 +63,8 @@ def file_extrema_stats(cube: jax.Array, t_valid: jax.Array) -> dict[str, jax.Arr
     logv = jnp.log10(jnp.where(fp, collapsed, 1.0))
     bin_f = (logv - LOG_LO) / (LOG_HI - LOG_LO) * HIST_BINS
     bins = jnp.clip(bin_f.astype(jnp.int32), 0, HIST_BINS - 1)
-    flat_bins = jnp.ravel(jnp.where(fp, bins, HIST_BINS))  # invalid -> overflow slot
-    hist = jnp.zeros((HIST_BINS + 1,), jnp.int32).at[flat_bins].add(1)
-    return {"counts": counts, "hist": hist[:HIST_BINS]}
+    flat_bins = jnp.where(jnp.ravel(fp), jnp.ravel(bins), HIST_BINS)  # invalid -> overflow
+    return {"counts": counts, "hist": sorted_bincount(flat_bins, HIST_BINS)}
 
 
 _batched_stats = jax.jit(jax.vmap(file_extrema_stats))

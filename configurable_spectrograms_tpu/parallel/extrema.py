@@ -33,7 +33,7 @@ def shard_map(f=None, **kwargs):
     kwargs[_CHECK_KW] = kwargs.pop("check", False)
     return _shard_map(f, **kwargs) if f is not None else _shard_map(**kwargs)
 
-from configurable_spectrograms_tpu.ops.extrema_ops import HIST_BINS, LOG_HI, LOG_LO
+from configurable_spectrograms_tpu.ops.extrema_ops import HIST_BINS, LOG_HI, LOG_LO, sorted_bincount
 
 
 def _shard_stats(cubes: jax.Array, t_valids: jax.Array, t_offset: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -52,7 +52,7 @@ def _shard_stats(cubes: jax.Array, t_valids: jax.Array, t_offset: jax.Array) -> 
     logv = jnp.log10(jnp.where(fp, collapsed, 1.0))
     bins = jnp.clip(((logv - LOG_LO) / (LOG_HI - LOG_LO) * HIST_BINS).astype(jnp.int32), 0, HIST_BINS - 1)
     flat = jnp.ravel(jnp.where(fp, bins, HIST_BINS))
-    hist = jnp.zeros((HIST_BINS + 1,), jnp.int32).at[flat].add(1)[:HIST_BINS]
+    hist = sorted_bincount(flat, HIST_BINS)
     return counts, hist
 
 

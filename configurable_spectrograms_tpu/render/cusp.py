@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from PIL import ImageDraw
 
-from configurable_spectrograms_tpu.render.text import draw_text, get_font, pt_to_px
+from configurable_spectrograms_tpu.render.text import draw_text, pt_to_px
 
 CUSP_MARKER_STYLES = ("line", "bracket", "both")
 

@@ -473,7 +473,9 @@ class _Layout:
             drew_tile = True
         draw.rectangle([x0, y0, x1, y1], outline="black", width=max(1, round(self.dpi / 100)))
 
-        if p is None or r is None:
+        if p is None or r is None or not drew_tile:
+            # No data drawn (or device-side empty): frame + title only --
+            # the y extent / color bounds in ``r`` are meaningless here.
             if ax.title:
                 draw_text(draw, ((x0 + x1) / 2, y0 - self.label_px - 2), ax.title,
                           pt_to_px(ax.title_fontsize_pt, self.dpi), anchor="ma")
@@ -527,7 +529,6 @@ class _Layout:
 
     def _y_to_px(self, value: float, rect, p: PanelData, r: dict) -> float | None:
         y0v, y1v = float(r["y0"]), float(r["y1"])
-        _, top, _, bottom = rect[1], rect[1], rect[2], rect[3]
         if p.y_scale == "log":
             if value <= 0 or y0v <= 0 or y1v <= 0 or y1v == y0v:
                 return None
