@@ -35,3 +35,28 @@ def make_mesh(
 def pad_to_multiple(n: int, m: int) -> int:
     """Smallest multiple of *m* that is >= *n* (and >= m)."""
     return max(m, ((n + m - 1) // m) * m)
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize multi-host JAX (DCN) before building meshes.
+
+    Thin wrapper over ``jax.distributed.initialize`` so multi-host batch
+    runs (every host feeding its local chips, extrema psums riding
+    ICI within a slice and DCN across hosts) need one call; arguments are
+    auto-detected from the cluster environment when omitted.  Single-host
+    runs never need this.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)

@@ -147,3 +147,47 @@ def _child_ok():
 
 def _child_fail():
     raise SystemExit(3)
+
+
+def test_fast_batch_config_runs(tmp_path, monkeypatch, rng):
+    """The typed config front door drives the same batch driver."""
+    from configurable_spectrograms_tpu.data.synthetic import synth_fast_archive
+    from configurable_spectrograms_tpu.utils.config import FastBatchConfig, ScaleCombo
+
+    monkeypatch.chdir(tmp_path)
+    synth_fast_archive(str(tmp_path / "data"), [77], n_time=48, n_angle=8, n_energy=16)
+    cfg = FastBatchConfig(
+        directory_path=str(tmp_path / "data"),
+        output_base=str(tmp_path / "out"),
+        combos=(ScaleCombo("linear", "linear", "viridis"),),
+        progress_json_path=str(tmp_path / "p.json"),
+        max_processing_percentile=None,
+        orbit_timeout_seconds=600,
+        instrument_timeout_seconds=300,
+        use_tqdm=False,
+        retry_timeouts=False,
+        max_workers=1,
+        override_plots=True,
+    )
+    results = cfg.run()
+    assert [r["status"] for r in results] == ["ok"]
+    cfg2 = cfg.replace(combos=(ScaleCombo("log", "log", "inferno"),))
+    assert cfg2.combos[0].colormap == "inferno"
+    assert cfg.combos[0].colormap == "viridis"  # original untouched
+
+
+def test_ephemeris_files_excluded(tmp_path):
+    """Ephemeris (_orb_) files are excluded from discovery like the reference.
+
+    Note the exclusion matches anywhere in the *path* (reference
+    fast/orbit_discovery.py:160-162), so this test's own name must not
+    contain ``_orb_`` or pytest's tmp dir would trip it.
+    """
+    from configurable_spectrograms_tpu.data.orbit_discovery import discover_orbit_files
+
+    d = tmp_path / "data" / "2000" / "01"
+    d.mkdir(parents=True)
+    (d / "fa_k0_orb_555_v01.cdf").write_bytes(b"x")
+    (d / "fa_esa_l2_ees_20000101010101_555_v02.cdf").write_bytes(b"x")
+    mapping = discover_orbit_files(str(tmp_path / "data"))
+    assert mapping == {555: {"ees": str(d / "fa_esa_l2_ees_20000101010101_555_v02.cdf")}}
