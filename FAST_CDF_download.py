@@ -1,54 +1,39 @@
 #!/usr/bin/env python
-"""CLI to download one year of FAST ESA CDF files from CDA Web.
+"""Download one year of FAST ESA CDF files from CDA Web.
 
-Mirrors the reference's ``FAST_CDF_download.py`` flags
+Same flags as the reference's script of this name
 (reference FAST_CDF_download.py:38-85).
 """
 
 import argparse
-import sys
 
-from configurable_spectrograms_tpu.data.download import (
-    DEFAULT_FOLDER,
-    DEFAULT_INSTRUMENT_LIST,
-    DEFAULT_YEAR,
-    FAST_ESA_BASE_URL,
-    FAST_ESA_CDF_download,
-    INSTRUMENT_OPTIONS,
-)
+from configurable_spectrograms_tpu.cli import run_cli
+from configurable_spectrograms_tpu.data import download as dl
 
 
 def main() -> None:
     parser = argparse.ArgumentParser(description="Script to download FAST CDF files from CDA Web")
-    parser.add_argument("--base_url", help="base URL to get the files", default=FAST_ESA_BASE_URL)
+    parser.add_argument("--base_url", default=dl.FAST_ESA_BASE_URL, help="base URL to get the files")
     parser.add_argument(
         "--year",
-        help="year of data to download",
-        default=DEFAULT_YEAR,
-        choices=list(range(1996, 2009)),
         type=int,
+        default=dl.DEFAULT_YEAR,
+        choices=list(range(1996, 2009)),
+        help="year of data to download",
     )
-    parser.add_argument("--output_path", help="path to save the files", default=DEFAULT_FOLDER)
+    parser.add_argument("--output_path", default=dl.DEFAULT_FOLDER, help="path to save the files")
     parser.add_argument(
         "--instruments",
         nargs="+",
+        default=dl.DEFAULT_INSTRUMENT_LIST,
+        choices=list(dl.INSTRUMENT_OPTIONS),
         help="instruments to download",
-        default=DEFAULT_INSTRUMENT_LIST,
-        choices=list(INSTRUMENT_OPTIONS),
     )
-    args = parser.parse_args()
-
-    FAST_ESA_CDF_download(
-        base_url=args.base_url,
-        year=args.year,
-        data_folder=args.output_path,
-        instruments=args.instruments,
+    ns = parser.parse_args()
+    dl.FAST_ESA_CDF_download(
+        base_url=ns.base_url, year=ns.year, data_folder=ns.output_path, instruments=ns.instruments
     )
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except KeyboardInterrupt:
-        print("\n[INTERRUPT] Aborted by user.")
-        sys.exit(130)
+    run_cli(main)

@@ -1,15 +1,15 @@
 #!/usr/bin/env python
-"""Batch-plot every FAST orbit in a directory for all four y/z scale combos.
+"""Batch-plot every FAST orbit in a directory across all four scale combos.
 
-Mirrors the reference's ``batch_multi_plot_FAST_spectrograms.py``: public
-API re-exports plus a ``main`` that runs
-``FAST_plot_spectrograms_directory`` for each (y, z) scale combination with
-its matched colormap, ``max_processing_percentile=99``, and
-``override_plots=False`` (reference batch_multi_plot_FAST_spectrograms.py:58-112).
+Mirrors the reference's script of this name: the same public re-exports
+for compatibility imports, and a ``main`` that runs the batch driver per
+(y, z) scale combination with its matched colormap, a 99th-percentile
+extrema pre-pass, and existing plots skipped
+(reference batch_multi_plot_FAST_spectrograms.py:58-112).
 """
 
-import sys
-
+from configurable_spectrograms_tpu.cli import run_cli
+from configurable_spectrograms_tpu.data.orbit_discovery import extract_orbit_and_instrument
 from configurable_spectrograms_tpu.fast.batch_directory import FAST_plot_spectrograms_directory
 from configurable_spectrograms_tpu.fast.constants import (
     CDF_VARIABLES,
@@ -20,17 +20,23 @@ from configurable_spectrograms_tpu.fast.constants import (
     DEFAULT_INSTRUMENT_ORDER,
     FAST_CDF_DATA_FOLDER_PATH,
     FAST_FILTERED_ORBITS_CSV_PATH,
+    FAST_LOGFILE_DATETIME_MARKER_PATH,
+    FAST_LOGFILE_PREFIX,
     FAST_OUTPUT_BASE,
     FAST_PLOTTING_PROGRESS_JSON,
 )
 from configurable_spectrograms_tpu.fast.extrema import compute_global_extrema
-from configurable_spectrograms_tpu.data.orbit_discovery import extract_orbit_and_instrument
 from configurable_spectrograms_tpu.fast.plotting import (
     FAST_plot_instrument_grid,
     FAST_plot_pitch_angle_grid,
 )
 from configurable_spectrograms_tpu.fast.process_orbit import FAST_process_single_orbit
-from configurable_spectrograms_tpu.utils.logging import get_logfile_path, log_exception, set_logfile_path
+from configurable_spectrograms_tpu.utils.config import FastBatchConfig
+from configurable_spectrograms_tpu.utils.logging import (
+    get_logfile_path,
+    log_exception,
+    set_logfile_path,
+)
 from configurable_spectrograms_tpu.utils.percentiles import round_extrema
 
 __all__ = [
@@ -55,36 +61,18 @@ __all__ = [
 
 
 def main() -> None:
-    """Run the FAST batch plotter for all y/z scale combinations sequentially.
+    """Run the flagship batch for all four scale combos, resumably.
 
-    An interrupt during any run stops the sequence without starting
-    subsequent combinations.
+    An interrupt during any combo stops the sequence (KeyboardInterrupt
+    propagates out of the driver).
     """
-    set_logfile_path(
-        get_logfile_path("./batch_multi_plot_FAST_log", "./batch_multi_plot_FAST_logfile_datetime.txt")
-    )
-    for y_scale, z_scale, colormap in [
-        ("linear", "linear", DEFAULT_COLORMAP_LINEAR_Y_LINEAR_Z),
-        ("linear", "log", DEFAULT_COLORMAP_LINEAR_Y_LOG_Z),
-        ("log", "linear", DEFAULT_COLORMAP_LOG_Y_LINEAR_Z),
-        ("log", "log", DEFAULT_COLORMAP_LOG_Y_LOG_Z),
-    ]:
-        FAST_plot_spectrograms_directory(
-            FAST_CDF_DATA_FOLDER_PATH,
-            verbose=False,
-            y_scale=y_scale,
-            z_scale=z_scale,
-            use_tqdm=True,
-            colormap=colormap,
-            max_processing_percentile=99,
-            override_plots=False,
-        )
+    set_logfile_path(get_logfile_path(FAST_LOGFILE_PREFIX, FAST_LOGFILE_DATETIME_MARKER_PATH))
+    try:
+        FastBatchConfig().run()
+    except KeyboardInterrupt:
+        log_exception("[INTERRUPT] Batch plotting aborted by user.", level="message")
+        raise
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except KeyboardInterrupt:
-        log_exception("[INTERRUPT] Batch plotting aborted by user.", level="message")
-        print("\n[INTERRUPT] Aborted by user.")
-        sys.exit(130)
+    run_cli(main)

@@ -1,10 +1,9 @@
-"""CDF file discovery, metadata, and dataset-loading helpers.
+"""CDF file metadata, cusp-CSV lookup, and FAST dataset loading.
 
-Shared by both the generic and FAST-specific plotting/batch pipelines so
-that file-type detection, orbit-boundary lookup, and CDF loading logic
-exists in exactly one place.  Behavioral parity with reference
-cdf_utils.py:26-256, built on this package's own CDF reader instead of
-cdflib.
+Shared by the generic and FAST pipelines so file-type detection,
+orbit-boundary lookup, and dataset loading exist in exactly one place
+(behavioral parity with reference cdf_utils.py:26-256, built on this
+package's own CDF reader instead of cdflib).
 """
 
 from __future__ import annotations
@@ -23,29 +22,41 @@ from configurable_spectrograms_tpu.constants import (
 from configurable_spectrograms_tpu.data.cdf import CDF
 from configurable_spectrograms_tpu.utils.logging import log_error, log_message
 
-# Module-level caches to avoid repeated disk I/O in batch routines.
+INSTRUMENT_TAGS = ("ees", "eeb", "ies", "ieb")
+
+# Module-level caches avoiding repeated disk I/O in batch loops.
 filtered_orbits_cache: dict[str, pd.DataFrame | None] = {}
 orbit_column_cache: dict[tuple[int, str], tuple[str, str, str]] = {}
 cdf_type_cache: dict[str, str | None] = {}
-
-INSTRUMENT_TAGS = ("ees", "eeb", "ies", "ieb")
+_dataset_cache: dict[tuple, dict[str, np.ndarray]] = {}
+_DATASET_CACHE_MAX = 8
 
 
 def load_filtered_orbits(csv_path: str = FILTERED_ORBITS_CSV_PATH) -> pd.DataFrame | None:
-    """Load the filtered (cusp) orbits TSV with a simple module-level cache.
+    """Cached load of the cusp-orbit index (tab-separated despite ``.csv``).
 
-    The file uses tab separators despite the ``.csv`` suffix
-    (reference cdf_utils.py:47).  Returns ``None`` when loading fails.
+    Returns ``None`` (after logging) when the file can't be read, so
+    callers degrade to marker-free plots.
     """
-    if csv_path in filtered_orbits_cache:
-        return filtered_orbits_cache[csv_path]
-    try:
-        dataframe = pd.read_csv(csv_path, sep="\t")
-    except OSError as exc:
-        log_error(f"Error loading CSV {csv_path}: {exc}")
-        return None
-    filtered_orbits_cache[csv_path] = dataframe
-    return dataframe
+    if csv_path not in filtered_orbits_cache:
+        try:
+            filtered_orbits_cache[csv_path] = pd.read_csv(csv_path, sep="\t")
+        except OSError as exc:
+            log_error(f"Error loading CSV {csv_path}: {exc}")
+            return None
+    return filtered_orbits_cache[csv_path]
+
+
+def _orbit_columns(dataframe: pd.DataFrame, instrument: str) -> tuple[str, str, str]:
+    """Resolve (orbit, min-index, max-index) column names, cached per frame."""
+    cache_key = (id(dataframe), instrument)
+    if cache_key not in orbit_column_cache:
+        cols = list(dataframe.columns)
+        orbit_col = next(c for c in cols if "orbit" in c.lower())
+        min_col = next(c for c in cols if instrument in c.lower() and "min index" in c.lower())
+        max_col = next(c for c in cols if instrument in c.lower() and "max index" in c.lower())
+        orbit_column_cache[cache_key] = (orbit_col, min_col, max_col)
+    return orbit_column_cache[cache_key]
 
 
 def get_timestamps_for_orbit(
@@ -54,56 +65,44 @@ def get_timestamps_for_orbit(
     instrument_type: str | None,
     time_unix_array: np.ndarray | None,
 ) -> list[float]:
-    """Compute orbit boundary UNIX timestamps from filtered min/max indices.
+    """Orbit-boundary UNIX timestamps from the cusp index's min/max rows.
 
-    Returns one timestamp for a degenerate (equal) min/max index pair, two
-    (start, end) otherwise, and ``[]`` when the orbit is missing or inputs
-    are incomplete.  Indices are clamped into the time array's bounds
+    Indices clamp into the time array; a degenerate (equal) pair yields a
+    single timestamp; an unknown orbit or missing inputs yield ``[]``
     (reference cdf_utils.py:55-123).
 
     Examples
     --------
     >>> import pandas as pd
     >>> import numpy as np
-    >>> orbits = pd.DataFrame({"orbit": [42], "ees min index": [1], "ees max index": [3]})
-    >>> times = np.array([100.0, 200.0, 300.0, 400.0])
-    >>> get_timestamps_for_orbit(orbits, 42, "ees", times)
-    [200.0, 400.0]
-    >>> get_timestamps_for_orbit(orbits, 99, "ees", times)
+    >>> idx = pd.DataFrame({"orbit": [7], "ies min index": [0], "ies Max index": [2]})
+    >>> get_timestamps_for_orbit(idx, 7, "ies", np.array([5.0, 6.0, 7.0]))
+    [5.0, 7.0]
+    >>> get_timestamps_for_orbit(idx, 8, "ies", np.array([5.0, 6.0, 7.0]))
     []
     """
-    dataframe = filtered_orbits_dataframe
-    if dataframe is None or instrument_type is None or time_unix_array is None:
+    if filtered_orbits_dataframe is None or instrument_type is None or time_unix_array is None:
         return []
-    cache_key = (id(dataframe), instrument_type)
-    if cache_key not in orbit_column_cache:
-        orbit_column = next(col for col in dataframe.columns if "orbit" in col.lower())
-        min_index_column = next(
-            col for col in dataframe.columns if instrument_type in col.lower() and "min index" in col.lower()
-        )
-        max_index_column = next(
-            col for col in dataframe.columns if instrument_type in col.lower() and "max index" in col.lower()
-        )
-        orbit_column_cache[cache_key] = (orbit_column, min_index_column, max_index_column)
-    orbit_column, min_index_column, max_index_column = orbit_column_cache[cache_key]
-    row = dataframe[dataframe[orbit_column] == orbit_number]
-    if row.empty:
+    orbit_col, min_col, max_col = _orbit_columns(filtered_orbits_dataframe, instrument_type)
+    matches = filtered_orbits_dataframe[filtered_orbits_dataframe[orbit_col] == orbit_number]
+    if matches.empty:
         return []
     try:
-        min_index = int(row.iloc[0][min_index_column])
-        max_index = int(row.iloc[0][max_index_column])
+        raw_lo = int(matches.iloc[0][min_col])
+        raw_hi = int(matches.iloc[0][max_col])
     except (TypeError, ValueError):
         log_message("[WARN] Non-integer indices found in orbit row, using 0.")
         return []
-    min_index = max(0, min(min_index, len(time_unix_array) - 1))
-    max_index = max(0, min(max_index, len(time_unix_array) - 1))
-    if min_index == max_index:
-        return [float(time_unix_array[min_index])]
-    return [float(time_unix_array[min_index]), float(time_unix_array[max_index])]
+    top = len(time_unix_array) - 1
+    lo = min(max(raw_lo, 0), top)
+    hi = min(max(raw_hi, 0), top)
+    if lo == hi:
+        return [float(time_unix_array[lo])]
+    return [float(time_unix_array[lo]), float(time_unix_array[hi])]
 
 
 def get_cdf_file_type(cdf_file_path: str) -> str | None:
-    """Infer instrument type from a CDF file path.
+    """Instrument tag parsed from a CDF path (``'orb'`` for ephemeris files).
 
     Examples
     --------
@@ -112,97 +111,92 @@ def get_cdf_file_type(cdf_file_path: str) -> str | None:
     >>> get_cdf_file_type("fa_k0_orb_13312_v01.cdf")
     'orb'
     """
-    path_lower = cdf_file_path.lower()
-    if "_orb_" in path_lower:
+    lowered = cdf_file_path.lower()
+    if "_orb_" in lowered:
         return "orb"
-    for tag in INSTRUMENT_TAGS:
-        if f"_{tag}_" in path_lower:
-            return tag
-    log_error(f"Unknown CDF file type for path: {cdf_file_path}")
-    return None
+    tag = next((t for t in INSTRUMENT_TAGS if f"_{t}_" in lowered), None)
+    if tag is None:
+        log_error(f"Unknown CDF file type for path: {cdf_file_path}")
+    return tag
 
 
 def get_variable_shape(cdf_path: str, variable_name: str) -> tuple[int, ...] | None:
-    """Return the shape of a variable in a CDF file (or ``None`` on failure)."""
-    instrument_type = cdf_type_cache.get(cdf_path)
-    if instrument_type is None:
-        instrument_type = get_cdf_file_type(cdf_path)
-        cdf_type_cache[cdf_path] = instrument_type
-    if instrument_type is None or instrument_type == "orb":
+    """Shape of one variable in one CDF (``None`` for orb files or errors)."""
+    if cdf_path not in cdf_type_cache:
+        cdf_type_cache[cdf_path] = get_cdf_file_type(cdf_path)
+    if cdf_type_cache[cdf_path] in (None, "orb"):
         return None
     try:
         with CDF(cdf_path) as cdf:
-            variable_data = cdf.varget(variable_name)
-            return variable_data.shape if isinstance(variable_data, np.ndarray) else None
+            data = cdf.varget(variable_name)
     except Exception as exc:
         log_error(f"Error reading {cdf_path} for variable {variable_name}: {exc}")
         return None
+    return data.shape if isinstance(data, np.ndarray) else None
 
 
 def get_cdf_var_shapes(
     cdf_folder_path: str = CDF_DATA_DIRECTORY,
     variable_names: list[str] = CDF_VARIABLE_NAMES,
 ) -> dict[str, list[tuple[int, ...] | None]]:
-    """Collect shapes of *variable_names* across all CDF files under a folder."""
+    """Survey variable shapes across every CDF under a folder."""
     from tqdm import tqdm
 
-    cdf_file_paths = [str(p) for p in Path(cdf_folder_path).rglob("*.[cC][dD][fF]")]
-    shapes_by_variable: dict[str, list[tuple[int, ...] | None]] = {}
-    for variable_name in variable_names:
-        shapes_by_variable[variable_name] = [
-            get_variable_shape(cdf_path, variable_name)
-            for cdf_path in tqdm(
-                cdf_file_paths,
-                desc=f"Processing CDF files ({variable_name})",
-                unit="file",
-                total=len(cdf_file_paths),
-            )
+    paths = [str(p) for p in Path(cdf_folder_path).rglob("*.[cC][dD][fF]")]
+    return {
+        name: [
+            get_variable_shape(p, name)
+            for p in tqdm(paths, desc=f"Processing CDF files ({name})", unit="file", total=len(paths))
         ]
-    return shapes_by_variable
-
-
-_dataset_cache: dict[tuple, dict[str, np.ndarray]] = {}
-_DATASET_CACHE_MAX = 8
+        for name in variable_names
+    }
 
 
 def load_fast_cdf_dataset(
     cdf_path: str, variable_names: tuple[str, ...] = tuple(CDF_VARIABLE_NAMES)
 ) -> dict[str, np.ndarray]:
-    """Load and reshape a FAST CDF file's time/data/energy/pitch-angle arrays.
+    """Load one FAST instrument file into analysis-ready arrays.
 
-    Energy and pitch-angle are collapsed from their raw
-    ``(time, angle, energy)`` / ``(time, energy, angle)`` storage down to 1D
-    bin arrays, and ``data`` is transposed to ``(time, pitch_angle, energy)``
-    when stored ``(time, energy, pitch_angle)`` so the result is ready to
-    collapse along pitch angle (reference cdf_utils.py:222-256).
+    ``energy``/``pitch_angle`` collapse from their broadcast 3D storage to
+    1D bin arrays, and ``data`` lands in ``(time, pitch_angle, energy)``
+    order regardless of whether the file stored ``(time, energy, pitch)``
+    (reference cdf_utils.py:222-256).
 
-    A small (path, mtime)-keyed cache holds the most recent files: the FAST
-    per-orbit worker reads each instrument file three times (timestamps,
-    given-extrema grid, raw grid; reference fast/process_orbit.py:148-253),
-    and returning the *same* contiguous arrays also lets the device batcher
-    recognize and upload a shared cube once.  Treat the returned arrays as
-    read-only.
+    A small (path, mtime)-keyed cache serves repeat reads -- the per-orbit
+    worker touches each file three times (reference
+    fast/process_orbit.py:148-253) -- and the shared contiguous float32
+    cube lets the device batcher upload one copy per file.  Treat the
+    returned arrays as read-only.
     """
     try:
         mtime = os.path.getmtime(cdf_path)
     except OSError:
         mtime = None
-    key = (cdf_path, mtime, tuple(variable_names))
-    if mtime is not None and key in _dataset_cache:
-        return _dataset_cache[key]
-    with CDF(cdf_path) as cdf_file:
-        times = np.asarray(cdf_file.varget(variable_names[0]))
-        data = np.asarray(cdf_file.varget(variable_names[1]))
-        energy_full = np.asarray(cdf_file.varget(variable_names[2]))
-        pitch_angle_full = np.asarray(cdf_file.varget(variable_names[3]))
-    energy = energy_full[0, 0, :] if energy_full.ndim == 3 else energy_full
-    pitch_angle = pitch_angle_full[0, :, 0] if pitch_angle_full.ndim == 3 else pitch_angle_full
+    cache_key = (cdf_path, mtime, tuple(variable_names))
+    if mtime is not None and cache_key in _dataset_cache:
+        return _dataset_cache[cache_key]
+
+    t_name, d_name, e_name, p_name = variable_names
+    with CDF(cdf_path) as handle:
+        times = np.asarray(handle.varget(t_name))
+        data = np.asarray(handle.varget(d_name))
+        energy_raw = np.asarray(handle.varget(e_name))
+        pitch_raw = np.asarray(handle.varget(p_name))
+    energy = energy_raw[0, 0, :] if energy_raw.ndim == 3 else energy_raw
+    pitch_angle = pitch_raw[0, :, 0] if pitch_raw.ndim == 3 else pitch_raw
     if data.shape[1] == len(energy) and data.shape[2] == len(pitch_angle):
         data = np.transpose(data, (0, 2, 1))
-    data = np.ascontiguousarray(data, dtype=np.float32)
-    result = {"times": times, "data": data, "energy": energy, "pitch_angle": pitch_angle}
+    result = {
+        "times": times,
+        "data": np.ascontiguousarray(data, dtype=np.float32),
+        "energy": energy,
+        "pitch_angle": pitch_angle,
+    }
     if mtime is not None:
-        if len(_dataset_cache) >= _DATASET_CACHE_MAX:
-            _dataset_cache.pop(next(iter(_dataset_cache)))
-        _dataset_cache[key] = result
+        while len(_dataset_cache) >= _DATASET_CACHE_MAX:
+            try:
+                _dataset_cache.pop(next(iter(_dataset_cache)))
+            except (StopIteration, KeyError):  # pragma: no cover - thread race
+                break
+        _dataset_cache[cache_key] = result
     return result

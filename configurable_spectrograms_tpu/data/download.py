@@ -1,9 +1,8 @@
-"""FAST ESA CDF downloading from CDA Web: single-day, single-year, threaded batch.
+"""FAST ESA CDF downloads from CDA Web (single day, full year, threaded batch).
 
 Behavioral parity with reference download.py:16-297.  ``requests`` and
-``beautifulsoup4`` are imported lazily so the rest of the package works in
-network-free environments; download calls raise a clear ImportError if the
-optional dependencies are missing.
+``beautifulsoup4`` import lazily so the rest of the package works in
+network-free environments.
 """
 
 from __future__ import annotations
@@ -18,49 +17,58 @@ from configurable_spectrograms_tpu.batch_runner import run_batch
 from configurable_spectrograms_tpu.utils.logging import log_error
 
 FAST_ESA_BASE_URL: str = "https://cdaweb.gsfc.nasa.gov/pub/data/fast/esa/l2"
-INSTRUMENT_OPTIONS: set[str] = {"eeb", "ees", "ieb", "ies"}  # "esv" also exists for FAST
+INSTRUMENT_OPTIONS: set[str] = {"eeb", "ees", "ieb", "ies"}  # FAST also has "esv"
 DEFAULT_INSTRUMENT_LIST: list[str] = sorted(INSTRUMENT_OPTIONS)
 DEFAULT_YEAR: int = 2000
 DEFAULT_FOLDER: str = "./FAST_data/"
-#: Earliest and latest calendar days with any FAST ESA CDF coverage on CDA Web.
+#: CDA Web's FAST ESA coverage span (first/last day with any data).
 FAST_MIN_DATE: dt.date = dt.date(1996, 8, 21)
 FAST_MAX_DATE: dt.date = dt.date(2009, 5, 4)
 
 
-def _requests():
-    try:
-        import requests
+def _month_url(base_url: str, instrument: str, year: int, month: str) -> str:
+    return f"{base_url}/{instrument}/{year}/{month}"
 
-        return requests
-    except ImportError as exc:  # pragma: no cover - environment dependent
-        raise ImportError("the 'requests' package is required for downloading") from exc
+
+def _month_dir(data_folder: str, year: int, month: str) -> str:
+    folder = f"{data_folder}/{year}/{month}"
+    os.makedirs(folder, exist_ok=True)
+    return folder
 
 
 def _download_single_cdf_file(download_link: str, output_file: str) -> None:
-    """Stream one CDF file to disk; non-streamed fallback without Content-Length."""
-    requests = _requests()
+    """Fetch one CDF to disk, streamed in 4 KiB chunks when sized.
+
+    Servers that omit Content-Length fall back to one buffered write.
+    """
+    import requests
+
     response = requests.get(download_link, stream=True)
-    if response.headers.get("content-length") is None:
-        with open(output_file, "wb") as f:
-            f.write(response.content)
-        return
+    sized = response.headers.get("content-length") is not None
     with open(output_file, "wb") as f:
-        for chunk in response.iter_content(chunk_size=4096):
-            f.write(chunk)
+        if sized:
+            for chunk in response.iter_content(chunk_size=4096):
+                f.write(chunk)
+        else:
+            f.write(response.content)
 
 
 def _list_instrument_page_files(page: str) -> list[str]:
-    """Scrape one CDA Web month-listing page for linked ``.cdf`` file names."""
-    requests = _requests()
+    """Names of every ``.cdf`` link on one CDA Web month-listing page."""
+    import requests
     from bs4 import BeautifulSoup
 
-    response = requests.get(page)
-    soup = BeautifulSoup(response.content, "html.parser")
-    return [href for a in soup.find_all("a") if isinstance(href := a.get("href"), str) and ".cdf" in href]
+    soup = BeautifulSoup(requests.get(page).content, "html.parser")
+    names = []
+    for anchor in soup.find_all("a"):
+        href = anchor.get("href")
+        if isinstance(href, str) and ".cdf" in href:
+            names.append(href)
+    return names
 
 
 def _matches_day(file_name: str, instrument: str, date_str: str) -> bool:
-    """Whether *file_name* is a FAST ESA CDF for *instrument* on *date_str*.
+    """Whether *file_name* is this instrument's CDF for the ``YYYYMMDD`` day.
 
     Examples
     --------
@@ -81,34 +89,37 @@ def download_single_day_cdf(
     data_folder: str = DEFAULT_FOLDER,
     _page_file_names: dict[str, list[str]] | None = None,
 ) -> dict[str, list[str]]:
-    """Download every FAST ESA CDF for one calendar day, per instrument.
+    """Fetch every FAST ESA CDF for one calendar day, per instrument.
 
-    Files land under ``{data_folder}/{year}/{month:02d}/``; already-present
-    files are not re-downloaded.  ``_page_file_names`` lets the year loop
-    reuse one scraped month listing (reference download.py:84-143).
-    Returns ``{instrument: [local paths]}``.
+    Files land under ``{data_folder}/{year}/{month:02d}/``; files already
+    on disk are kept, not re-fetched.  ``_page_file_names`` lets the year
+    loop reuse one scraped listing per month instead of re-requesting it
+    per day (reference download.py:84-143).  Returns
+    ``{instrument: sorted local paths}`` (a day often spans several
+    orbits, so lists may hold more than one file).
     """
-    web_folder = f"{date.month:02d}"
-    date_str = date.strftime("%Y%m%d")
-    fast_data_folder = f"{data_folder}/{date.year}/{web_folder}"
-    os.makedirs(fast_data_folder, exist_ok=True)
+    month = f"{date.month:02d}"
+    day_tag = date.strftime("%Y%m%d")
+    dest = _month_dir(data_folder, date.year, month)
 
-    results: dict[str, list[str]] = {}
+    by_instrument: dict[str, list[str]] = {}
     for instrument in instruments:
-        page = f"{base_url}/{instrument}/{date.year}/{web_folder}"
-        if _page_file_names is not None:
-            file_names = _page_file_names.get(instrument, [])
-        else:
-            file_names = _list_instrument_page_files(page)
-        output_files = []
-        for file_name in file_names:
-            if _matches_day(file_name, instrument, date_str):
-                output_file = f"{fast_data_folder}/{file_name}"
-                if not os.path.exists(output_file):
-                    _download_single_cdf_file(f"{page}/{file_name}", output_file)
-                output_files.append(output_file)
-        results[instrument] = sorted(output_files)
-    return results
+        page = _month_url(base_url, instrument, date.year, month)
+        names = (
+            _page_file_names.get(instrument, [])
+            if _page_file_names is not None
+            else _list_instrument_page_files(page)
+        )
+        local: list[str] = []
+        for name in names:
+            if not _matches_day(name, instrument, day_tag):
+                continue
+            target = f"{dest}/{name}"
+            if not os.path.exists(target):
+                _download_single_cdf_file(f"{page}/{name}", target)
+            local.append(target)
+        by_instrument[instrument] = sorted(local)
+    return by_instrument
 
 
 def FAST_ESA_CDF_download(
@@ -117,53 +128,53 @@ def FAST_ESA_CDF_download(
     data_folder: str = DEFAULT_FOLDER,
     instruments: list[str] = DEFAULT_INSTRUMENT_LIST,
 ) -> None:
-    """Download one year of FAST ESA CDF files from CDA Web.
+    """Fetch one calendar year, scraping each month listing exactly once.
 
-    Scrapes each month/instrument listing once and routes every day through
-    :func:`download_single_day_cdf` (reference download.py:146-193).
+    Every day routes through :func:`download_single_day_cdf` against the
+    cached listing, so single-day and full-year downloads share one code
+    path (reference download.py:146-193).
     """
     from tqdm import tqdm
 
-    for month_index in range(1, 13):
-        web_folder = str(month_index).zfill(2)
-        print(f"STATUS: Loading month listing pages for {year}-{web_folder}")
-        page_file_names: dict[str, list[str]] = {
-            instrument: _list_instrument_page_files(f"{base_url}/{instrument}/{year}/{web_folder}")
-            for instrument in instruments
+    for month_num in range(1, 13):
+        month = f"{month_num:02d}"
+        print(f"STATUS: Loading month listing pages for {year}-{month}")
+        listings = {
+            inst: _list_instrument_page_files(_month_url(base_url, inst, year, month))
+            for inst in instruments
         }
-        days_in_month = calendar.monthrange(year, month_index)[1]
-        print(f"{month_index}/12 | downloading files for {year}-{web_folder}")
-        for day_index in tqdm(range(1, days_in_month + 1)):
+        print(f"{month_num}/12 | downloading files for {year}-{month}")
+        for day in tqdm(range(1, calendar.monthrange(year, month_num)[1] + 1)):
             download_single_day_cdf(
-                date=dt.date(year, month_index, day_index),
+                date=dt.date(year, month_num, day),
                 instruments=instruments,
                 base_url=base_url,
                 data_folder=data_folder,
-                _page_file_names=page_file_names,
+                _page_file_names=listings,
             )
 
 
 def _discover_download_targets(
     base_url: str, years: list[int], instruments: set[str], data_folder: str
 ) -> list[tuple[str, str]]:
-    """Scrape listings for every (year, month, instrument); skip files on disk."""
+    """(link, local path) pairs for every listed file not already on disk."""
     targets: list[tuple[str, str]] = []
     for year in years:
-        for month_index in range(1, 13):
-            web_folder = str(month_index).zfill(2)
+        for month_num in range(1, 13):
+            month = f"{month_num:02d}"
             for instrument in instruments:
-                fast_data_folder = f"{data_folder}/{year}/{web_folder}"
-                os.makedirs(fast_data_folder, exist_ok=True)
-                page = f"{base_url}/{instrument}/{year}/{web_folder}"
+                dest = _month_dir(data_folder, year, month)
+                page = _month_url(base_url, instrument, year, month)
                 try:
-                    file_names = _list_instrument_page_files(page)
+                    names = _list_instrument_page_files(page)
                 except Exception as exc:
                     log_error(f"[DOWNLOAD] Failed to load listing page {page}: {exc}")
                     continue
-                for file_name in file_names:
-                    output_file = f"{fast_data_folder}/{file_name}"
-                    if not os.path.exists(output_file):
-                        targets.append((f"{page}/{file_name}", output_file))
+                targets += [
+                    (f"{page}/{name}", f"{dest}/{name}")
+                    for name in names
+                    if not os.path.exists(f"{dest}/{name}")
+                ]
     return targets
 
 
@@ -177,27 +188,29 @@ def download_cdf_files_threaded(
     ignore_progress_json: bool = False,
     flush_batch_size: int = 25,
 ) -> list[tuple[tuple[str, str], str]]:
-    """Download many years of FAST ESA CDF files with a thread pool.
+    """Multi-year download through a thread pool (I/O-bound fan-out).
 
-    Sequential listing scrape, then :func:`run_batch` over the individual
-    file downloads with a ``ThreadPoolExecutor`` (I/O bound; reference
-    download.py:230-297).  Returns ``((link, path), status)`` pairs.
+    Listings scrape sequentially (one small page per year/month/instrument),
+    then :func:`run_batch` dispatches the individual file fetches to a
+    ``ThreadPoolExecutor`` with resumable progress (reference
+    download.py:230-297).  Returns ``((link, path), 'ok'|'error')`` pairs.
     """
-    resolved_years = years if years is not None else [DEFAULT_YEAR]
-    targets = _discover_download_targets(base_url, resolved_years, instruments, data_folder)
+    targets = _discover_download_targets(
+        base_url, years if years is not None else [DEFAULT_YEAR], instruments, data_folder
+    )
 
-    def _worker(target: tuple[str, str]) -> tuple[tuple[str, str], str]:
-        download_link, output_file = target
+    def fetch(target: tuple[str, str]) -> tuple[tuple[str, str], str]:
+        link, path = target
         try:
-            _download_single_cdf_file(download_link, output_file)
+            _download_single_cdf_file(link, path)
             return (target, "ok")
         except Exception as exc:
-            log_error(f"[DOWNLOAD-FAIL] {download_link}: {exc}")
+            log_error(f"[DOWNLOAD-FAIL] {link}: {exc}")
             return (target, "error")
 
     return run_batch(
         targets,
-        _worker,
+        fetch,
         functools.partial(ThreadPoolExecutor, max_workers=max_workers),
         progress_json_path=progress_json_path,
         ignore_progress_json=ignore_progress_json,

@@ -1,4 +1,4 @@
-"""FAST orbit/instrument file discovery and progress-key bookkeeping.
+"""FAST orbit/instrument file discovery and error-key helpers.
 
 Behavioral parity with reference fast/orbit_discovery.py:12-250.
 """
@@ -6,7 +6,6 @@ Behavioral parity with reference fast/orbit_discovery.py:12-250.
 from __future__ import annotations
 
 import os
-from collections import defaultdict
 from pathlib import Path
 
 from configurable_spectrograms_tpu.data.cdf_utils import get_cdf_file_type
@@ -14,9 +13,17 @@ from configurable_spectrograms_tpu.utils.logging import log_exception
 
 DEFAULT_INSTRUMENT_ORDER = ("ees", "eeb", "ies", "ieb")
 
+#: Error-message substrings -> progress-key reason tokens, checked in order.
+_REASON_RULES = (
+    (("divide", "zero"), "divide-by-zero"),
+    (("invalid", "cdf"), "invalid-cdf"),
+    (("timeout",), "timeout"),
+    (("plot",), "plotting"),
+)
+
 
 def parse_year_month(file_path: str) -> tuple[str, str]:
-    """Extract ``(year, month)`` from a CDF path containing a YYYY/MM pair.
+    """``(year, month)`` from the first YYYY/MM directory pair in a path.
 
     Examples
     --------
@@ -27,15 +34,14 @@ def parse_year_month(file_path: str) -> tuple[str, str]:
     """
     parts = Path(file_path).parts
     for i, part in enumerate(parts):
-        if part.isdigit() and len(part) == 4:
-            nxt = parts[i + 1] if i + 1 < len(parts) else ""
-            month = nxt if nxt.isdigit() and len(nxt) == 2 else "unknown"
-            return part, month
+        if len(part) == 4 and part.isdigit():
+            follower = parts[i + 1] if i + 1 < len(parts) else ""
+            return part, follower if (len(follower) == 2 and follower.isdigit()) else "unknown"
     return "unknown", "unknown"
 
 
 def classify_error_reason(msg: str) -> str:
-    """Map an error message to a short reason token for progress JSON keys.
+    """Short reason token for an error message (progress-JSON taxonomy).
 
     Examples
     --------
@@ -47,22 +53,18 @@ def classify_error_reason(msg: str) -> str:
     'generic'
     """
     lowered = msg.lower()
-    if "divide" in lowered and "zero" in lowered:
-        return "divide-by-zero"
-    if "invalid" in lowered and "cdf" in lowered:
-        return "invalid-cdf"
-    if "timeout" in lowered:
-        return "timeout"
-    if "plot" in lowered:
-        return "plotting"
+    for needles, token in _REASON_RULES:
+        if all(n in lowered for n in needles):
+            return token
     return "generic"
 
 
 def extract_orbit_and_instrument(cdf_path: str) -> tuple[int, str, str] | None:
-    """Parse a CDF filename to ``(orbit_number, instrument_type, cdf_path)``.
+    """``(orbit_number, instrument, path)`` parsed from a FAST CDF filename.
 
-    Returns ``None`` when the filename doesn't match the FAST pattern, the
-    orbit number can't be parsed, or the type is missing / ``'orb'``.
+    The orbit number is the second-to-last underscore field; files that
+    don't fit the pattern, fail to parse, or are ephemeris (``orb``) files
+    resolve to ``None``.
 
     Examples
     --------
@@ -71,50 +73,50 @@ def extract_orbit_and_instrument(cdf_path: str) -> tuple[int, str, str] | None:
     >>> extract_orbit_and_instrument("fa_k0_orb_13312_v01.cdf") is None
     True
     """
-    filename = os.path.basename(cdf_path)
-    parts = filename.split("_")
-    if len(parts) < 5:
+    fields = os.path.basename(cdf_path).split("_")
+    if len(fields) < 5:
         return None
     try:
-        orbit_number = int(parts[-2])
+        orbit = int(fields[-2])
     except ValueError as exc:
-        log_exception(f"[ERROR] Invalid orbit number in filename: {filename}", exc, level="message")
+        log_exception(
+            f"[ERROR] Invalid orbit number in filename: {os.path.basename(cdf_path)}", exc, level="message"
+        )
         return None
-    instrument_type = get_cdf_file_type(cdf_path)
-    if instrument_type is None or instrument_type == "orb":
+    instrument = get_cdf_file_type(cdf_path)
+    if instrument in (None, "orb"):
         return None
-    return (orbit_number, instrument_type, cdf_path)
+    return orbit, instrument, cdf_path
 
 
 def discover_orbit_files(
     directory_path: str, instrument_order: tuple[str, ...] = DEFAULT_INSTRUMENT_ORDER
 ) -> dict[int, dict[str, str]]:
-    """Discover FAST instrument CDF files and group them by orbit.
+    """Recursively group instrument CDFs under a folder by orbit number.
 
-    Walks *directory_path* recursively for non-``_orb_`` CDF files and
-    groups them into ``{orbit: {instrument: path}}`` (last seen wins on
-    duplicates), matching reference fast/orbit_discovery.py:129-166.
+    Paths containing ``_orb_`` (ephemeris) are excluded, instruments
+    outside *instrument_order* are skipped, and the last file seen wins
+    for duplicate (orbit, instrument) pairs
+    (reference fast/orbit_discovery.py:129-166).
     """
-    orbit_to_instruments: dict[int, dict[str, str]] = defaultdict(dict)
-    for path_obj in Path(directory_path).rglob("*.[cC][dD][fF]"):
-        candidate_path = str(path_obj)
-        if "_orb_" in candidate_path.lower():
+    found: dict[int, dict[str, str]] = {}
+    for entry in Path(directory_path).rglob("*.[cC][dD][fF]"):
+        path = str(entry)
+        if "_orb_" in path.lower():
             continue
-        parsed = extract_orbit_and_instrument(candidate_path)
-        if parsed is None:
+        parsed = extract_orbit_and_instrument(path)
+        if parsed is None or parsed[1] not in instrument_order:
             continue
-        orbit_number, instrument_type, cdf_path = parsed
-        if instrument_type not in instrument_order:
-            continue
-        orbit_to_instruments[orbit_number][instrument_type] = cdf_path
-    return dict(orbit_to_instruments)
+        orbit, instrument, _ = parsed
+        found.setdefault(orbit, {})[instrument] = path
+    return found
 
 
 def resolve_shared_orbit(instrument_day_files: dict[str, list[str]]) -> tuple[int | None, dict[str, str]]:
-    """Pick one orbit's worth of files out of a day's CDFs.
+    """Reduce a day's downloads to the orbit covered by the most instruments.
 
-    Resolves to the orbit shared by the most instruments; ties break toward
-    the lowest orbit number (reference fast/orbit_discovery.py:169-216).
+    Ties break toward the lowest orbit number; instruments without a file
+    for the winning orbit are omitted (reference fast/orbit_discovery.py:169-216).
 
     Examples
     --------
@@ -127,22 +129,20 @@ def resolve_shared_orbit(instrument_day_files: dict[str, list[str]]) -> tuple[in
     >>> resolve_shared_orbit({"eeb": [], "ies": []})
     (None, {})
     """
-    orbit_to_instruments: dict[int, dict[str, str]] = {}
-    for file_paths in instrument_day_files.values():
-        for file_path in file_paths:
-            parsed = extract_orbit_and_instrument(file_path)
-            if parsed is None:
-                continue
-            orbit_number, instrument_type, cdf_path = parsed
-            orbit_to_instruments.setdefault(orbit_number, {})[instrument_type] = cdf_path
-    if not orbit_to_instruments:
+    per_orbit: dict[int, dict[str, str]] = {}
+    for paths in instrument_day_files.values():
+        for path in paths:
+            parsed = extract_orbit_and_instrument(path)
+            if parsed is not None:
+                per_orbit.setdefault(parsed[0], {})[parsed[1]] = parsed[2]
+    if not per_orbit:
         return None, {}
-    best_orbit = max(orbit_to_instruments, key=lambda orbit: (len(orbit_to_instruments[orbit]), -orbit))
-    return best_orbit, orbit_to_instruments[best_orbit]
+    winner = max(per_orbit, key=lambda orbit: (len(per_orbit[orbit]), -orbit))
+    return winner, per_orbit[winner]
 
 
 def resolve_orbit_from_files(instrument_files: dict[str, str]) -> int | None:
-    """Best-effort orbit number for a caller-assembled instrument file map.
+    """Best-effort orbit number from a caller-assembled instrument file map.
 
     Examples
     --------
@@ -151,8 +151,7 @@ def resolve_orbit_from_files(instrument_files: dict[str, str]) -> int | None:
     >>> resolve_orbit_from_files({"eeb": "not_a_fast_file.cdf"}) is None
     True
     """
-    for file_path in instrument_files.values():
-        parsed = extract_orbit_and_instrument(file_path)
-        if parsed is not None:
-            return parsed[0]
-    return None
+    return next(
+        (parsed[0] for path in instrument_files.values() if (parsed := extract_orbit_and_instrument(path))),
+        None,
+    )

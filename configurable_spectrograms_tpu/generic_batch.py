@@ -1,12 +1,12 @@
 """Generic (data-agnostic) batch spectrogram plotting.
 
-Parity with reference generic_batch.py:15-129: each item renders via one
-``generic_plot_spectrogram_set`` call in a worker managed by
-:func:`run_batch`, saving ``output_dir/<item>/generic.png`` at 150 DPI, so
-an item plotted through this driver matches the single-output function's
-result exactly.  Workers run in threads (host I/O + PNG encode overlap;
-device rasterization batches per figure on the one TPU) instead of the
-reference's process pool.
+Parity with reference generic_batch.py:15-129: each item renders through
+exactly one ``generic_plot_spectrogram_set`` call inside a
+:func:`run_batch` worker and saves ``output_dir/<item>/generic.png`` at
+150 DPI, so the batch driver and the single-output function produce
+identical files for identical inputs.  Workers run in threads (host I/O +
+PNG encode overlap around the one TPU) instead of the reference's process
+pool.
 """
 
 from __future__ import annotations
@@ -45,27 +45,26 @@ def generic_batch_plot(
     log_flush_batch_size: int | None = None,
     install_signal_handlers: bool = True,
 ) -> list[tuple[Any, str]]:
-    """Batch-render ``generic_plot_spectrogram_set`` figures for many items.
+    """Render a ``generic_plot_spectrogram_set`` figure per item, in parallel.
 
-    Same parameters, statuses (``ok``/``no_data``/``error``), output layout
-    (``output_dir/<item>/generic.png`` at 150 DPI), and resumable progress
-    JSON as the reference (reference generic_batch.py:15-129).
-    ``max_workers`` sizes the host-side thread pool.
+    Statuses are ``ok``/``no_data``/``error``; progress persists to
+    *progress_json_path* with the generic schema so interrupted runs
+    resume.  ``build_datasets_fn`` maps an item to its dataset dicts;
+    ``zoom_center_fn``/``vertical_lines_fn`` optionally derive the zoom
+    center and cusp marks per item (reference generic_batch.py:15-129).
     """
     os.makedirs(output_dir, exist_ok=True)
 
-    def _worker(item):
+    def render_item(item):
         try:
             datasets = build_datasets_fn(item)
             if not datasets:
                 return (item, "no_data")
-            center = zoom_center_fn(item) if zoom_center_fn else None
-            vertical_lines = vertical_lines_fn(item) if vertical_lines_fn else None
-            fig, _canvas = generic_plot_spectrogram_set(
+            figure, _ = generic_plot_spectrogram_set(
                 datasets,
-                zoom_center=center,
+                zoom_center=zoom_center_fn(item) if zoom_center_fn else None,
                 zoom_window_seconds=zoom_window_seconds,
-                vertical_lines=vertical_lines,
+                vertical_lines=vertical_lines_fn(item) if vertical_lines_fn else None,
                 y_scale=y_scale,
                 z_scale=z_scale,
                 colormap=colormap,
@@ -73,12 +72,11 @@ def generic_batch_plot(
                 cusp_marker_kwargs=cusp_marker_kwargs,
                 show=False,
             )
-            if fig is not None:
-                item_output_dir = os.path.join(output_dir, str(item))
-                os.makedirs(item_output_dir, exist_ok=True)
-                out_path = os.path.join(item_output_dir, "generic.png")
-                fig.savefig(out_path, dpi=GENERIC_SAVE_DPI)
-                close_all_axes_and_clear(fig)
+            if figure is not None:
+                item_dir = os.path.join(output_dir, str(item))
+                os.makedirs(item_dir, exist_ok=True)
+                figure.savefig(os.path.join(item_dir, "generic.png"), dpi=GENERIC_SAVE_DPI)
+                close_all_axes_and_clear(figure)
             return (item, "ok")
         except Exception as exc:
             log_error(f"[GENERIC-FAIL] Item {item}: {exc}")
@@ -86,7 +84,7 @@ def generic_batch_plot(
 
     return run_batch(
         items,
-        _worker,
+        render_item,
         functools.partial(ThreadPoolExecutor, max_workers=max_workers),
         progress_json_path=progress_json_path,
         ignore_progress_json=ignore_progress_json,

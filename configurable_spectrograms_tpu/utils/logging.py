@@ -1,9 +1,10 @@
-"""Buffered logging shared by the generic and FAST batch/plotting pipelines.
+"""Buffered, batch-flushed logging shared by every pipeline.
 
-Log messages are queued in memory and flushed to disk in batches to avoid a
-disk write per message during large batch runs (behavioral parity with
-reference logging_utils.py:1-145).  The destination file is set explicitly
-via :func:`set_logfile_path` rather than as an import side effect.
+Messages queue in memory and hit disk every ``batch_size`` records so big
+batch runs don't pay one write per message (behavioral parity with
+reference logging_utils.py:1-145).  The logfile path is set explicitly by
+entry points -- importing this module never touches the filesystem.
+Thread-safe (the batch drivers log from worker threads).
 """
 
 from __future__ import annotations
@@ -14,14 +15,41 @@ import traceback
 from datetime import datetime
 from pathlib import Path
 
-_LOG_LOCK = threading.Lock()
-_LOG_BUFFER: list[tuple[str, str]] = []
-_LOG_BATCH_SIZE = 10
-_LOGFILE_PATH: str | None = None
+
+class _Buffer:
+    def __init__(self) -> None:
+        self.lock = threading.Lock()
+        self.records: list[tuple[str, str]] = []
+        self.batch_size = 10
+        self.path: str | None = None
+
+    def drain_to_disk(self, force: bool) -> None:
+        """Must hold ``self.lock``."""
+        if not self.records or (len(self.records) < self.batch_size and not force):
+            return
+        if self.path is None:
+            self.records.clear()
+            return
+        try:
+            with open(self.path, "a") as out:
+                for level, text in self.records:
+                    out.write(f"[ERROR] {text}\n" if level == "error" else text + "\n")
+        except OSError as exc:
+            _echo(f"[ERROR] Failed flushing log buffer: {exc}")
+        finally:
+            self.records.clear()
+
+    def push(self, level: str, text: str, force: bool) -> None:
+        with self.lock:
+            self.records.append((level, text))
+            self.drain_to_disk(force)
+
+
+_BUF = _Buffer()
 
 
 def _echo(message: str) -> None:
-    """Echo a message to the console immediately (tqdm-aware when active)."""
+    """Immediate console output, routed through tqdm when it's active."""
     try:
         from tqdm import tqdm
 
@@ -31,71 +59,46 @@ def _echo(message: str) -> None:
 
 
 def get_logfile_path(prefix: str, datetime_marker_path: str) -> str:
-    """Return a persistent per-run log file path derived from a marker file.
+    """Per-run log path derived from a persistent timestamp marker file.
 
-    The marker file holds a timestamp string created on first use and reused
-    afterwards, so repeated runs of the same pipeline share one logfile
-    (reference logging_utils.py:21-45).
+    The marker is minted on first use and reused afterwards, so reruns of
+    one pipeline append to a single log (reference logging_utils.py:21-45).
     """
     marker = Path(datetime_marker_path)
-    marker_text = marker.read_text().strip() if marker.exists() else ""
-    if not marker_text:
-        marker_text = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
-        marker.write_text(marker_text)
-    return f"{prefix}_{marker_text}.log"
+    stamp = marker.read_text().strip() if marker.exists() else ""
+    if not stamp:
+        stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        marker.write_text(stamp)
+    return f"{prefix}_{stamp}.log"
 
 
 def set_logfile_path(path: str | None) -> None:
-    """Set the destination file that buffered log flushes are written to."""
-    global _LOGFILE_PATH
-    with _LOG_LOCK:
-        _LOGFILE_PATH = path
+    """Point buffered flushes at *path* (``None`` discards on flush)."""
+    with _BUF.lock:
+        _BUF.path = path
 
 
 def configure_log_batch(batch_size: int) -> None:
-    """Configure the buffered-logging batch size (values < 1 coerce to 1)."""
-    global _LOG_BATCH_SIZE
-    with _LOG_LOCK:
-        _LOG_BATCH_SIZE = max(1, int(batch_size))
-
-
-def _flush_locked(force: bool) -> None:
-    if not _LOG_BUFFER:
-        return
-    if len(_LOG_BUFFER) < _LOG_BATCH_SIZE and not force:
-        return
-    if _LOGFILE_PATH is None:
-        _LOG_BUFFER.clear()
-        return
-    try:
-        with open(_LOGFILE_PATH, "a") as logfile_out:
-            for level, msg in _LOG_BUFFER:
-                logfile_out.write(f"[ERROR] {msg}\n" if level == "error" else msg + "\n")
-    except OSError as exc:
-        _echo(f"[ERROR] Failed flushing log buffer: {exc}")
-    finally:
-        _LOG_BUFFER.clear()
+    """Set how many records accumulate before an automatic flush (min 1)."""
+    with _BUF.lock:
+        _BUF.batch_size = max(1, int(batch_size))
 
 
 def log_message(message: str, force_flush: bool = False) -> None:
-    """Queue an informational log message; auto-flush at the batch size."""
-    with _LOG_LOCK:
-        _LOG_BUFFER.append(("info", message))
-        _flush_locked(force=force_flush)
+    """Queue an informational record; flushes at the batch threshold."""
+    _BUF.push("info", message, force_flush)
 
 
 def log_error(message: str, force_flush: bool = False) -> None:
-    """Queue an error log message and echo it to the console immediately."""
+    """Queue an error record and echo it to the console immediately."""
     _echo("[ERROR] " + message)
-    with _LOG_LOCK:
-        _LOG_BUFFER.append(("error", message))
-        _flush_locked(force=force_flush)
+    _BUF.push("error", message, force_flush)
 
 
 def flush_log_buffer(force: bool = True) -> None:
-    """Publicly flush any buffered log messages to disk."""
-    with _LOG_LOCK:
-        _flush_locked(force=force)
+    """Flush any queued records to disk now."""
+    with _BUF.lock:
+        _BUF.drain_to_disk(force)
 
 
 def log_exception(
@@ -105,13 +108,16 @@ def log_exception(
     include_trace: bool = False,
     force_flush: bool = False,
 ) -> None:
-    """Log a message, optionally with an exception class/value and traceback.
+    """Log *prefix*, appending the exception's class and value when given.
 
-    ``level='error'`` routes to :func:`log_error`; anything else to
-    :func:`log_message` (reference logging_utils.py:116-145).
+    ``level='error'`` echoes to the console; any other level queues
+    silently.  ``include_trace`` appends a formatted traceback record
+    (reference logging_utils.py:116-145).
     """
-    exception_name = type(exception).__name__ if exception is not None else None
-    message = f"{prefix} [{exception_name}]: {exception}" if exception_name else str(prefix)
+    if exception is not None:
+        message = f"{prefix} [{type(exception).__name__}]: {exception}"
+    else:
+        message = str(prefix)
     (log_error if level == "error" else log_message)(message, force_flush=force_flush)
     if include_trace and exception is not None:
         trace = "".join(traceback.format_exception(type(exception), exception, exception.__traceback__))

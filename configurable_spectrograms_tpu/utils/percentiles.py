@@ -1,9 +1,8 @@
-"""Axis-extrema rounding and percentile-bound computation for color scales.
+"""Axis-limit rounding and percentile color-bound resolution (host side).
 
-Host-side (numpy) parity helpers; the device-side equivalents used inside
-jitted render pipelines live in
-:mod:`configurable_spectrograms_tpu.ops.percentile`.
-Behavioral parity with reference percentile_utils.py:8-89.
+Device-side equivalents used inside jitted pipelines live in
+:mod:`configurable_spectrograms_tpu.ops.spectrogram`.  Behavior matches
+reference percentile_utils.py:8-89.
 """
 
 from __future__ import annotations
@@ -14,10 +13,10 @@ import numpy as np
 
 
 def round_extrema(value: float, direction: str) -> float:
-    """Round an extrema value to a clean significant-digit axis limit.
+    """Round to the next significant digit so axis limits look clean.
 
-    Rounds to the next significant digit in the specified direction so plot
-    axis limits look consistent (e.g. 1234 -> 1300 for 'up').
+    ``'up'`` ceils and ``'down'`` floors at one digit below the leading
+    digit: 1234 rounds up to 1300 and down to 1200.
 
     Examples
     --------
@@ -28,12 +27,11 @@ def round_extrema(value: float, direction: str) -> float:
     """
     if value == 0:
         return 0.0
-    factor = 10 ** (math.floor(math.log10(abs(value))) - 1)
-    if direction == "up":
-        return float(math.ceil(value / factor) * factor)
-    if direction == "down":
-        return float(math.floor(value / factor) * factor)
-    raise ValueError(f"Invalid direction: {direction}")
+    if direction not in ("up", "down"):
+        raise ValueError(f"Invalid direction: {direction}")
+    scale = 10.0 ** (math.floor(math.log10(abs(value))) - 1)
+    rounder = math.ceil if direction == "up" else math.floor
+    return float(rounder(value / scale) * scale)
 
 
 def compute_percentile_bounds(
@@ -43,10 +41,10 @@ def compute_percentile_bounds(
     z_min: float | None = None,
     z_max: float | None = None,
 ) -> tuple[float, float]:
-    """Return ``(z_min, z_max)`` color-scale bounds for a data matrix.
+    """Resolve ``(z_min, z_max)`` color bounds, each independently.
 
-    Explicit ``z_min``/``z_max`` values are used as-is when given; otherwise
-    each bound is computed independently via ``numpy.nanpercentile``.
+    An explicit bound passes through; a missing one falls back to the
+    matching ``numpy.nanpercentile`` of *matrix*.
 
     Examples
     --------
@@ -56,6 +54,8 @@ def compute_percentile_bounds(
     >>> compute_percentile_bounds(np.array([1.0, 2.0, 3.0]), z_min=-5.0, z_max=5.0)
     (-5.0, 5.0)
     """
-    resolved_min = float(z_min) if z_min is not None else float(np.nanpercentile(matrix, low_percentile))
-    resolved_max = float(z_max) if z_max is not None else float(np.nanpercentile(matrix, high_percentile))
-    return resolved_min, resolved_max
+
+    def resolve(explicit: float | None, q: float) -> float:
+        return float(explicit) if explicit is not None else float(np.nanpercentile(matrix, q))
+
+    return resolve(z_min, low_percentile), resolve(z_max, high_percentile)

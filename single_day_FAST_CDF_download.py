@@ -1,73 +1,58 @@
 #!/usr/bin/env python
-"""CLI to download one day of FAST ESA CDF files from CDA Web.
+"""Download one calendar day of FAST ESA CDF files from CDA Web.
 
-Mirrors the reference's ``single_day_FAST_CDF_download.py`` (date
-validation against the FAST coverage window, per-instrument file counts,
-exit codes; reference single_day_FAST_CDF_download.py:41-109).
+Same flags, coverage-window validation, per-instrument counts, and exit
+codes as the reference's script of this name
+(reference single_day_FAST_CDF_download.py:41-109).
 """
 
 import argparse
 import datetime as dt
-import sys
 
-from configurable_spectrograms_tpu.data.download import (
-    DEFAULT_FOLDER,
-    DEFAULT_INSTRUMENT_LIST,
-    FAST_ESA_BASE_URL,
-    FAST_MAX_DATE,
-    FAST_MIN_DATE,
-    INSTRUMENT_OPTIONS,
-    download_single_day_cdf,
-)
+from configurable_spectrograms_tpu.cli import run_cli
+from configurable_spectrograms_tpu.data import download as dl
 
 
 def _parse_date(text: str) -> dt.date:
-    """Parse a ``YYYY-MM-DD`` argument and check FAST's coverage span."""
+    """``YYYY-MM-DD`` argument validated against FAST's coverage span."""
     try:
-        parsed = dt.date.fromisoformat(text)
+        day = dt.date.fromisoformat(text)
     except ValueError as exc:
         raise argparse.ArgumentTypeError(f"invalid date {text!r}; expected YYYY-MM-DD") from exc
-    if not (FAST_MIN_DATE <= parsed <= FAST_MAX_DATE):
+    if not (dl.FAST_MIN_DATE <= day <= dl.FAST_MAX_DATE):
         raise argparse.ArgumentTypeError(
-            f"{parsed.isoformat()} is outside FAST ESA CDF coverage "
-            f"({FAST_MIN_DATE.isoformat()} through {FAST_MAX_DATE.isoformat()})"
+            f"{day.isoformat()} is outside FAST ESA CDF coverage "
+            f"({dl.FAST_MIN_DATE.isoformat()} through {dl.FAST_MAX_DATE.isoformat()})"
         )
-    return parsed
+    return day
 
 
 def main() -> int:
-    parser = argparse.ArgumentParser(description="Script to download one day of FAST CDF files from CDA Web")
-    parser.add_argument("--date", help="calendar day to download, YYYY-MM-DD", required=True, type=_parse_date)
-    parser.add_argument("--base_url", help="base URL to get the files", default=FAST_ESA_BASE_URL)
-    parser.add_argument("--output_path", help="path to save the files", default=DEFAULT_FOLDER)
+    parser = argparse.ArgumentParser(
+        description="Script to download one day of FAST CDF files from CDA Web"
+    )
+    parser.add_argument("--date", required=True, type=_parse_date, help="calendar day to download, YYYY-MM-DD")
+    parser.add_argument("--base_url", default=dl.FAST_ESA_BASE_URL, help="base URL to get the files")
+    parser.add_argument("--output_path", default=dl.DEFAULT_FOLDER, help="path to save the files")
     parser.add_argument(
         "--instruments",
         nargs="+",
+        default=dl.DEFAULT_INSTRUMENT_LIST,
+        choices=list(dl.INSTRUMENT_OPTIONS),
         help="instruments to download",
-        default=DEFAULT_INSTRUMENT_LIST,
-        choices=list(INSTRUMENT_OPTIONS),
     )
-    args = parser.parse_args()
+    ns = parser.parse_args()
 
-    day_files = download_single_day_cdf(
-        date=args.date,
-        instruments=args.instruments,
-        base_url=args.base_url,
-        data_folder=args.output_path,
+    fetched = dl.download_single_day_cdf(
+        date=ns.date, instruments=ns.instruments, base_url=ns.base_url, data_folder=ns.output_path
     )
-
-    total_files = sum(len(files) for files in day_files.values())
-    if total_files == 0:
-        print(f"[WARNING] No FAST CDF files found for {args.date.isoformat()}.")
+    if not any(fetched.values()):
+        print(f"[WARNING] No FAST CDF files found for {ns.date.isoformat()}.")
         return 1
-    for instrument, files in day_files.items():
+    for instrument, files in fetched.items():
         print(f"[{instrument}] {len(files)} file(s)")
     return 0
 
 
 if __name__ == "__main__":
-    try:
-        sys.exit(main())
-    except KeyboardInterrupt:
-        print("\n[INTERRUPT] Aborted by user.")
-        sys.exit(130)
+    run_cli(main)

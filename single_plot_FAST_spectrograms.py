@@ -1,15 +1,14 @@
 #!/usr/bin/env python
-"""CLI to render a single FAST ESA spectrogram figure (one CDF file or one orbit).
+"""Render one FAST ESA figure: a pitch-angle grid or an instrument grid.
 
-Mirrors the reference's ``single_plot_FAST_spectrograms.py`` (mutually
-exclusive ``--cdf-file`` pitch-angle grid vs ``--data-folder --orbit``
-instrument grid, 200 DPI saves, exit codes; reference
+Same mutually-exclusive modes, flags, 200 DPI saves, and exit codes as the
+reference's script of this name (reference
 single_plot_FAST_spectrograms.py:36-175).
 """
 
 import argparse
-import sys
 
+from configurable_spectrograms_tpu.cli import add_render_style_arguments, report_render_outcome, run_cli
 from configurable_spectrograms_tpu.data.cdf_utils import load_filtered_orbits
 from configurable_spectrograms_tpu.data.orbit_discovery import (
     discover_orbit_files,
@@ -29,23 +28,24 @@ def render_single_pitch_angle_grid(
     colormap: str = "viridis",
     cusp_marker_style: str = "both",
 ) -> bool:
-    """Render one CDF file's pitch-angle grid; orbit parsed from the filename."""
-    filtered_orbits_df = load_filtered_orbits()
+    """One instrument file -> its pitch-angle grid PNG.
+
+    The orbit number for cusp-boundary lookup parses from the filename.
+    """
     parsed = extract_orbit_and_instrument(cdf_file_path)
-    orbit_number = parsed[0] if parsed is not None else None
-    fig, _canvas = FAST_plot_pitch_angle_grid(
+    figure, _ = FAST_plot_pitch_angle_grid(
         cdf_file_path,
-        filtered_orbits_df=filtered_orbits_df,
-        orbit_number=orbit_number,
+        filtered_orbits_df=load_filtered_orbits(),
+        orbit_number=parsed[0] if parsed else None,
         scale_function_y=y_scale,
         scale_function_z=z_scale,
         show=False,
         colormap=colormap,
         cusp_marker_style=cusp_marker_style,
     )
-    if fig is None:
+    if figure is None:
         return False
-    fig.savefig(output_path, dpi=200)
+    figure.savefig(output_path, dpi=200)
     return True
 
 
@@ -58,14 +58,13 @@ def render_single_instrument_grid(
     colormap: str = "viridis",
     cusp_marker_style: str = "both",
 ) -> bool:
-    """Render one orbit's multi-instrument grid resolved from a data folder."""
-    filtered_orbits_df = load_filtered_orbits()
-    instrument_files = discover_orbit_files(data_folder).get(orbit_number, {})
-    if not instrument_files:
+    """One orbit resolved from *data_folder* -> its instrument-grid PNG."""
+    files = discover_orbit_files(data_folder).get(orbit_number)
+    if not files:
         return False
-    fig, _canvas = FAST_plot_instrument_grid(
-        instrument_files,
-        filtered_orbits_df=filtered_orbits_df,
+    figure, _ = FAST_plot_instrument_grid(
+        files,
+        filtered_orbits_df=load_filtered_orbits(),
         orbit_number=orbit_number,
         scale_function_y=y_scale,
         scale_function_z=z_scale,
@@ -73,23 +72,20 @@ def render_single_instrument_grid(
         colormap=colormap,
         cusp_marker_style=cusp_marker_style,
     )
-    if fig is None:
+    if figure is None:
         return False
-    fig.savefig(output_path, dpi=200)
+    figure.savefig(output_path, dpi=200)
     return True
 
 
 def main() -> int:
     parser = argparse.ArgumentParser(description="Render a single FAST ESA spectrogram figure.")
-    mode_group = parser.add_mutually_exclusive_group(required=True)
-    mode_group.add_argument("--cdf-file", help="Single CDF file to render as a pitch-angle grid.")
-    mode_group.add_argument("--data-folder", help="Data folder to search for one orbit's instrument grid.")
+    mode = parser.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--cdf-file", help="Single CDF file to render as a pitch-angle grid.")
+    mode.add_argument("--data-folder", help="Data folder to search for one orbit's instrument grid.")
     parser.add_argument("--orbit", type=int, help="Orbit number (required with --data-folder).")
     parser.add_argument("--output", required=True, help="Destination PNG file path.")
-    parser.add_argument("--y-scale", choices=("linear", "log"), default="linear")
-    parser.add_argument("--z-scale", choices=("linear", "log"), default="linear")
-    parser.add_argument("--colormap", default="viridis")
-    parser.add_argument("--cusp-style", choices=("line", "bracket", "both"), default="both")
+    add_render_style_arguments(parser)
     args = parser.parse_args()
 
     if args.data_folder is not None and args.orbit is None:
@@ -101,19 +97,11 @@ def main() -> int:
         )
     else:
         produced = render_single_instrument_grid(
-            args.data_folder, args.orbit, args.output, args.y_scale, args.z_scale, args.colormap, args.cusp_style
+            args.data_folder, args.orbit, args.output,
+            args.y_scale, args.z_scale, args.colormap, args.cusp_style,
         )
-
-    if not produced:
-        print("[WARNING] No data available to plot for the given input.")
-        return 1
-    print(f"[SAVED] {args.output}")
-    return 0
+    return report_render_outcome(produced, args.output)
 
 
 if __name__ == "__main__":
-    try:
-        sys.exit(main())
-    except KeyboardInterrupt:
-        print("\n[INTERRUPT] Aborted by user.")
-        sys.exit(130)
+    run_cli(main)

@@ -1,16 +1,15 @@
 #!/usr/bin/env python
-"""CLI to render a single generic spectrogram figure from one CDF file.
+"""Render one generic spectrogram figure from one CDF file.
 
-Mirrors the reference's ``single_plot_spectrogram.py`` (flags, exit codes:
-0 saved, 1 nothing to plot, 130 interrupted; reference
-single_plot_spectrogram.py:94-125), rendering through the TPU-native
-pipeline.
+Same flags and exit codes as the reference's script of this name
+(reference single_plot_spectrogram.py:94-125): 0 = saved, 1 = nothing to
+plot, 130 = interrupted.  Rendering goes through the TPU-native pipeline.
 """
 
 import argparse
-import sys
 from pathlib import Path
 
+from configurable_spectrograms_tpu.cli import add_render_style_arguments, report_render_outcome, run_cli
 from configurable_spectrograms_tpu.data.cdf_utils import load_fast_cdf_dataset
 from configurable_spectrograms_tpu.render.plotting import generic_plot_spectrogram_set
 
@@ -24,21 +23,20 @@ def render_single_spectrogram(
     cusp_marker_style: str = "both",
     vertical_lines: list[float] | None = None,
 ) -> bool:
-    """Render a single generic spectrogram from one CDF file and save it.
+    """One CDF -> a single-row generic spectrogram PNG at 150 DPI.
 
-    Returns ``True`` if a figure was produced and saved.
+    The CDF must hold the standard ``time_unix``/``data``/``energy``/
+    ``pitch_angle`` variables.  Returns whether a figure was written.
     """
-    dataset = load_fast_cdf_dataset(cdf_file_path)
-    datasets = [
-        {
-            "x": dataset["times"],
-            "y": dataset["energy"],
-            "data": dataset["data"],
-            "label": Path(cdf_file_path).stem,
-        }
-    ]
-    fig, _canvas = generic_plot_spectrogram_set(
-        datasets,
+    loaded = load_fast_cdf_dataset(cdf_file_path)
+    row = {
+        "x": loaded["times"],
+        "y": loaded["energy"],
+        "data": loaded["data"],
+        "label": Path(cdf_file_path).stem,
+    }
+    figure, _ = generic_plot_spectrogram_set(
+        [row],
         vertical_lines=vertical_lines,
         y_scale=y_scale,
         z_scale=z_scale,
@@ -46,20 +44,19 @@ def render_single_spectrogram(
         cusp_marker_style=cusp_marker_style,
         show=False,
     )
-    if fig is None:
+    if figure is None:
         return False
-    fig.savefig(output_path, dpi=150)
+    figure.savefig(output_path, dpi=150)
     return True
 
 
 def main() -> int:
-    parser = argparse.ArgumentParser(description="Render a single generic spectrogram figure from one CDF file.")
+    parser = argparse.ArgumentParser(
+        description="Render a single generic spectrogram figure from one CDF file."
+    )
     parser.add_argument("--cdf-file", required=True, help="Path to the CDF file to plot.")
     parser.add_argument("--output", required=True, help="Destination PNG file path.")
-    parser.add_argument("--y-scale", choices=("linear", "log"), default="linear")
-    parser.add_argument("--z-scale", choices=("linear", "log"), default="linear")
-    parser.add_argument("--colormap", default="viridis")
-    parser.add_argument("--cusp-style", choices=("line", "bracket", "both"), default="both")
+    add_render_style_arguments(parser)
     args = parser.parse_args()
 
     produced = render_single_spectrogram(
@@ -70,16 +67,8 @@ def main() -> int:
         colormap=args.colormap,
         cusp_marker_style=args.cusp_style,
     )
-    if not produced:
-        print("[WARNING] No data available to plot for the given input.")
-        return 1
-    print(f"[SAVED] {args.output}")
-    return 0
+    return report_render_outcome(produced, args.output)
 
 
 if __name__ == "__main__":
-    try:
-        sys.exit(main())
-    except KeyboardInterrupt:
-        print("\n[INTERRUPT] Aborted by user.")
-        sys.exit(130)
+    run_cli(main)
