@@ -1,19 +1,20 @@
 """Per-orbit FAST spectrogram processing (the batch work unit).
 
 Behavioral parity with reference fast/process_orbit.py:17-300: per
-instrument, pitch-angle grids are produced twice (``_given_extrema`` and
-``_raw`` suffixes), then instrument grids twice; output files use the exact
-reference filename scheme under ``{base}/{year}/{month}/{orbit}``; soft
-per-instrument and per-orbit timeouts abort remaining work with a
-``timeout`` status; ``override_plots=False`` skips existing files; figures
-save at 200 DPI and are closed immediately.
+instrument, pitch-angle grids render twice (``given_extrema`` and ``raw``
+variants), then instrument grids twice; outputs use the exact reference
+filename scheme under ``{base}/{year}/{month}/{orbit}``; soft
+per-instrument and per-orbit timeouts mark the result ``timeout`` and
+abort remaining work; ``override_plots=False`` skips existing files before
+any rendering happens.  Each stage's given/raw figure pair rasterizes in
+one pooled device batch.
 """
 
 from __future__ import annotations
 
 import gc
 import os
-import time as _time
+import time
 from typing import Any
 
 from configurable_spectrograms_tpu.constants import FAST_SAVE_DPI
@@ -33,6 +34,61 @@ from configurable_spectrograms_tpu.render.plotting import close_all_axes_and_cle
 from configurable_spectrograms_tpu.utils.logging import log_exception
 
 
+class _OrbitRun:
+    """Mutable state for one orbit's processing: result dict + timeouts."""
+
+    def __init__(self, orbit: int, orbit_budget_s: float, stage_budget_s: float):
+        self.result: dict[str, Any] = {"orbit": orbit, "status": "ok", "errors": []}
+        self.started = time.time()
+        self.orbit_budget_s = orbit_budget_s
+        self.stage_budget_s = stage_budget_s
+        self.timed_out = False
+
+    def note_error(self, message: str, exc: BaseException | None = None) -> None:
+        log_exception(message, exc, level="error")
+        self.result["status"] = "error"
+        self.result["errors"].append(message if exc is None else str(exc))
+
+    def check_stage(self, stage_started: float, stage_name: str) -> None:
+        """Soft per-stage timeout (reference fast/process_orbit.py:198-211)."""
+        elapsed = time.time() - stage_started
+        orbit = self.result["orbit"]
+        log_exception(
+            f"[TIMING] Orbit {orbit} instrument {stage_name} elapsed {elapsed:.3f}s"
+            if stage_name != "instrument_grid"
+            else f"[TIMING] Orbit {orbit} instrument-grid elapsed {elapsed:.3f}s",
+            level="message",
+        )
+        if elapsed > self.stage_budget_s and not self.timed_out:
+            self.timed_out = True
+            self.result["timeout_type"] = "instrument"
+            self.result["timeout_instrument"] = stage_name
+            log_exception(
+                f"[TIMEOUT] Instrument {stage_name} in orbit {orbit} exceeded "
+                f"{self.stage_budget_s:.0f}s ({elapsed:.2f}s). Aborting.",
+                level="message",
+            )
+
+    def check_orbit(self) -> None:
+        elapsed = time.time() - self.started
+        if elapsed > self.orbit_budget_s and not self.timed_out:
+            self.timed_out = True
+            self.result["timeout_type"] = "orbit"
+            log_exception(
+                f"[TIMEOUT] Orbit {self.result['orbit']} exceeded "
+                f"{self.orbit_budget_s:.0f}s total ({elapsed:.2f}s).",
+                level="message",
+            )
+
+    def finalize(self) -> dict[str, Any]:
+        # A timeout outranks any per-figure errors (reference
+        # fast/process_orbit.py:285-290); orbit-level timeouts carry no
+        # timeout_instrument key.
+        if self.timed_out:
+            self.result["status"] = "timeout"
+        return self.result
+
+
 def FAST_process_single_orbit(
     orbit_number: int,
     instrument_file_paths: dict[str, str],
@@ -50,43 +106,37 @@ def FAST_process_single_orbit(
     cusp_marker_style: str = "both",
     cusp_marker_kwargs: dict | None = None,
 ) -> dict[str, Any]:
-    """Process and save all ESA spectrogram plots for a single orbit.
+    """Render and save every figure for one orbit.
 
-    Returns a result dict with keys ``orbit``, ``status``
-    (``'ok'``/``'error'``/``'timeout'``), ``errors`` (list of str), and
-    optionally ``timeout_type``/``timeout_instrument`` -- the schema the
-    batch driver's progress taxonomy consumes
-    (reference fast/process_orbit.py:85-92,285-290).
+    Returns ``{orbit, status: ok|error|timeout, errors[], timeout_type?,
+    timeout_instrument?}`` -- the schema the batch driver's progress
+    taxonomy consumes (reference fast/process_orbit.py:85-92,285-290).
+    Deterministic filenames make partial output from a timeout safe: a
+    retry simply overwrites.
     """
-    result: dict[str, Any] = {"orbit": orbit_number, "status": "ok", "errors": []}
-    orbit_start_time = _time.time()
-    timeout_triggered = False
-    timeout_type = None
-    timeout_instrument = None
+    run = _OrbitRun(orbit_number, orbit_timeout_seconds, instrument_timeout_seconds)
 
-    def _save_figures(figs: list[tuple[object, str, str]]) -> None:
-        """Render and save a group of figures in one pooled device batch."""
+    def save_batch(figs: list[tuple[Any, str, str]]) -> None:
+        """Render a figure group in one pooled dispatch and write the PNGs."""
         from configurable_spectrograms_tpu.render.figure import render_figures
 
-        to_render = []
+        wanted = []
         for fig, out_path, desc in figs:
             if not override_plots and os.path.exists(out_path):
                 log_exception(f"[SKIP] Plot already exists, skipping: {out_path}", level="message")
                 close_all_axes_and_clear(fig)
-                continue
-            to_render.append((fig, out_path, desc))
-        if not to_render:
+            else:
+                wanted.append((fig, out_path, desc))
+        if not wanted:
             return
         try:
-            images = render_figures([fig for fig, _, _ in to_render], dpi=FAST_SAVE_DPI)
+            images = render_figures([f for f, _, _ in wanted], dpi=FAST_SAVE_DPI)
         except Exception as exc:
-            log_exception("[FAIL] Rendering figure batch", exc, level="error")
-            result["status"] = "error"
-            result["errors"].append(str(exc))
-            for fig, _, _ in to_render:
+            run.note_error("[FAIL] Rendering figure batch", exc)
+            for fig, _, _ in wanted:
                 close_all_axes_and_clear(fig)
             return
-        for (fig, out_path, desc), image in zip(to_render, images):
+        for (fig, out_path, desc), image in zip(wanted, images):
             try:
                 log_exception(
                     f"[DEBUG] Saving {desc} plot: y_axis_scale={y_axis_scale}, "
@@ -96,9 +146,7 @@ def FAST_process_single_orbit(
                 image.save(out_path, format="PNG", compress_level=3)
                 log_exception(f"[SAVED] {out_path}", level="message")
             except Exception as exc:
-                log_exception(f"[FAIL] Saving figure {out_path}", exc, level="error")
-                result["status"] = "error"
-                result["errors"].append(str(exc))
+                run.note_error(f"[FAIL] Saving figure {out_path}", exc)
             finally:
                 close_all_axes_and_clear(fig)
 
@@ -108,35 +156,34 @@ def FAST_process_single_orbit(
             None,
         )
         year, month = parse_year_month(first_path) if first_path else ("unknown", "unknown")
-        output_dir = os.path.join(output_base_directory, str(year), str(month), str(orbit_number))
-        os.makedirs(output_dir, exist_ok=True)
+        out_dir = os.path.join(output_base_directory, str(year), str(month), str(orbit_number))
+        os.makedirs(out_dir, exist_ok=True)
 
-        for inst_type in DEFAULT_INSTRUMENT_ORDER:
-            if timeout_triggered:
+        # --- per-instrument pitch-angle grids (given + raw variants) --------
+        for inst in DEFAULT_INSTRUMENT_ORDER:
+            if run.timed_out:
                 break
-            cdf_path = instrument_file_paths.get(inst_type)
+            cdf_path = instrument_file_paths.get(inst)
             if not cdf_path:
                 continue
-            inst_start = _time.time()
+            stage_t0 = time.time()
             try:
-                inst_detected = get_cdf_file_type(cdf_path)
-                if inst_detected is None or inst_detected == "orb":
+                detected = get_cdf_file_type(cdf_path)
+                if detected in (None, "orb"):
                     continue
-                time_unix_array = load_fast_cdf_dataset(cdf_path)["times"]
-                vertical_lines = get_timestamps_for_orbit(
-                    filtered_orbits_dataframe, orbit_number, inst_detected, time_unix_array
+                marks = get_timestamps_for_orbit(
+                    filtered_orbits_dataframe, orbit_number, detected,
+                    load_fast_cdf_dataset(cdf_path)["times"],
                 )
-                cusp_tag = "_cusp" if vertical_lines else ""
-                y_min_ov, y_max_ov, z_min_ov, z_max_ov = extrema_overrides(
-                    global_extrema, inst_detected, y_axis_scale, z_axis_scale
-                )
+                cusp_tag = "_cusp" if marks else ""
+                overrides = extrema_overrides(global_extrema, detected, y_axis_scale, z_axis_scale)
 
-                pending: list[tuple[object, str, str]] = []
-                for variant, bounds in (
-                    ("given_extrema", (y_min_ov, y_max_ov, z_min_ov, z_max_ov)),
+                group = []
+                for variant, (ymn, ymx, zmn, zmx) in (
+                    ("given_extrema", overrides),
                     ("raw", (None, None, None, None)),
                 ):
-                    fig, _canvas = FAST_plot_pitch_angle_grid(
+                    fig, _ = FAST_plot_pitch_angle_grid(
                         cdf_path,
                         filtered_orbits_df=filtered_orbits_dataframe,
                         orbit_number=orbit_number,
@@ -145,54 +192,35 @@ def FAST_process_single_orbit(
                         scale_function_z=z_axis_scale,
                         show=False,
                         colormap=colormap,
-                        y_min=bounds[0],
-                        y_max=bounds[1],
-                        z_min=bounds[2],
-                        z_max=bounds[3],
+                        y_min=ymn,
+                        y_max=ymx,
+                        z_min=zmn,
+                        z_max=zmx,
                         cusp_marker_style=cusp_marker_style,
                         cusp_marker_kwargs=cusp_marker_kwargs,
                     )
                     if fig is not None:
-                        fname = (
-                            f"{orbit_number}{cusp_tag}_pitch-angle_ESA_{inst_detected}"
+                        name = (
+                            f"{orbit_number}{cusp_tag}_pitch-angle_ESA_{detected}"
                             f"_y-{y_axis_scale}_z-{z_axis_scale}_{variant}-{colormap}.png"
                         )
-                        pending.append(
-                            (
-                                fig,
-                                os.path.join(output_dir, fname),
-                                f"pitch-angle {inst_detected} ({variant.replace('_', ' ')})",
-                            )
+                        group.append(
+                            (fig, os.path.join(out_dir, name),
+                             f"pitch-angle {detected} ({variant.replace('_', ' ')})")
                         )
-                _save_figures(pending)
-
+                save_batch(group)
             except Exception as exc:
-                err = f"[FAIL] Plotting Orbit {orbit_number} pitch angle grid for {inst_type}"
-                log_exception(err, exc, level="error")
-                result["status"] = "error"
-                result["errors"].append(err)
+                run.note_error(f"[FAIL] Plotting Orbit {orbit_number} pitch angle grid for {inst}", exc)
             finally:
-                inst_elapsed = _time.time() - inst_start
-                log_exception(
-                    f"[TIMING] Orbit {orbit_number} instrument {inst_type} elapsed {inst_elapsed:.3f}s",
-                    level="message",
-                )
-                if inst_elapsed > instrument_timeout_seconds and not timeout_triggered:
-                    timeout_triggered = True
-                    timeout_type = "instrument"
-                    timeout_instrument = inst_type
-                    log_exception(
-                        f"[TIMEOUT] Instrument {inst_type} in orbit {orbit_number} exceeded "
-                        f"{instrument_timeout_seconds:.0f}s ({inst_elapsed:.2f}s). Aborting.",
-                        level="message",
-                    )
+                run.check_stage(stage_t0, inst)
 
-        if not timeout_triggered:
-            grid_start = _time.time()
+        # --- instrument grids (given + raw variants) --------------------------
+        if not run.timed_out:
+            stage_t0 = time.time()
             try:
-                pending = []
+                group = []
                 for variant, extrema in (("given_extrema", global_extrema), ("raw", None)):
-                    fig, _canvas = FAST_plot_instrument_grid(
+                    fig, _ = FAST_plot_instrument_grid(
                         instrument_file_paths,
                         filtered_orbits_df=filtered_orbits_dataframe,
                         orbit_number=orbit_number,
@@ -207,56 +235,21 @@ def FAST_process_single_orbit(
                         cusp_marker_kwargs=cusp_marker_kwargs,
                     )
                     if fig is not None:
-                        fname = (
-                            f"{orbit_number}_instrument-grid_ESA_y-{y_axis_scale}_z-{z_axis_scale}"
-                            f"_{variant}-{colormap}.png"
+                        name = (
+                            f"{orbit_number}_instrument-grid_ESA_y-{y_axis_scale}"
+                            f"_z-{z_axis_scale}_{variant}-{colormap}.png"
                         )
-                        pending.append((fig, os.path.join(output_dir, fname), f"instrument-grid ({variant})"))
-                _save_figures(pending)
+                        group.append((fig, os.path.join(out_dir, name), f"instrument-grid ({variant})"))
+                save_batch(group)
             except Exception as exc:
-                err = f"[FAIL] Plotting Orbit {orbit_number} instrument grid"
-                log_exception(err, exc, level="error")
-                result["status"] = "error"
-                result["errors"].append(err)
+                run.note_error(f"[FAIL] Plotting Orbit {orbit_number} instrument grid", exc)
             finally:
-                grid_elapsed = _time.time() - grid_start
-                log_exception(
-                    f"[TIMING] Orbit {orbit_number} instrument-grid elapsed {grid_elapsed:.3f}s",
-                    level="message",
-                )
-                if grid_elapsed > instrument_timeout_seconds and not timeout_triggered:
-                    timeout_triggered = True
-                    timeout_type = "instrument"
-                    timeout_instrument = "instrument_grid"
-                    log_exception(
-                        f"[TIMEOUT] Instrument grid in orbit {orbit_number} exceeded "
-                        f"{instrument_timeout_seconds:.0f}s ({grid_elapsed:.2f}s). Aborting.",
-                        level="message",
-                    )
+                run.check_stage(stage_t0, "instrument_grid")
 
-        orbit_elapsed = _time.time() - orbit_start_time
-        if orbit_elapsed > orbit_timeout_seconds and not timeout_triggered:
-            timeout_triggered = True
-            timeout_type = "orbit"
-            log_exception(
-                f"[TIMEOUT] Orbit {orbit_number} exceeded {orbit_timeout_seconds:.0f}s total "
-                f"({orbit_elapsed:.2f}s).",
-                level="message",
-            )
-
-        if timeout_triggered:
-            result["status"] = "timeout"
-            result["timeout_type"] = timeout_type
-            if timeout_instrument:
-                result["timeout_instrument"] = timeout_instrument
-            return result
-
+        run.check_orbit()
     except Exception as exc:
-        err = f"[FAIL] Orbit {orbit_number} processing"
-        log_exception(err, exc, level="error")
-        result["status"] = "error"
-        result["errors"].append(err)
+        run.note_error(f"[FAIL] Orbit {orbit_number} processing", exc)
     finally:
         gc.collect()
 
-    return result
+    return run.finalize()
