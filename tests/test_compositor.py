@@ -1,0 +1,103 @@
+"""Pixel-level checks on the PIL compositor (ticks, markers, colorbars)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from configurable_spectrograms_tpu.render.figure import SpectroFigure
+from configurable_spectrograms_tpu.render.plotting import make_spectrogram
+
+
+@pytest.fixture(scope="module")
+def panel_inputs(rng):
+    T, A, E = 80, 8, 16
+    cube = (rng.random((T, A, E)) * 100).astype(np.float32)
+    energy = np.linspace(50, 3000, E).astype(np.float32)
+    t = 9.468e8 + np.arange(T) * 10.0
+    return t, energy, cube
+
+
+def _render(fig, dpi=100):
+    return np.asarray(fig.render(dpi=dpi))
+
+
+def test_cusp_line_marker_pixels(panel_inputs):
+    t, energy, cube = panel_inputs
+    mark = float(t[40])
+    fig = SpectroFigure(figsize=(8, 3))
+    ax = fig.add_subplot(1, 1, 1)
+    make_spectrogram(t, energy, cube, axis_object=ax, vertical_lines_unix=[mark],
+                     cusp_marker_style="line", colormap="viridis")
+    img = _render(fig)
+    # A red column (the 2pt overlay) must exist inside the axes area.
+    red = (img[:, :, 0] > 200) & (img[:, :, 1] < 80) & (img[:, :, 2] < 80)
+    assert red.sum() > 20
+
+
+def test_cusp_bracket_below_axis(panel_inputs):
+    t, energy, cube = panel_inputs
+    fig = SpectroFigure(figsize=(8, 3))
+    ax = fig.add_subplot(1, 1, 1)
+    make_spectrogram(t, energy, cube, axis_object=ax,
+                     vertical_lines_unix=[float(t[30]), float(t[60])],
+                     cusp_marker_style="bracket", colormap="viridis")
+    base = SpectroFigure(figsize=(8, 3))
+    bax = base.add_subplot(1, 1, 1)
+    make_spectrogram(t, energy, cube, axis_object=bax, colormap="viridis")
+    with_bracket = _render(fig)
+    without = _render(base)
+    # The bracket adds dark pixels; the tile itself is unchanged.
+    dark_delta = int((with_bracket.sum(axis=-1) < 200).sum()) - int((without.sum(axis=-1) < 200).sum())
+    assert dark_delta > 10
+
+
+def test_nonunix_x_axis_ticks(panel_inputs):
+    _, energy, cube = panel_inputs
+    x = np.linspace(0.0, 10.0, cube.shape[0])
+    fig = SpectroFigure(figsize=(8, 3))
+    ax = fig.add_subplot(1, 1, 1)
+    result = make_spectrogram(x, energy, cube, axis_object=ax, x_axis_is_unix=False,
+                              x_axis_label="Seconds")
+    assert result[0] is ax
+    np.testing.assert_array_equal(result[1], x)  # no date conversion
+    assert ax.xlabel == "Seconds"
+    img = _render(fig)
+    assert img.std() > 0
+
+
+def test_colorbar_gradient_present(panel_inputs):
+    t, energy, cube = panel_inputs
+    fig = SpectroFigure(figsize=(8, 3))
+    ax = fig.add_subplot(1, 1, 1)
+    make_spectrogram(t, energy, cube, axis_object=ax, colormap="viridis",
+                     z_axis_min=0.0, z_axis_max=100.0)
+    img = _render(fig)
+    from configurable_spectrograms_tpu.ops import colormap_lut
+
+    lut = colormap_lut("viridis")
+    # Both colormap endpoints should appear (top and bottom of the strip).
+    lo = np.all(np.abs(img.astype(int) - lut[4, :3].astype(int)) <= 2, axis=-1)
+    hi = np.all(np.abs(img.astype(int) - lut[250, :3].astype(int)) <= 2, axis=-1)
+    assert lo.any() and hi.any()
+
+
+def test_single_sample_window(panel_inputs):
+    """A one-sample time window renders without dividing by zero."""
+    t, energy, cube = panel_inputs
+    ax, x_plot = make_spectrogram(t[:1], energy, cube[:1])
+    assert ax is not None and len(x_plot) == 1
+    img = np.asarray(ax.figure.render(dpi=60) if hasattr(ax, "figure") else _render_axfig(ax))
+    assert img.size > 0
+
+
+def _render_axfig(ax):
+    fig = SpectroFigure()
+    fig.axes = [ax]
+    return fig.render(dpi=60)
+
+
+def test_stft_empty_signal():
+    from configurable_spectrograms_tpu.ops.stft import stft_magnitude
+
+    out = np.asarray(stft_magnitude(np.zeros(16, np.float32), frame_length=32, hop_length=8))
+    assert out.shape[0] == 0  # shorter than one frame -> zero frames
