@@ -118,7 +118,7 @@ def FAST_process_single_orbit(
 
     def save_batch(figs: list[tuple[Any, str, str]]) -> None:
         """Render a figure group in one pooled dispatch and write the PNGs."""
-        from configurable_spectrograms_tpu.render.figure import render_figures
+        from configurable_spectrograms_tpu.render.figure import render_figures, save_image
 
         wanted = []
         for fig, out_path, desc in figs:
@@ -143,7 +143,7 @@ def FAST_process_single_orbit(
                     f"z_axis_scale={z_axis_scale}, filename={out_path}",
                     level="message",
                 )
-                image.save(out_path, format="PNG", compress_level=3)
+                save_image(image, out_path, compress_level=3)
                 log_exception(f"[SAVED] {out_path}", level="message")
             except Exception as exc:
                 run.note_error(f"[FAIL] Saving figure {out_path}", exc)

@@ -1,0 +1,120 @@
+// Minimal fast PNG encoder for RGB8 images.
+//
+// The figure pipeline's largest host cost is PNG encoding: PIL runs
+// adaptive per-scanline filtering plus zlib level-N on a single core.
+// This encoder writes PNGs with a fixed filter strategy (Up, which
+// compresses spectrogram tiles nearly as well as adaptive at a fraction
+// of the filtering cost) and a caller-chosen zlib level.  Exposed via
+// ctypes; the Python wrapper releases the GIL for the whole call so
+// batch-driver worker threads overlap encode with device readback.
+//
+// PNG container: 8-byte signature, IHDR, one IDAT (zlib stream), IEND.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+uint32_t crc_table_once[256];
+bool crc_ready = false;
+
+void init_crc() {
+    if (crc_ready) return;
+    for (uint32_t n = 0; n < 256; ++n) {
+        uint32_t c = n;
+        for (int k = 0; k < 8; ++k) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+        crc_table_once[n] = c;
+    }
+    crc_ready = true;
+}
+
+uint32_t crc32_of(const uint8_t* a, size_t n, uint32_t crc = 0xFFFFFFFFu) {
+    init_crc();
+    for (size_t i = 0; i < n; ++i) crc = crc_table_once[(crc ^ a[i]) & 0xFF] ^ (crc >> 8);
+    return crc;
+}
+
+void put_be32(std::vector<uint8_t>& v, uint32_t x) {
+    v.push_back(uint8_t(x >> 24));
+    v.push_back(uint8_t(x >> 16));
+    v.push_back(uint8_t(x >> 8));
+    v.push_back(uint8_t(x));
+}
+
+void chunk(std::vector<uint8_t>& out, const char type[4], const uint8_t* data, size_t n) {
+    put_be32(out, uint32_t(n));
+    size_t start = out.size();
+    out.insert(out.end(), type, type + 4);
+    out.insert(out.end(), data, data + n);
+    uint32_t crc = crc32_of(out.data() + start, out.size() - start) ^ 0xFFFFFFFFu;
+    put_be32(out, crc);
+}
+
+}  // namespace
+
+extern "C" int fastpng_write_rgb(
+    const uint8_t* rgb,   // h*w*3 bytes, row-major
+    int32_t w,
+    int32_t h,
+    int32_t zlevel,       // 1..9
+    const char* path
+) {
+    if (w <= 0 || h <= 0 || rgb == nullptr || path == nullptr) return -1;
+    const size_t stride = size_t(w) * 3;
+
+    // Filtered scanlines: filter byte 2 ("Up") per row; row 0 uses "None".
+    std::vector<uint8_t> raw(size_t(h) * (stride + 1));
+    {
+        uint8_t* dst = raw.data();
+        const uint8_t* prev = nullptr;
+        for (int32_t y = 0; y < h; ++y) {
+            const uint8_t* src = rgb + size_t(y) * stride;
+            if (prev == nullptr) {
+                *dst++ = 0;  // None
+                std::memcpy(dst, src, stride);
+                dst += stride;
+            } else {
+                *dst++ = 2;  // Up
+                for (size_t x = 0; x < stride; ++x) dst[x] = uint8_t(src[x] - prev[x]);
+                dst += stride;
+            }
+            prev = src;
+        }
+    }
+
+    uLongf bound = compressBound(uLong(raw.size()));
+    std::vector<uint8_t> zdata(bound);
+    if (compress2(zdata.data(), &bound, raw.data(), uLong(raw.size()),
+                  zlevel < 1 ? 1 : (zlevel > 9 ? 9 : zlevel)) != Z_OK) {
+        return -2;
+    }
+    zdata.resize(bound);
+
+    std::vector<uint8_t> out;
+    out.reserve(zdata.size() + 128);
+    static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+    out.insert(out.end(), sig, sig + 8);
+
+    uint8_t ihdr[13];
+    ihdr[0] = uint8_t(uint32_t(w) >> 24); ihdr[1] = uint8_t(uint32_t(w) >> 16);
+    ihdr[2] = uint8_t(uint32_t(w) >> 8);  ihdr[3] = uint8_t(w);
+    ihdr[4] = uint8_t(uint32_t(h) >> 24); ihdr[5] = uint8_t(uint32_t(h) >> 16);
+    ihdr[6] = uint8_t(uint32_t(h) >> 8);  ihdr[7] = uint8_t(h);
+    ihdr[8] = 8;   // bit depth
+    ihdr[9] = 2;   // color type: truecolor RGB
+    ihdr[10] = 0;  // compression
+    ihdr[11] = 0;  // filter method
+    ihdr[12] = 0;  // no interlace
+    chunk(out, "IHDR", ihdr, 13);
+    chunk(out, "IDAT", zdata.data(), zdata.size());
+    chunk(out, "IEND", nullptr, 0);
+
+    FILE* f = std::fopen(path, "wb");
+    if (!f) return -3;
+    size_t written = std::fwrite(out.data(), 1, out.size(), f);
+    std::fclose(f);
+    return written == out.size() ? 0 : -4;
+}

@@ -101,3 +101,18 @@ def test_stft_empty_signal():
 
     out = np.asarray(stft_magnitude(np.zeros(16, np.float32), frame_length=32, hop_length=8))
     assert out.shape[0] == 0  # shorter than one frame -> zero frames
+
+
+def test_fastpng_roundtrip(tmp_path, rng):
+    from PIL import Image as PILImage
+
+    from configurable_spectrograms_tpu.render.fastpng import native_available, write_png_rgb
+
+    if not native_available():
+        pytest.skip("native fastpng unavailable (no g++?)")
+    arr = (rng.random((64, 96, 3)) * 255).astype(np.uint8)
+    path = str(tmp_path / "x.png")
+    assert write_png_rgb(arr, path, 3)
+    np.testing.assert_array_equal(np.asarray(PILImage.open(path)), arr)
+    # Bad inputs fall back cleanly.
+    assert not write_png_rgb(arr[:, :, :2], str(tmp_path / "bad.png"))
