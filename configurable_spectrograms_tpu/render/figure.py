@@ -188,7 +188,8 @@ def save_image(image: Image.Image, path: str, compress_level: int = 3) -> None:
     if is_png:
         from configurable_spectrograms_tpu.render.fastpng import write_png_rgb
 
-        if write_png_rgb(np.asarray(image.convert("RGB")), path, compress_level):
+        rgb = image if image.mode == "RGB" else image.convert("RGB")
+        if write_png_rgb(np.asarray(rgb), path, compress_level):
             return
         image.save(path, format="PNG", compress_level=compress_level)
     else:
@@ -451,7 +452,10 @@ class _Layout:
     # -- full composite -------------------------------------------------------
 
     def composite(self) -> Image.Image:
-        img = Image.new("RGBA", (self.W, self.H), (255, 255, 255, 255))
+        # RGB canvas: every paste source is fully opaque (tiles) or carries
+        # its own mask (rotated/cached text), so alpha on the canvas would
+        # only buy a 33% bigger buffer and a convert at save time.
+        img = Image.new("RGB", (self.W, self.H), (255, 255, 255))
         draw = ImageDraw.Draw(img)
         for ax in self.fig.axes:
             self._draw_axes(img, draw, ax)
@@ -473,7 +477,7 @@ class _Layout:
                 "center": "m",
             }.get(t["va"], "s")
             draw_text(draw, (x, y), t["s"], px, fill=t["color"], anchor=anchor)
-        return img.convert("RGB")
+        return img
 
     def _draw_axes(self, img: Image.Image, draw: ImageDraw.ImageDraw, ax: Axes) -> None:
         rect = self.axes_rect(ax)
