@@ -250,9 +250,10 @@ def _batched_quantize_fn(spec_key):
     def one(u, pm, tv, en, ev, ts, tc, zb, zbev, zbft, cubes):
         m = collapse_cube(cubes[u], pm, tv)
         q = quantize_matrix(m, en, ev, tv, ts, tc, zb, spec, zb_e_valid=zbev, zb_full_time=zbft)
-        # Pack everything except the index matrix into one float32 vector so
-        # the host readback is two buffers (idx + meta), not nine -- the
-        # slow host<->device link here charges latency per buffer.
+        # Pack the metadata (scalars + kept_pos) behind the index matrix in
+        # ONE uint8 buffer: this host<->device link charges latency per
+        # buffer, so a single readback wins.  Floats travel as bitcast
+        # bytes; the host unpacks with a matching frombuffer view.
         meta = jnp.concatenate(
             [
                 jnp.stack(
@@ -269,7 +270,8 @@ def _batched_quantize_fn(spec_key):
                 q["kept_pos"].astype(jnp.float32),
             ]
         )
-        return q["idx"], meta
+        meta_bytes = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(-1)
+        return jnp.concatenate([q["idx"].reshape(-1), meta_bytes])
 
     return jax.jit(jax.vmap(one, in_axes=(0,) * 10 + (None,)))
 
@@ -356,15 +358,14 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
                 zb_full[j] = False
 
         fn = _batched_quantize_fn((y_scale, z_scale, lo_pct, hi_pct))
-        import jax
-
-        idx_dev, meta_dev = fn(
-            u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
-            zb_e_valids, zb_full, cubes,
+        packed = np.asarray(
+            fn(
+                u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
+                zb_e_valids, zb_full, cubes,
+            )
         )
-        idx_host, meta_host = jax.device_get((idx_dev, meta_dev))
-        idx_host = np.asarray(idx_host)
-        meta_host = np.asarray(meta_host)
+        idx_host = packed[:, : Tp * Ep].reshape(n, Tp, Ep)
+        meta_host = packed[:, Tp * Ep :].copy().view(np.float32).reshape(n, 7 + Ep)
 
         for j, i in enumerate(idxs):
             p = panels[i]
