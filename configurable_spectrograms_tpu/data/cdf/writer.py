@@ -1,10 +1,11 @@
-"""Writer for single-file CDF V3 files (synthetic fixtures and exports).
+"""Writer for single-file CDF containers (synthetic fixtures and exports).
 
-Produces spec-conformant CDF V3.7 single-file containers with z-variables,
-optional per-variable GZIP compression (CVVR), optional whole-file
-compression (CCR), and global attributes.  Used by the synthetic FAST
-fixture generator (the reference repo ships no data, so tests and
-benchmarks generate their own CDFs) and round-trip tested against
+Produces spec-conformant CDF V3.7 -- or V2.7, whose 4-byte offsets and
+64-byte name fields exercise the reader's legacy branch -- single-file
+containers with z-variables, optional per-variable GZIP compression (CVVR),
+optional whole-file compression (CCR), and global attributes.  Used by the
+synthetic FAST fixture generator (the reference repo ships no data, so
+tests and benchmarks generate their own CDFs) and round-trip tested against
 :mod:`configurable_spectrograms_tpu.data.cdf.reader`.
 """
 
@@ -31,30 +32,61 @@ _NP_TO_CDF: dict[str, int] = {
 }
 
 
-def _pack_name(name: str) -> bytes:
-    raw = name.encode("latin-1")[:256]
-    return raw + b"\x00" * (256 - len(raw))
+class _Format:
+    """Byte-layout knobs that differ between CDF V3 and V2.6/2.7."""
+
+    def __init__(self, version: int):
+        if version == 3:
+            self.magic1 = 0xCDF30001
+            self.off_fmt = ">q"
+            self.off_size = 8
+            self.name_len = 256
+            self.ver, self.rel = 3, 7
+        elif version == 2:
+            self.magic1 = 0xCDF26002
+            self.off_fmt = ">i"
+            self.off_size = 4
+            self.name_len = 64
+            self.ver, self.rel = 2, 7
+        else:
+            raise ValueError(f"unsupported CDF version {version}")
+        self.header_len = self.off_size + 4  # RecordSize + RecordType
+
+    def off(self, value: int) -> bytes:
+        return struct.pack(self.off_fmt, value)
+
+    def name(self, text: str) -> bytes:
+        raw = text.encode("latin-1")[: self.name_len]
+        return raw + b"\x00" * (self.name_len - len(raw))
+
+    def record(self, rtype: int, body: bytes) -> bytes:
+        return self.off(self.header_len + len(body)) + struct.pack(">i", rtype) + body
 
 
 class _Builder:
-    def __init__(self) -> None:
+    """Accumulates records, supporting later patching of offset fields."""
+
+    def __init__(self, fmt: _Format) -> None:
+        self.fmt = fmt
         self.chunks: list[bytes] = []
         self.pos = 0
 
     def add(self, data: bytes) -> int:
-        off = self.pos
+        at = self.pos
         self.chunks.append(data)
         self.pos += len(data)
-        return off
+        return at
 
-    def patch(self, chunk_index: int, offset_in_chunk: int, value: int, fmt: str = ">q") -> None:
+    def patch_off(self, chunk_index: int, body_pos: int, value: int) -> None:
+        """Overwrite an offset-sized field at *body_pos* within a record body."""
         c = bytearray(self.chunks[chunk_index])
-        struct.pack_into(fmt, c, offset_in_chunk, value)
+        struct.pack_into(self.fmt.off_fmt, c, self.fmt.header_len + body_pos, value)
         self.chunks[chunk_index] = bytes(c)
 
-
-def _record(rtype: int, body: bytes) -> bytes:
-    return struct.pack(">qi", 12 + len(body), rtype) + body
+    def patch_i4(self, chunk_index: int, body_pos: int, value: int) -> None:
+        c = bytearray(self.chunks[chunk_index])
+        struct.pack_into(">i", c, self.fmt.header_len + body_pos, value)
+        self.chunks[chunk_index] = bytes(c)
 
 
 def write_cdf(
@@ -63,8 +95,9 @@ def write_cdf(
     global_attrs: dict[str, Any] | None = None,
     compress: str = "none",
     row_major: bool = True,
+    version: int = 3,
 ) -> str:
-    """Write *variables* to a single-file CDF V3 at *path*.
+    """Write *variables* to a single-file CDF at *path*.
 
     Parameters
     ----------
@@ -80,6 +113,8 @@ def write_cdf(
         ``'file'`` wraps the whole container in a CCR.
     row_major : bool, default True
         Record-interior element order.
+    version : {3, 2}, default 3
+        Container format generation (2 = V2.7 legacy layout).
 
     Returns
     -------
@@ -88,142 +123,151 @@ def write_cdf(
     """
     if compress not in ("none", "gzip", "file"):
         raise ValueError(f"unsupported compress mode {compress!r}")
-    b = _Builder()
-    b.add(struct.pack(">II", 0xCDF30001, 0x0000FFFF))
+    fmt = _Format(version)
+    b = _Builder(fmt)
+    b.add(struct.pack(">II", fmt.magic1, 0x0000FFFF))
 
-    # --- CDR ---------------------------------------------------------------
+    # --- CDR -----------------------------------------------------------------
     flags = 0x2 | (0x1 if row_major else 0x0)  # single-file (+ row-major)
-    cdr_body = bytearray()
-    cdr_body += struct.pack(">q", 0)  # GDRoffset (patched)
-    cdr_body += struct.pack(">iiii", 3, 7, _ENCODING_IBMPC, flags)
-    cdr_body += struct.pack(">iiiii", 0, 0, 0, 3, 0)  # rfuA,rfuB,Increment,Identifier,rfuE
-    cdr_body += b"\x00" * 256  # copyright
+    cdr = bytearray()
+    cdr_gdr_pos = len(cdr)
+    cdr += fmt.off(0)  # GDRoffset (patched)
+    cdr += struct.pack(">iiii", fmt.ver, fmt.rel, _ENCODING_IBMPC, flags)
+    cdr += struct.pack(">iiiii", 0, 0, 0, 3, 0)  # rfuA, rfuB, Increment, Identifier, rfuE
+    cdr += b"\x00" * 256  # copyright
     cdr_index = len(b.chunks)
-    b.add(_record(1, bytes(cdr_body)))
+    b.add(fmt.record(1, bytes(cdr)))
 
-    # --- GDR (patched later with heads/eof) ---------------------------------
+    # --- GDR (heads/eof patched later) -----------------------------------------
     names = list(variables)
-    gdr_body = bytearray()
-    gdr_body += struct.pack(">qqqq", 0, 0, 0, 0)  # rVDRhead, zVDRhead, ADRhead, eof
-    gdr_body += struct.pack(">iiii", 0, 0, -1, 0)  # NrVars, NumAttr, rMaxRec, rNumDims
-    gdr_body += struct.pack(">i", len(names))  # NzVars
-    gdr_body += struct.pack(">q", 0)  # UIRhead
-    gdr_body += struct.pack(">iii", 0, 0, 0)  # rfuC, LeapSecondLastUpdated, rfuE
+    gdr = bytearray()
+    gdr += fmt.off(0)  # rVDRhead
+    gdr_zhead_pos = len(gdr)
+    gdr += fmt.off(0)  # zVDRhead (patched)
+    gdr_ahead_pos = len(gdr)
+    gdr += fmt.off(0)  # ADRhead (patched)
+    gdr_eof_pos = len(gdr)
+    gdr += fmt.off(0)  # eof (patched)
+    gdr += struct.pack(">i", 0)  # NrVars
+    gdr_nattr_pos = len(gdr)
+    gdr += struct.pack(">i", 0)  # NumAttr (patched)
+    gdr += struct.pack(">ii", -1, 0)  # rMaxRec, rNumDims
+    gdr += struct.pack(">i", len(names))  # NzVars
+    gdr += fmt.off(0)  # UIRhead
+    gdr += struct.pack(">iii", 0, 0, 0)  # rfuC, LeapSecondLastUpdated, rfuE
     gdr_index = len(b.chunks)
-    gdr_off = b.add(_record(2, bytes(gdr_body)))
-    b.patch(cdr_index, 12, gdr_off)
+    gdr_off = b.add(fmt.record(2, bytes(gdr)))
+    b.patch_off(cdr_index, cdr_gdr_pos, gdr_off)
 
-    # --- variables -----------------------------------------------------------
+    # --- z-variables -------------------------------------------------------------
     zvdr_head = 0
-    prev_vdr_index: int | None = None
+    prev_vdr: tuple[int, int] | None = None  # (chunk index, VDRnext body pos)
     per_var_gzip = compress == "gzip"
     for num, name in enumerate(names):
         arr = np.ascontiguousarray(variables[name]) if row_major else np.asfortranarray(variables[name])
         if arr.dtype.name not in _NP_TO_CDF:
             raise ValueError(f"variable {name!r}: unsupported dtype {arr.dtype}")
-        data_type = _NP_TO_CDF[arr.dtype.name]
         n_rec = int(arr.shape[0]) if arr.ndim else 1
         dims = tuple(int(s) for s in arr.shape[1:])
-        le = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
-        rec_bytes = le.tobytes(order="C" if row_major else "F")
+        payload = arr.astype(arr.dtype.newbyteorder("<"), copy=False).tobytes(
+            order="C" if row_major else "F"
+        )
 
-        vdr_body = bytearray()
-        vdr_body += struct.pack(">q", 0)  # VDRnext (patched)
-        vdr_body += struct.pack(">ii", data_type, n_rec - 1)  # DataType, MaxRec
-        vdr_body += struct.pack(">qq", 0, 0)  # VXRhead, VXRtail (patched)
-        vdr_flags = 0x1 | (0x4 if per_var_gzip else 0)  # rec-vary (+compressed)
-        vdr_body += struct.pack(">ii", vdr_flags, 0)  # Flags, SRecords
-        vdr_body += struct.pack(">iii", 0, 0, -1)  # rfuB, rfuC, rfuF
-        vdr_body += struct.pack(">ii", 1, num)  # NumElems, Num
-        vdr_body += struct.pack(">q", 0)  # CPRorSPRoffset (patched if gzip)
-        vdr_body += struct.pack(">i", n_rec)  # BlockingFactor
-        vdr_body += _pack_name(name)
-        vdr_body += struct.pack(">i", len(dims))
+        vdr = bytearray()
+        vdr_next_pos = len(vdr)
+        vdr += fmt.off(0)  # VDRnext (patched by successor)
+        vdr += struct.pack(">ii", _NP_TO_CDF[arr.dtype.name], n_rec - 1)  # DataType, MaxRec
+        vdr_vxr_pos = len(vdr)
+        vdr += fmt.off(0)  # VXRhead (patched)
+        vdr_vxrt_pos = len(vdr)
+        vdr += fmt.off(0)  # VXRtail (patched)
+        vdr += struct.pack(">ii", 0x1 | (0x4 if per_var_gzip else 0), 0)  # Flags, SRecords
+        vdr += struct.pack(">iii", 0, 0, -1)  # rfuB, rfuC, rfuF
+        vdr += struct.pack(">ii", 1, num)  # NumElems, Num
+        vdr_cpr_pos = len(vdr)
+        vdr += fmt.off(0)  # CPRorSPRoffset (patched when gzip)
+        vdr += struct.pack(">i", n_rec)  # BlockingFactor
+        vdr += fmt.name(name)
+        vdr += struct.pack(">i", len(dims))
         for d in dims:
-            vdr_body += struct.pack(">i", d)
-        for _ in dims:
-            vdr_body += struct.pack(">i", -1)  # DimVarys: true
+            vdr += struct.pack(">i", d)
+        vdr += struct.pack(">i", -1) * len(dims)  # DimVarys: all true
         vdr_index = len(b.chunks)
-        vdr_off = b.add(_record(8, bytes(vdr_body)))
-        if prev_vdr_index is None:
+        vdr_off = b.add(fmt.record(8, bytes(vdr)))
+        if prev_vdr is None:
             zvdr_head = vdr_off
         else:
-            b.patch(prev_vdr_index, 12, vdr_off)  # prior VDRnext
-        prev_vdr_index = vdr_index
+            b.patch_off(prev_vdr[0], prev_vdr[1], vdr_off)
+        prev_vdr = (vdr_index, vdr_next_pos)
 
         if per_var_gzip:
-            cpr_body = struct.pack(">iiii", 5, 0, 1, 6)  # GZIP, rfuA, pCount, level
-            cpr_off = b.add(_record(11, cpr_body))
-            b.patch(vdr_index, 12 + 8 + 8 + 16 + 8 + 12 + 8, cpr_off)
-            cdata = gzip.compress(rec_bytes, compresslevel=6)
-            cvvr_body = struct.pack(">iq", 0, len(cdata)) + cdata
-            data_off = b.add(_record(13, cvvr_body))
+            cpr_off = b.add(fmt.record(11, struct.pack(">iiii", 5, 0, 1, 6)))  # GZIP level 6
+            b.patch_off(vdr_index, vdr_cpr_pos, cpr_off)
+            cdata = gzip.compress(payload, compresslevel=6)
+            data_off = b.add(fmt.record(13, struct.pack(">i", 0) + fmt.off(len(cdata)) + cdata))
         else:
-            data_off = b.add(_record(7, rec_bytes))
+            data_off = b.add(fmt.record(7, payload))
 
-        vxr_body = bytearray()
-        vxr_body += struct.pack(">q", 0)  # VXRnext
-        vxr_body += struct.pack(">ii", 1, 1)  # Nentries, NusedEntries
-        vxr_body += struct.pack(">i", 0)  # First
-        vxr_body += struct.pack(">i", n_rec - 1)  # Last
-        vxr_body += struct.pack(">q", data_off)
-        vxr_off = b.add(_record(6, bytes(vxr_body)))
-        b.patch(vdr_index, 12 + 8 + 8, vxr_off)  # VXRhead
-        b.patch(vdr_index, 12 + 8 + 8 + 8, vxr_off)  # VXRtail
+        vxr = bytearray()
+        vxr += fmt.off(0)  # VXRnext
+        vxr += struct.pack(">ii", 1, 1)  # Nentries, NusedEntries
+        vxr += struct.pack(">ii", 0, n_rec - 1)  # First, Last
+        vxr += fmt.off(data_off)
+        vxr_off = b.add(fmt.record(6, bytes(vxr)))
+        b.patch_off(vdr_index, vdr_vxr_pos, vxr_off)
+        b.patch_off(vdr_index, vdr_vxrt_pos, vxr_off)
 
-    # --- global attributes -----------------------------------------------------
+    # --- global attributes ----------------------------------------------------------
     gattrs = dict(global_attrs or {})
     adr_head = 0
-    prev_adr_index: int | None = None
+    prev_adr: tuple[int, int] | None = None
     for attr_num, (aname, avalue) in enumerate(gattrs.items()):
-        adr_body = bytearray()
-        adr_body += struct.pack(">q", 0)  # ADRnext (patched)
-        adr_body += struct.pack(">q", 0)  # AgrEDRhead (patched below)
-        adr_body += struct.pack(">ii", 1, attr_num)  # Scope=global, Num
-        adr_body += struct.pack(">ii", 1, 0)  # NgrEntries, MAXgrEntry
-        adr_body += struct.pack(">i", 0)  # rfuA
-        adr_body += struct.pack(">q", 0)  # AzEDRhead
-        adr_body += struct.pack(">iii", 0, -1, 0)  # NzEntries, MAXzEntry, rfuE
-        adr_body += _pack_name(aname)
+        adr = bytearray()
+        adr_next_pos = len(adr)
+        adr += fmt.off(0)  # ADRnext (patched by successor)
+        adr_aedr_pos = len(adr)
+        adr += fmt.off(0)  # AgrEDRhead (patched)
+        adr += struct.pack(">ii", 1, attr_num)  # Scope=global, Num
+        adr += struct.pack(">iii", 1, 0, 0)  # NgrEntries, MAXgrEntry, rfuA
+        adr += fmt.off(0)  # AzEDRhead
+        adr += struct.pack(">iii", 0, -1, 0)  # NzEntries, MAXzEntry, rfuE
+        adr += fmt.name(aname)
         adr_index = len(b.chunks)
-        adr_off = b.add(_record(4, bytes(adr_body)))
-        if prev_adr_index is None:
+        adr_off = b.add(fmt.record(4, bytes(adr)))
+        if prev_adr is None:
             adr_head = adr_off
         else:
-            b.patch(prev_adr_index, 12, adr_off)
-        prev_adr_index = adr_index
+            b.patch_off(prev_adr[0], prev_adr[1], adr_off)
+        prev_adr = (adr_index, adr_next_pos)
 
         if isinstance(avalue, str):
             raw = avalue.encode("latin-1")
-            a_dtype, a_elems = 51, max(1, len(raw))
-            payload = raw
+            a_dtype, a_elems, a_payload = 51, max(1, len(raw)), raw
         else:
             val = np.asarray(avalue)
             a_dtype = _NP_TO_CDF[val.dtype.name]
             a_elems = int(val.size)
-            payload = val.astype(val.dtype.newbyteorder("<"), copy=False).tobytes()
-        aedr_body = bytearray()
-        aedr_body += struct.pack(">q", 0)  # AEDRnext
-        aedr_body += struct.pack(">ii", attr_num, a_dtype)
-        aedr_body += struct.pack(">ii", 0, a_elems)  # Num (entry), NumElems
-        aedr_body += struct.pack(">iiiii", 0, 0, 0, 0, 0)  # NumStrings + rfu
-        aedr_body += payload
-        aedr_off = b.add(_record(5, bytes(aedr_body)))
-        b.patch(adr_index, 12 + 8, aedr_off)  # AgrEDRhead
+            a_payload = val.astype(val.dtype.newbyteorder("<"), copy=False).tobytes()
+        aedr = bytearray()
+        aedr += fmt.off(0)  # AEDRnext
+        aedr += struct.pack(">ii", attr_num, a_dtype)
+        aedr += struct.pack(">ii", 0, a_elems)  # entry Num, NumElems
+        aedr += struct.pack(">iiiii", 0, 0, 0, 0, 0)  # NumStrings/rfuA..rfuE
+        aedr += a_payload
+        aedr_off = b.add(fmt.record(5, bytes(aedr)))
+        b.patch_off(adr_index, adr_aedr_pos, aedr_off)
 
-    # patch GDR: zVDRhead, ADRhead, eof, NumAttr
-    eof = b.pos
-    b.patch(gdr_index, 12 + 8, zvdr_head)
-    b.patch(gdr_index, 12 + 16, adr_head)
-    b.patch(gdr_index, 12 + 24, eof)
-    b.patch(gdr_index, 12 + 32 + 4, len(gattrs), fmt=">i")
+    b.patch_off(gdr_index, gdr_zhead_pos, zvdr_head)
+    b.patch_off(gdr_index, gdr_ahead_pos, adr_head)
+    b.patch_off(gdr_index, gdr_eof_pos, b.pos)
+    b.patch_i4(gdr_index, gdr_nattr_pos, len(gattrs))
 
     blob = b"".join(b.chunks)
     if compress == "file":
         body = blob[8:]
         cdata = gzip.compress(body, compresslevel=6)
-        ccr_body = struct.pack(">qqi", 0, len(body), 0) + cdata  # CPRoffset, uSize, rfuA
-        blob = struct.pack(">II", 0xCDF30001, 0xCCCC0001) + _record(10, ccr_body)
+        ccr = fmt.off(0) + fmt.off(len(body)) + struct.pack(">i", 0) + cdata
+        blob = struct.pack(">II", fmt.magic1, 0xCCCC0001) + fmt.record(10, ccr)
     with open(path, "wb") as f:
         f.write(blob)
     return path

@@ -74,3 +74,29 @@ def test_missing_variable(tmp_path, sample_vars):
     write_cdf(path, sample_vars)
     with CDF(path) as c, pytest.raises(CDFError):
         c.varget("nope")
+
+
+@pytest.mark.parametrize("compress", ["none", "gzip", "file"])
+def test_v2_roundtrip(tmp_path, sample_vars, compress):
+    """The legacy V2.7 layout (4-byte offsets, 64-byte names) round-trips."""
+    path = str(tmp_path / f"v2_{compress}.cdf")
+    write_cdf(path, sample_vars, global_attrs={"Mission": "FAST", "N": np.int32(9)},
+              compress=compress, version=2)
+    with CDF(path) as c:
+        assert c.cdf_info()["Version"] == "2.7"
+        for name, expected in sample_vars.items():
+            np.testing.assert_array_equal(c.varget(name), expected)
+        assert c.globalattsget() == {"Mission": "FAST", "N": 9}
+
+
+def test_v2_column_major(tmp_path, sample_vars):
+    path = str(tmp_path / "v2cm.cdf")
+    write_cdf(path, sample_vars, row_major=False, version=2)
+    with CDF(path) as c:
+        for name, expected in sample_vars.items():
+            np.testing.assert_array_equal(c.varget(name), expected)
+
+
+def test_bad_version(tmp_path, sample_vars):
+    with pytest.raises(ValueError):
+        write_cdf(str(tmp_path / "x.cdf"), sample_vars, version=4)
