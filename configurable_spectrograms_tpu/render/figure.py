@@ -453,10 +453,14 @@ class _Layout:
     # -- full composite -------------------------------------------------------
 
     def composite(self) -> Image.Image:
-        # RGB canvas: every paste source is fully opaque (tiles) or carries
-        # its own mask (rotated/cached text), so alpha on the canvas would
-        # only buy a 33% bigger buffer and a convert at save time.
-        img = Image.new("RGB", (self.W, self.H), (255, 255, 255))
+        # Pass 1: blit data tiles and colorbar strips straight into a numpy
+        # canvas (pure memcpy, no PIL Image wrapping per tile).  Pass 2:
+        # decorations (frames, ticks, text, markers) via PIL on the wrapped
+        # image.  RGB throughout -- every source is opaque or masked.
+        canvas = np.full((self.H, self.W, 3), 255, np.uint8)
+        for ax in self.fig.axes:
+            self._blit_tiles(canvas, ax)
+        img = Image.fromarray(canvas)
         draw = ImageDraw.Draw(img)
         for ax in self.fig.axes:
             self._draw_axes(img, draw, ax)
@@ -480,15 +484,26 @@ class _Layout:
             draw_text(draw, (x, y), t["s"], px, fill=t["color"], anchor=anchor)
         return img
 
+    def _blit_tiles(self, canvas: np.ndarray, ax: Axes) -> None:
+        """Numpy-blit this axes' data tile and colorbar strip into *canvas*."""
+        p, r = ax.panel, ax.result
+        if p is None or r is None or bool(r["empty"]):
+            return
+        x0, y0, x1, y1 = self.axes_rect(ax)
+        canvas[y0:y1, x0:x1] = r["rgba"][: y1 - y0, : x1 - x0, :3]
+        from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
+
+        cb_x0 = x1 + round(0.035 * self.cell_w)
+        cb_w = max(4, round(0.045 * self.cell_w))
+        h = self.tile_h
+        rows = np.clip(((1.0 - (np.arange(h) + 0.5) / h) * 256).astype(int), 0, 255)
+        canvas[y0 : y0 + h, cb_x0 : cb_x0 + cb_w] = colormap_lut(p.colormap)[rows][:, None, :3]
+
     def _draw_axes(self, img: Image.Image, draw: ImageDraw.ImageDraw, ax: Axes) -> None:
         rect = self.axes_rect(ax)
         x0, y0, x1, y1 = rect
         p, r = ax.panel, ax.result
-        drew_tile = False
-        if p is not None and r is not None and not bool(r["empty"]):
-            tile = Image.fromarray(r["rgba"])
-            img.paste(tile, (x0, y0))
-            drew_tile = True
+        drew_tile = p is not None and r is not None and not bool(r["empty"])
         draw.rectangle([x0, y0, x1, y1], outline="black", width=max(1, round(self.dpi / 100)))
 
         if p is None or r is None or not drew_tile:
@@ -583,16 +598,12 @@ class _Layout:
                           self.tick_px, anchor="rm")
 
     def _draw_colorbar(self, img, draw, rect, p: PanelData, r: dict) -> None:
-        from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
-
+        # The gradient strip was numpy-blitted in pass 1; draw its frame,
+        # ticks, and label here.
         x0, y0, x1, y1 = rect
         cb_x0 = x1 + round(0.035 * self.cell_w)
         cb_w = max(4, round(0.045 * self.cell_w))
-        lut = colormap_lut(p.colormap)
         h = self.tile_h
-        rows = np.clip(((1.0 - (np.arange(h) + 0.5) / h) * 256).astype(int), 0, 255)
-        strip = np.repeat(lut[rows][:, None, :], cb_w, axis=1)
-        img.paste(Image.fromarray(strip, "RGBA"), (cb_x0, y0))
         draw.rectangle([cb_x0, y0, cb_x0 + cb_w, y1], outline="black", width=1)
 
         vmin, vmax = float(r["vmin"]), float(r["vmax"])
