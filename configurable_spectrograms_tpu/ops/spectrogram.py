@@ -270,6 +270,7 @@ def _analyze_matrix(
     spec: RenderSpec,
     zb_e_valid: jax.Array | None = None,
     zb_full_time: jax.Array | bool = False,
+    skip_percentile: bool = False,
 ) -> dict[str, jax.Array]:
     """Masking, color bounds, normalization, and colormap quantization.
 
@@ -302,22 +303,30 @@ def _analyze_matrix(
         zb_rows = jnp.where(jnp.asarray(zb_full_time), in_file, in_window)
         zb_sel = zb_rows[:, None] & ((~col_all_nan) & zb_e_valid)[None, :]
     zmin_arg, zmax_arg = z_bounds[0], z_bounds[1]
-    # One shared sort answers both percentile bounds.
-    flat = jnp.ravel(matrix)
-    ok = jnp.ravel(zb_sel) & ~jnp.isnan(flat)
-    n_ok = jnp.sum(ok)
-    sorted_vals = jnp.sort(jnp.where(ok, flat, jnp.inf))
+    if skip_percentile:
+        # Caller guarantees both bounds are explicit (the given-extrema
+        # half of a flagship batch): the sort never runs.
+        vmin = zmin_arg.astype(jnp.float32)
+        vmax = zmax_arg.astype(jnp.float32)
+    else:
+        # One shared sort answers both percentile bounds.
+        flat = jnp.ravel(matrix)
+        ok = jnp.ravel(zb_sel) & ~jnp.isnan(flat)
+        n_ok = jnp.sum(ok)
+        sorted_vals = jnp.sort(jnp.where(ok, flat, jnp.inf))
 
-    def _pct(q):
-        pos = jnp.float32(q) / 100.0 * jnp.maximum(n_ok - 1, 0).astype(jnp.float32)
-        lo = jnp.floor(pos).astype(jnp.int32)
-        hi = jnp.ceil(pos).astype(jnp.int32)
-        frac = pos - lo.astype(jnp.float32)
-        v = jnp.where(frac == 0, sorted_vals[lo], sorted_vals[lo] * (1.0 - frac) + sorted_vals[hi] * frac)
-        return jnp.where(n_ok > 0, v, jnp.nan)
+        def _pct(q):
+            pos = jnp.float32(q) / 100.0 * jnp.maximum(n_ok - 1, 0).astype(jnp.float32)
+            lo = jnp.floor(pos).astype(jnp.int32)
+            hi = jnp.ceil(pos).astype(jnp.int32)
+            frac = pos - lo.astype(jnp.float32)
+            v = jnp.where(
+                frac == 0, sorted_vals[lo], sorted_vals[lo] * (1.0 - frac) + sorted_vals[hi] * frac
+            )
+            return jnp.where(n_ok > 0, v, jnp.nan)
 
-    vmin = jnp.where(jnp.isnan(zmin_arg), _pct(spec.low_percentile), zmin_arg).astype(jnp.float32)
-    vmax = jnp.where(jnp.isnan(zmax_arg), _pct(spec.high_percentile), zmax_arg).astype(jnp.float32)
+        vmin = jnp.where(jnp.isnan(zmin_arg), _pct(spec.low_percentile), zmin_arg).astype(jnp.float32)
+        vmax = jnp.where(jnp.isnan(zmax_arg), _pct(spec.high_percentile), zmax_arg).astype(jnp.float32)
 
     finite_positive = jnp.isfinite(matrix) & (matrix > 0) & sel
     safe_vmin = jnp.where(
@@ -363,7 +372,7 @@ def _analyze_matrix(
     }
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
+@functools.partial(jax.jit, static_argnames=("spec", "skip_percentile"))
 def quantize_matrix(
     matrix: jax.Array,
     energy: jax.Array,
@@ -375,6 +384,7 @@ def quantize_matrix(
     spec: RenderSpec,
     zb_e_valid: jax.Array | None = None,
     zb_full_time: jax.Array | bool = False,
+    skip_percentile: bool = False,
 ) -> dict[str, jax.Array]:
     """Jitted :func:`_analyze_matrix`: the light-readback production path.
 
@@ -383,9 +393,12 @@ def quantize_matrix(
     :func:`configurable_spectrograms_tpu.render.tile.resample_indices`,
     keeping device->host traffic ~300x smaller than shipping RGBA tiles
     (that path, :func:`render_matrix`, remains for fully-on-device use).
+    ``skip_percentile=True`` (static) compiles a sort-free program for
+    panels whose color bounds are both explicit.
     """
     return _analyze_matrix(
-        matrix, energy, e_valid, t_valid, t_start, t_count, z_bounds, spec, zb_e_valid, zb_full_time
+        matrix, energy, e_valid, t_valid, t_start, t_count, z_bounds, spec,
+        zb_e_valid, zb_full_time, skip_percentile,
     )
 
 

@@ -244,12 +244,15 @@ def _batched_quantize_fn(spec_key):
 
     import jax.numpy as jnp
 
-    y_scale, z_scale, lo_pct, hi_pct = spec_key
+    y_scale, z_scale, lo_pct, hi_pct, explicit_bounds = spec_key
     spec = RenderSpec(8, 8, y_scale, z_scale, lo_pct, hi_pct)
 
     def one(u, pm, tv, en, ev, ts, tc, zb, zbev, zbft, cubes):
         m = collapse_cube(cubes[u], pm, tv)
-        q = quantize_matrix(m, en, ev, tv, ts, tc, zb, spec, zb_e_valid=zbev, zb_full_time=zbft)
+        q = quantize_matrix(
+            m, en, ev, tv, ts, tc, zb, spec,
+            zb_e_valid=zbev, zb_full_time=zbft, skip_percentile=explicit_bounds,
+        )
         # Pack the metadata (scalars + kept_pos) behind the index matrix in
         # ONE uint8 buffer: this host<->device link charges latency per
         # buffer, so a single readback wins.  Floats travel as bitcast
@@ -304,11 +307,13 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
             p.z_scale,
             float(p.low_percentile),
             float(p.high_percentile),
+            # Explicit-bounds panels compile a sort-free program.
+            p.z_min is not None and p.z_max is not None,
         )
         groups.setdefault(key, []).append(i)
 
     results: list[dict | None] = [None] * len(panels)
-    for (Tp, Ap, Ep, y_scale, z_scale, lo_pct, hi_pct), idxs in groups.items():
+    for (Tp, Ap, Ep, y_scale, z_scale, lo_pct, hi_pct, explicit), idxs in groups.items():
         n = len(idxs)
         # Deduplicate cube uploads within the bucket.
         cube_slot: dict[int, int] = {}
@@ -357,7 +362,7 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
                 zb_e_valids[j, :E] = e_valids[j, :E]
                 zb_full[j] = False
 
-        fn = _batched_quantize_fn((y_scale, z_scale, lo_pct, hi_pct))
+        fn = _batched_quantize_fn((y_scale, z_scale, lo_pct, hi_pct, explicit))
         packed = np.asarray(
             fn(
                 u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
