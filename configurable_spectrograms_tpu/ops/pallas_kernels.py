@@ -39,22 +39,27 @@ def _collapse_kernel(mask_ref, tvalid_ref, cube_ref, out_ref):
     out_ref[:] = jnp.where(rows < tvalid_ref[0], collapsed, jnp.nan)
 
 
-@functools.partial(jax.jit, static_argnames=("t_tile",))
+@functools.partial(jax.jit, static_argnames=("t_tile", "interpret"))
 def collapse_cube_pallas(
     cube: jax.Array,
     pitch_mask: jax.Array,
     t_valid: jax.Array | int,
     t_tile: int = 64,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Pallas fused masked-nansum collapse: (T, A, E) -> (T, E).
 
     Requires ``E`` a multiple of 128 and ``T`` a multiple of ``t_tile``
     (callers pad); semantics identical to
     :func:`configurable_spectrograms_tpu.ops.spectrogram.collapse_cube`.
+    ``interpret`` defaults to True off-TPU so the kernel is testable on the
+    CPU backend through the Pallas interpreter.
     """
     T, A, E = cube.shape
     if E % 128 != 0 or T % t_tile != 0:
         raise ValueError(f"collapse_cube_pallas needs E%128==0 and T%{t_tile}==0, got {(T, A, E)}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     mask_f = pitch_mask.astype(jnp.float32).reshape(A, 1)
     tvalid_arr = jnp.asarray(t_valid, jnp.int32).reshape(1)
     grid = (T // t_tile,)
@@ -68,4 +73,5 @@ def collapse_cube_pallas(
             pl.BlockSpec((t_tile, A, E), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((t_tile, E), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(mask_f, tvalid_arr, cube.astype(jnp.float32))

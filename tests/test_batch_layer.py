@@ -191,3 +191,36 @@ def test_ephemeris_files_excluded(tmp_path):
     (d / "fa_esa_l2_ees_20000101010101_555_v02.cdf").write_bytes(b"x")
     mapping = discover_orbit_files(str(tmp_path / "data"))
     assert mapping == {555: {"ees": str(d / "fa_esa_l2_ees_20000101010101_555_v02.cdf")}}
+
+
+def test_tui_single_day_flow(tmp_path):
+    """Drive the terminal front-end end-to-end through a subprocess."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    setup = (
+        "from configurable_spectrograms_tpu.data.synthetic import synth_fast_archive;"
+        "synth_fast_archive('data', [42], n_time=48, n_angle=8, n_energy=16)"
+    )
+    subprocess.run([sys.executable, "-c", setup], cwd=tmp_path, check=True,
+                   env=_tui_env(repo), capture_output=True, timeout=300)
+    script = "3\ninstrument-grid\nout.png\ndata\n42\nq\n"
+    proc = subprocess.run(
+        [sys.executable, str(repo / "GUI_batch_download_plot_FAST.py"), "--tui"],
+        input=script, text=True, cwd=tmp_path, env=_tui_env(repo),
+        capture_output=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "Done." in proc.stdout
+    assert (tmp_path / "out.png").exists()
+
+
+def _tui_env(repo):
+    import os as _os
+
+    env = dict(_os.environ)
+    env["PYTHONPATH"] = f"{repo}:{env.get('PYTHONPATH', '')}"
+    env["JAX_PLATFORMS"] = "cpu"
+    return env

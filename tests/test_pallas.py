@@ -21,16 +21,9 @@ def test_collapse_cube_pallas_matches_jnp(rng, tv):
     cube = rng.normal(size=(T, A, E)).astype(np.float32)
     cube[rng.random(cube.shape) < 0.15] = np.nan
     mask = rng.random(A) < 0.5
-    kwargs = {}
-    if not _pallas_available():
-        # On CPU run the kernel through the Pallas interpreter.
-        import functools
-
-        from jax.experimental import pallas as pl  # noqa: F401
-
-        pytest.skip("pallas TPU kernel requires a TPU device; covered by on-device runs")
+    # Off-TPU the kernel runs through the Pallas interpreter automatically.
     ref = collapse_cube(jnp.asarray(cube), jnp.asarray(mask), tv)
-    got = collapse_cube_pallas(jnp.asarray(cube), jnp.asarray(mask), tv, **kwargs)
+    got = collapse_cube_pallas(jnp.asarray(cube), jnp.asarray(mask), tv)
     ref_np, got_np = np.asarray(ref), np.asarray(got)
     both_nan = np.isnan(ref_np) & np.isnan(got_np)
     np.testing.assert_array_equal(np.where(both_nan, 0, got_np), np.where(both_nan, 0, ref_np))
