@@ -213,3 +213,49 @@ def test_render_matrix_matches_matplotlib_imshow(rng):
     mismatch = np.any(ref != out["rgba"], axis=-1).mean()
     # Cell-boundary pixels may round differently; interiors must agree.
     assert mismatch < 0.08, f"matplotlib cross-check mismatch fraction {mismatch:.4f}"
+
+
+@pytest.mark.parametrize("z_scale", ["linear", "log"])
+def test_render_matches_matplotlib_log_y(rng, z_scale):
+    """Log y-axis warp + LogNorm cross-checked against Agg itself."""
+    mpl = pytest.importorskip("matplotlib")
+    mpl.use("Agg")
+    import matplotlib.colors as mcolors
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
+
+    T, E = 10, 6
+    matrix = (rng.random((T, E)) * 90 + 5).astype(np.float32)
+    energy = np.geomspace(10, 5000, E).astype(np.float32)
+    H, W = 80, 120
+    spec = RenderSpec(height=H, width=W, y_scale="log", z_scale=z_scale)
+    out, _ = _run_panel(matrix, energy, spec, y_min=0, y_max=10000, z_min=5.0, z_max=95.0)
+
+    fig = Figure(figsize=(W / 10, H / 10), dpi=10)
+    FigureCanvasAgg(fig)
+    ax = fig.add_axes((0, 0, 1, 1))
+    ax.set_axis_off()
+    kwargs = dict(
+        aspect="auto",
+        origin="lower",
+        extent=(0, T - 1, float(energy[0]), float(energy[-1])),
+        cmap="viridis",
+        interpolation="nearest",
+    )
+    data = matrix.T
+    if z_scale == "log":
+        # The reference raises an explicit log vmin to the matrix's minimum
+        # positive value (reference plotting.py:262,276); mirror that here
+        # so Agg normalizes identically.
+        safe_vmin = max(5.0, float(data[np.isfinite(data) & (data > 0)].min()))
+        kwargs["norm"] = mcolors.LogNorm(vmin=safe_vmin, vmax=95.0)
+    else:
+        kwargs.update(vmin=5.0, vmax=95.0)
+    ax.imshow(data, **kwargs)
+    ax.set_yscale("log")
+    ax.set_xlim(0, T - 1)
+    ax.set_ylim(float(energy[0]), float(energy[-1]))
+    fig.canvas.draw()
+    ref = np.asarray(fig.canvas.buffer_rgba()).copy()
+    mismatch = np.any(ref != out["rgba"], axis=-1).mean()
+    assert mismatch < 0.09, f"log-y/{z_scale}-z mismatch fraction {mismatch:.4f}"
