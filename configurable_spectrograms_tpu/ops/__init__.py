@@ -9,6 +9,10 @@ normalization with safe floors, imshow-style extent resampling, and
 colormap-LUT rasterization to RGBA.
 """
 
+from configurable_spectrograms_tpu.utils.jax_setup import enable_compilation_cache as _enable_cache
+
+_enable_cache()
+
 from configurable_spectrograms_tpu.ops._colormap_data import AVAILABLE_COLORMAPS, colormap_lut
 from configurable_spectrograms_tpu.ops.spectrogram import (
     RenderSpec,
