@@ -300,6 +300,12 @@ def FAST_plot_spectrograms_directory(
         ledger.record(orbit, result)
 
     executor: concurrent.futures.Executor | None = None
+    # Optional device trace for the whole plotting pass: set CST_PROFILE_DIR
+    # to drop an XPlane trace viewable in TensorBoard/XProf (the reference's
+    # only observability was wall-clock [TIMING] lines, SURVEY.md section 5).
+    from configurable_spectrograms_tpu.utils.timing import device_trace
+
+    profile_dir = os.environ.get("CST_PROFILE_DIR")
     try:
         executor = concurrent.futures.ThreadPoolExecutor(max_workers=max_workers)
         future_orbit: dict[concurrent.futures.Future, int] = {}
@@ -316,16 +322,17 @@ def FAST_plot_spectrograms_directory(
             bar = tqdm(total=len(outstanding), desc=f"Plotting - {y_scale} / {z_scale}",
                        unit="orbit", leave=False)
         try:
-            while outstanding and not shutdown["flag"]:
-                done, _ = concurrent.futures.wait(
-                    outstanding, timeout=0.2, return_when=concurrent.futures.FIRST_COMPLETED
-                )
-                for fut in done:
-                    outstanding.discard(fut)
-                    consume(fut, future_orbit[fut])
-                    if bar is not None:
-                        bar.set_postfix(orbit=future_orbit[fut])
-                        bar.update(1)
+            with device_trace(profile_dir):
+                while outstanding and not shutdown["flag"]:
+                    done, _ = concurrent.futures.wait(
+                        outstanding, timeout=0.2, return_when=concurrent.futures.FIRST_COMPLETED
+                    )
+                    for fut in done:
+                        outstanding.discard(fut)
+                        consume(fut, future_orbit[fut])
+                        if bar is not None:
+                            bar.set_postfix(orbit=future_orbit[fut])
+                            bar.update(1)
         finally:
             if bar is not None:
                 bar.close()
