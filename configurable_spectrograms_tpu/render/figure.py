@@ -221,8 +221,63 @@ def render_figures(figures: list["SpectroFigure"], dpi: float | None = None) -> 
 
 
 # ---------------------------------------------------------------------------
-# batched device rasterization
+# batched rasterization (device by default, host fallback)
 # ---------------------------------------------------------------------------
+
+#: Rasterization backend: ``device`` (JAX), ``host`` (numpy), or ``auto``
+#: (device until a pathologically slow device->host readback is measured,
+#: then host for the rest of the process).  See render/host_quantize.py.
+_BACKEND = {"mode": os.environ.get("CST_RENDER_BACKEND", "auto"), "forced_host": False}
+
+#: Auto-switch threshold: a readback slower than this effective bandwidth
+#: (and taking over a second) marks the device link unusable.
+_MIN_LINK_MBPS = 1.0
+
+
+def _host_backend_active() -> bool:
+    mode = _BACKEND["mode"]
+    return mode == "host" or (mode == "auto" and _BACKEND["forced_host"])
+
+
+def _render_group_host(panels: list[PanelData], idxs: list[int], tile_h: int, tile_w: int,
+                       y_scale: str, z_scale: str, lo_pct: float, hi_pct: float,
+                       results: list) -> None:
+    """Pure-numpy group rasterization (no device involved)."""
+    from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
+    from configurable_spectrograms_tpu.render.host_quantize import host_collapse, host_quantize
+
+    collapse_cache: dict[tuple, np.ndarray] = {}
+    for i in idxs:
+        p = panels[i]
+        ckey = (id(p.cube), p.pitch_mask.tobytes())
+        if ckey not in collapse_cache:
+            collapse_cache[ckey] = host_collapse(p.cube, p.pitch_mask)
+        matrix = collapse_cache[ckey]
+        e_valid = (p.energy >= p.y_min) & (p.energy <= p.y_max)
+        if p.bounds_energy_range is not None:
+            b_lo, b_hi = p.bounds_energy_range
+            zb_e_valid = (p.energy >= b_lo) & (p.energy <= b_hi)
+            zb_full = True
+        else:
+            zb_e_valid, zb_full = None, False
+        q = host_quantize(
+            matrix, p.energy, e_valid, p.window.t_start, p.window.t_count,
+            (p.z_min, p.z_max), y_scale, z_scale, lo_pct, hi_pct, zb_e_valid, zb_full,
+        )
+        rgba = resample_indices(
+            q["idx"], q["kept_pos"], q["n_kept"], q["flip"], q["y0"], q["y1"],
+            p.window.t_start, p.window.t_count, make_x_map(p.window, tile_w),
+            tile_h, tile_w, y_scale, colormap_lut(p.colormap), empty=q["empty"],
+        )
+        results[i] = {
+            "rgba": rgba,
+            "vmin": q["vmin"],
+            "vmax": q["vmax"],
+            "y0": q["y0"],
+            "y1": q["y1"],
+            "n_kept": q["n_kept"],
+            "empty": q["empty"],
+        }
 
 
 @functools.lru_cache(maxsize=None)
@@ -314,6 +369,9 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
 
     results: list[dict | None] = [None] * len(panels)
     for (Tp, Ap, Ep, y_scale, z_scale, lo_pct, hi_pct, explicit), idxs in groups.items():
+        if _host_backend_active():
+            _render_group_host(panels, idxs, tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct, results)
+            continue
         n = len(idxs)
         # Deduplicate cube uploads within the bucket.
         cube_slot: dict[int, int] = {}
@@ -363,12 +421,34 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
                 zb_full[j] = False
 
         fn = _batched_quantize_fn((y_scale, z_scale, lo_pct, hi_pct, explicit))
-        packed = np.asarray(
-            fn(
-                u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
-                zb_e_valids, zb_full, cubes,
-            )
+        import time as _time
+
+        import jax
+
+        out_dev = fn(
+            u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
+            zb_e_valids, zb_full, cubes,
         )
+        jax.block_until_ready(out_dev)  # compute (and possible compile) done
+        t0 = _time.perf_counter()
+        packed = np.asarray(out_dev)
+        xfer = _time.perf_counter() - t0
+        if (
+            _BACKEND["mode"] == "auto"
+            and not _BACKEND["forced_host"]
+            and xfer > 1.0
+            and packed.nbytes / max(xfer, 1e-9) < _MIN_LINK_MBPS * 1e6
+        ):
+            # The device link has degraded below usability (observed on this
+            # environment's relay); finish everything on the host from now on.
+            _BACKEND["forced_host"] = True
+            from configurable_spectrograms_tpu.utils.logging import log_error
+
+            log_error(
+                f"[BACKEND] device->host readback measured at "
+                f"{packed.nbytes / max(xfer, 1e-9) / 1e6:.2f} MB/s; switching panel "
+                f"rasterization to the host backend for this process"
+            )
         idx_host = packed[:, : Tp * Ep].reshape(n, Tp, Ep)
         meta_host = packed[:, Tp * Ep :].copy().view(np.float32).reshape(n, 7 + Ep)
 

@@ -1,0 +1,127 @@
+"""Host (numpy) implementation of the collapse+quantize panel analysis.
+
+A fallback backend mirroring
+:func:`configurable_spectrograms_tpu.ops.spectrogram._analyze_matrix` in
+float32 numpy.  Two reasons it exists:
+
+1. **Link resilience.**  This environment reaches its TPU over a relay
+   whose device->host bandwidth was observed degrading from ~26 MB/s to
+   <0.1 MB/s within a session; when that happens, any per-figure readback
+   dominates everything, and the host path (which touches no device) keeps
+   batch throughput above the matplotlib baseline.
+   ``render/figure.py`` auto-switches when it measures a pathological
+   readback (see ``CST_RENDER_BACKEND``).
+2. **CPU-only deployments** get a first-class path with identical output
+   semantics (same masking, percentile, normalization, quantization rules
+   -- parity-tested against the device pipeline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def host_collapse(cube: np.ndarray, pitch_mask: np.ndarray) -> np.ndarray:
+    """Masked nansum collapse (T, A, E) -> (T, E), float32."""
+    keep = pitch_mask[None, :, None] & ~np.isnan(cube)
+    return np.sum(np.where(keep, cube, np.float32(0.0)), axis=1, dtype=np.float32)
+
+
+def host_quantize(
+    matrix: np.ndarray,
+    energy: np.ndarray,
+    e_valid: np.ndarray,
+    t_start: int,
+    t_count: int,
+    z_bounds: tuple[float | None, float | None],
+    y_scale: str,
+    z_scale: str,
+    low_pct: float,
+    high_pct: float,
+    zb_e_valid: np.ndarray | None = None,
+    zb_full_time: bool = False,
+) -> dict:
+    """Numpy mirror of the device panel analysis (unpadded shapes).
+
+    Returns the same fields the device path ships: ``idx`` (T, E) uint8,
+    ``kept_pos``, ``n_kept``, ``flip``, ``y0``, ``y1``, ``vmin``, ``vmax``,
+    ``empty``.
+    """
+    matrix = np.asarray(matrix, np.float32)
+    energy = np.asarray(energy, np.float32)
+    T, E = matrix.shape
+
+    col_all_nan = np.all(np.isnan(matrix), axis=0)
+    e_keep = (~col_all_nan) & e_valid
+    kept_pos = np.flatnonzero(e_keep).astype(np.int32)
+    n_kept = int(kept_pos.size)
+    empty = n_kept == 0 or t_count <= 0
+    if empty:
+        return {
+            "idx": np.zeros((T, E), np.uint8),
+            "kept_pos": np.zeros(max(n_kept, 1), np.int32),
+            "n_kept": 0,
+            "flip": False,
+            "y0": 0.0,
+            "y1": 0.0,
+            "vmin": np.nan,
+            "vmax": np.nan,
+            "empty": True,
+        }
+    first, last = float(energy[kept_pos[0]]), float(energy[kept_pos[-1]])
+    flip = first > last
+    y0, y1 = (last, first) if flip else (first, last)
+
+    rows = np.zeros(T, bool)
+    rows[t_start : t_start + t_count] = True
+    sel = rows[:, None] & e_keep[None, :]
+    if zb_e_valid is None:
+        zb_sel = sel
+    else:
+        zb_rows = np.ones(T, bool) if zb_full_time else rows
+        zb_sel = zb_rows[:, None] & ((~col_all_nan) & zb_e_valid)[None, :]
+
+    zmin_arg, zmax_arg = z_bounds
+    if zmin_arg is None or zmax_arg is None:
+        pool = matrix[zb_sel & ~np.isnan(matrix)]
+        vmin = float(zmin_arg) if zmin_arg is not None else (
+            float(np.percentile(pool, low_pct)) if pool.size else np.nan
+        )
+        vmax = float(zmax_arg) if zmax_arg is not None else (
+            float(np.percentile(pool, high_pct)) if pool.size else np.nan
+        )
+    else:
+        vmin, vmax = float(zmin_arg), float(zmax_arg)
+
+    fp = np.isfinite(matrix) & (matrix > 0) & sel
+    safe_vmin = float(matrix[fp].min()) if fp.any() else 1e-10
+
+    if z_scale == "log":
+        vmin = max(vmin, safe_vmin, 1e-10)
+        work = np.where(~np.isfinite(matrix) | (matrix <= 0), np.float32(vmin), matrix)
+        span = np.float32(np.log10(vmax) - np.log10(vmin))
+        norm = (np.log10(np.maximum(work, np.float32(1e-37))) - np.float32(np.log10(vmin))) / (
+            span if span != 0 else np.float32(1.0)
+        )
+    else:
+        work = np.where(np.isnan(matrix), np.float32(vmin), matrix)
+        work = np.where(np.isneginf(work), np.float32(vmin), work)
+        work = np.where(np.isposinf(work), np.float32(vmax), work)
+        if not (np.isfinite(vmin) and np.isfinite(vmax) and vmax > vmin):
+            vmin = float(work[sel].min()) if sel.any() else 0.0
+            vmax = float(work[sel].max()) if sel.any() else 1.0
+        span = np.float32(vmax - vmin)
+        norm = (work - np.float32(vmin)) / (span if span != 0 else np.float32(1.0))
+
+    idx = np.clip(np.floor(norm * np.float32(256.0)), 0, 255).astype(np.uint8)
+    return {
+        "idx": idx,
+        "kept_pos": kept_pos,
+        "n_kept": n_kept,
+        "flip": bool(flip),
+        "y0": y0,
+        "y1": y1,
+        "vmin": float(vmin),
+        "vmax": float(vmax),
+        "empty": False,
+    }

@@ -1,0 +1,81 @@
+"""The host (numpy) backend must match the device pipeline and the oracle."""
+
+import numpy as np
+import pytest
+
+from configurable_spectrograms_tpu.render.host_quantize import host_collapse, host_quantize
+from configurable_spectrograms_tpu.render.tile import TimeWindow, make_x_map, resample_indices
+from tests.oracle import oracle_tile
+
+
+def test_host_collapse_matches_nansum(rng):
+    cube = rng.normal(size=(20, 8, 12)).astype(np.float32)
+    cube[rng.random(cube.shape) < 0.2] = np.nan
+    mask = rng.random(8) < 0.5
+    np.testing.assert_allclose(host_collapse(cube, mask), np.nansum(cube[:, mask, :], axis=1), rtol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "y_scale,z_scale", [("linear", "linear"), ("linear", "log"), ("log", "linear"), ("log", "log")]
+)
+def test_host_quantize_matches_oracle(rng, y_scale, z_scale):
+    T, E = 40, 16
+    matrix = (rng.random((T, E)) * 700).astype(np.float32)
+    matrix[rng.random(matrix.shape) < 0.05] = 0.0
+    energy = np.geomspace(20000, 5, E).astype(np.float32)
+    H, W = 48, 64
+    window = TimeWindow(4, 30, (4.0, 33.0), (4.0, 33.0))
+    x_map = make_x_map(window, W)
+    e_valid = (energy >= 0) & (energy <= 4000)
+    from configurable_spectrograms_tpu.ops import colormap_lut
+
+    q = host_quantize(matrix, energy, e_valid, window.t_start, window.t_count,
+                      (None, None), y_scale, z_scale, 1.0, 99.0)
+    got = resample_indices(
+        q["idx"], q["kept_pos"], q["n_kept"], q["flip"], q["y0"], q["y1"],
+        window.t_start, window.t_count, x_map, H, W, y_scale, colormap_lut("viridis"),
+        empty=q["empty"],
+    )
+    exp_idx, vmin, vmax = oracle_tile(
+        matrix, energy, 0.0, 4000.0, window.t_start, window.t_count, x_map, H, W,
+        y_scale, z_scale, None, None,
+    )
+    lut = colormap_lut("viridis")
+    lut_ext = np.concatenate([lut, np.array([[255, 255, 255, 255]], np.uint8)])
+    expected = lut_ext[np.where(exp_idx < 0, 256, exp_idx)]
+    mism = np.any(got != expected, axis=-1)
+    assert mism.mean() < 0.02, f"host-vs-oracle mismatch {mism.mean():.4f}"
+    np.testing.assert_allclose(q["vmin"], vmin, rtol=1e-4)
+    np.testing.assert_allclose(q["vmax"], vmax, rtol=1e-4)
+
+
+def test_host_backend_full_figure(monkeypatch, rng, tmp_path):
+    """CST_RENDER_BACKEND=host renders a full figure identical in structure."""
+    from configurable_spectrograms_tpu.data.synthetic import synth_instrument_arrays
+    from configurable_spectrograms_tpu.render import figure as figure_mod
+    from configurable_spectrograms_tpu.render.plotting import generic_plot_multirow_optional_zoom
+
+    a = synth_instrument_arrays(rng, n_time=80, n_angle=8, n_energy=16)
+    ds = [{"x": a["time_unix"], "y": a["energy"][0, 0, :], "data": a["data"], "label": "R"}]
+    marks = [float(a["time_unix"][30]), float(a["time_unix"][50])]
+
+    def render(mode):
+        monkeypatch.setitem(figure_mod._BACKEND, "mode", mode)
+        monkeypatch.setitem(figure_mod._BACKEND, "forced_host", False)
+        fig, _ = generic_plot_multirow_optional_zoom(ds, vertical_lines=marks, z_scale="log",
+                                                     colormap="inferno")
+        return np.asarray(fig.render(dpi=60))
+
+    host_img = render("host")
+    dev_img = render("device")
+    # Same shape; pixel content may differ by float32-vs-XLA rounding at
+    # quantization boundaries only.
+    assert host_img.shape == dev_img.shape
+    frac_diff = (host_img != dev_img).any(axis=-1).mean()
+    assert frac_diff < 0.02, f"host/device figures diverge on {frac_diff:.4f} of pixels"
+
+
+def test_host_quantize_empty():
+    q = host_quantize(np.full((4, 3), np.nan, np.float32), np.array([1.0, 2.0, 3.0], np.float32),
+                      np.ones(3, bool), 0, 4, (None, None), "linear", "linear", 1, 99)
+    assert q["empty"]
