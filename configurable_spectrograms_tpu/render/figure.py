@@ -212,9 +212,11 @@ def render_figures(figures: list["SpectroFigure"], dpi: float | None = None) -> 
             ax.result = None
             if ax.panel is not None:
                 by_tile.setdefault((layout.tile_h, layout.tile_w), []).append((f_i, a_i))
+    from configurable_spectrograms_tpu.render.service import coalesced_render
+
     for (tile_h, tile_w), slots in by_tile.items():
         panels = [figures[f_i].axes[a_i].panel for f_i, a_i in slots]
-        results = device_render_panels(panels, tile_h, tile_w)
+        results = coalesced_render(panels, tile_h, tile_w)
         for (f_i, a_i), res in zip(slots, results):
             figures[f_i].axes[a_i].result = res
     return [layout.composite() for layout in layouts]

@@ -1,0 +1,96 @@
+"""Render coalescer: natural micro-batching of concurrent panel requests.
+
+The batch drivers run several worker threads per host, each rendering its
+own figures.  Left alone, every figure is a separate device dispatch and
+readback -- and on a latency-heavy host<->device link those round trips
+dominate.  The coalescer routes all requests through one dispatcher
+thread that, each time it wakes, drains *everything* queued and rasterizes
+same-geometry panels in one pooled :func:`device_render_panels` call:
+
+* under concurrency, batches form naturally (requests arriving while a
+  dispatch is in flight are pooled into the next one);
+* a lone request is dispatched immediately -- there is no artificial
+  delay, so single-stream latency is unchanged.
+
+Disable with ``CST_RENDER_COALESCE=0`` (requests then call straight
+through).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+
+@dataclass
+class _Request:
+    panels: list
+    tile_h: int
+    tile_w: int
+    future: Future = field(default_factory=Future)
+
+
+class RenderCoalescer:
+    """Single-dispatcher render queue (see module docstring)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._wake = threading.Condition(self._lock)
+        self._queue: list[_Request] = []
+        self._thread: threading.Thread | None = None
+
+    def _ensure_thread(self) -> None:
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(target=self._run, daemon=True, name="render-coalescer")
+            self._thread.start()
+
+    def render(self, panels: list, tile_h: int, tile_w: int) -> list[dict]:
+        from configurable_spectrograms_tpu.render.figure import device_render_panels
+
+        if os.environ.get("CST_RENDER_COALESCE", "1") == "0" or not panels:
+            return device_render_panels(panels, tile_h, tile_w)
+        req = _Request(panels, tile_h, tile_w)
+        with self._lock:
+            self._queue.append(req)
+            self._ensure_thread()
+            self._wake.notify()
+        return req.future.result()
+
+    def _run(self) -> None:
+        from configurable_spectrograms_tpu.render.figure import device_render_panels
+
+        while True:
+            with self._lock:
+                while not self._queue:
+                    self._wake.wait(timeout=5.0)
+                    if not self._queue:
+                        return  # idle; a future request restarts the thread
+                batch = self._queue
+                self._queue = []
+
+            # Pool same-geometry requests into one device call.
+            by_geometry: dict[tuple[int, int], list[_Request]] = {}
+            for req in batch:
+                by_geometry.setdefault((req.tile_h, req.tile_w), []).append(req)
+            for (tile_h, tile_w), reqs in by_geometry.items():
+                all_panels = [p for r in reqs for p in r.panels]
+                try:
+                    results = device_render_panels(all_panels, tile_h, tile_w)
+                except Exception as exc:
+                    for r in reqs:
+                        r.future.set_exception(exc)
+                    continue
+                pos = 0
+                for r in reqs:
+                    r.future.set_result(results[pos : pos + len(r.panels)])
+                    pos += len(r.panels)
+
+
+_COALESCER = RenderCoalescer()
+
+
+def coalesced_render(panels: list, tile_h: int, tile_w: int) -> list[dict]:
+    """Render through the process-wide coalescer."""
+    return _COALESCER.render(panels, tile_h, tile_w)

@@ -49,11 +49,15 @@ _BUF = _Buffer()
 
 
 def _echo(message: str) -> None:
-    """Immediate console output, routed through tqdm when it's active."""
+    """Immediate console output on stderr (tqdm-aware when active).
+
+    stderr keeps stdout clean for machine consumers (bench.py's JSON
+    contract, shell pipelines over the CLIs).
+    """
     try:
         from tqdm import tqdm
 
-        tqdm.write(message)
+        tqdm.write(message, file=sys.stderr)
     except Exception:
         print(message, file=sys.stderr)
 
