@@ -185,6 +185,11 @@ def main() -> None:
         os.makedirs(mpl_dir)
         ours, p50 = _bench_ours(archive, ours_dir)
         baseline = _bench_matplotlib(archive, mpl_dir)
+        from configurable_spectrograms_tpu.render.figure import _BACKEND, _host_backend_active
+
+        backend = "host" if _host_backend_active() else "device"
+        if _BACKEND["forced_host"]:
+            backend = "host (auto-switched: device link degraded mid-run)"
         print(
             json.dumps(
                 {
@@ -194,6 +199,7 @@ def main() -> None:
                     "vs_baseline": round(ours / baseline, 2),
                     "p50_figure_latency_sec": round(p50, 3),
                     "baseline_panels_per_sec": round(baseline, 2),
+                    "backend": backend,
                 }
             )
         )
