@@ -29,7 +29,11 @@ filtered_orbits_cache: dict[str, pd.DataFrame | None] = {}
 orbit_column_cache: dict[tuple[int, str], tuple[str, str, str]] = {}
 cdf_type_cache: dict[str, str | None] = {}
 _dataset_cache: dict[tuple, dict[str, np.ndarray]] = {}
-_DATASET_CACHE_MAX = 8
+#: Byte budget for cached datasets (FIFO eviction).  Sized so a batch
+#: driver's worker threads (4 workers x 4 instruments x ~13 MB synthetic /
+#: ~200 MB real cubes) don't thrash, without letting real-dimension
+#: archives exhaust host memory.
+_DATASET_CACHE_MAX_BYTES = int(os.environ.get("CST_DATASET_CACHE_BYTES", 1_500_000_000))
 
 
 def load_filtered_orbits(csv_path: str = FILTERED_ORBITS_CSV_PATH) -> pd.DataFrame | None:
@@ -193,10 +197,16 @@ def load_fast_cdf_dataset(
         "pitch_angle": pitch_angle,
     }
     if mtime is not None:
-        while len(_dataset_cache) >= _DATASET_CACHE_MAX:
+        entry_bytes = sum(a.nbytes for a in result.values())
+
+        def _cached_bytes() -> int:
+            return sum(sum(a.nbytes for a in d.values()) for d in _dataset_cache.values())
+
+        while _dataset_cache and _cached_bytes() + entry_bytes > _DATASET_CACHE_MAX_BYTES:
             try:
                 _dataset_cache.pop(next(iter(_dataset_cache)))
             except (StopIteration, KeyError):  # pragma: no cover - thread race
                 break
-        _dataset_cache[cache_key] = result
+        if entry_bytes <= _DATASET_CACHE_MAX_BYTES:
+            _dataset_cache[cache_key] = result
     return result
