@@ -12,8 +12,11 @@ draws frames, ticks, labels, colorbars, cusp markers, and titles around the
 device-produced tiles.
 
 This replaces the reference's per-panel matplotlib Agg pipeline
-(reference plotting.py:229-235,392-502,505-698) with: device = all pixel
-math, host = text/decoration only.
+(reference plotting.py:229-235,392-502,505-698).  The value-dependent math
+(collapse, bounds, normalization, quantization) runs on device; the host
+pixel-replicates the tiny quantized matrices and draws decorations -- or,
+when the device link degrades (or ``CST_RENDER_BACKEND=host``), runs the
+whole analysis in parity-tested numpy.
 """
 
 from __future__ import annotations
@@ -22,7 +25,6 @@ import functools
 import math
 import os
 from dataclasses import dataclass, field
-from datetime import datetime, timezone
 from typing import Any
 
 import numpy as np
