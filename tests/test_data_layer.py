@@ -116,3 +116,14 @@ def test_load_filtered_orbits(synth_archive):
     marks = get_timestamps_for_orbit(df, 100, "ees", times)
     assert len(marks) == 2 and marks[0] < marks[1]
     assert load_filtered_orbits("/nonexistent/nope.tsv") is None
+
+
+def test_resolve_shared_orbit_tie_breaks_low():
+    """Equal instrument coverage ties resolve to the lowest orbit number."""
+    files = {
+        "ees": ["fa_esa_l2_ees_20000101000000_200_v02.cdf", "fa_esa_l2_ees_20000102000000_100_v02.cdf"],
+        "ieb": ["fa_esa_l2_ieb_20000101000000_200_v02.cdf", "fa_esa_l2_ieb_20000102000000_100_v02.cdf"],
+    }
+    orbit, mapping = resolve_shared_orbit(files)
+    assert orbit == 100
+    assert sorted(mapping) == ["ees", "ieb"]

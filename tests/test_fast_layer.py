@@ -271,3 +271,22 @@ def test_batch_directory_error_taxonomy(archive, tmp_path, monkeypatch):
     pdisk = json.load(open(progress))
     assert 500 in pdisk["linear_linear_error_plotting"]
     assert any(k.startswith("ees_linear_linear_error-") for k in pdisk)
+
+
+def test_compute_global_extrema_with_mins(archive, tmp_path):
+    """compute_mins=True stores the 1st-percentile positive value as z_min."""
+    cache = str(tmp_path / "mins.json")
+    out = compute_global_extrema(archive["data"], "linear", "linear", ("ees",),
+                                 extrema_json_path=cache, compute_mins=True)
+    assert out["ees_linear_linear_z_min"] > 0
+    assert out["ees_linear_linear_z_min"] < out["ees_linear_linear_z_max"]
+    assert out["ees_linear_linear_y_min"] == 0  # energy min stays 0 regardless
+
+
+def test_get_cdf_var_shapes(archive):
+    from configurable_spectrograms_tpu.data.cdf_utils import get_cdf_var_shapes
+
+    shapes = get_cdf_var_shapes(archive["data"], ["data", "energy"])
+    assert len(shapes["data"]) == 8  # 2 orbits x 4 instruments
+    assert all(s == (80, 16, 24) for s in shapes["data"])
+    assert all(s == (80, 16, 24) for s in shapes["energy"])
