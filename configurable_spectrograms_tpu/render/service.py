@@ -39,12 +39,19 @@ class RenderCoalescer:
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
         self._queue: list[_Request] = []
-        self._thread: threading.Thread | None = None
+        self._running = False
 
     def _ensure_thread(self) -> None:
-        if self._thread is None or not self._thread.is_alive():
-            self._thread = threading.Thread(target=self._run, daemon=True, name="render-coalescer")
-            self._thread.start()
+        """Start the dispatcher if needed.  Caller must hold the lock.
+
+        The liveness flag flips only under the lock (not ``is_alive``,
+        which races with a dispatcher that has *decided* to exit but not
+        yet died -- a request arriving in that window would never be
+        drained).
+        """
+        if not self._running:
+            self._running = True
+            threading.Thread(target=self._run, daemon=True, name="render-coalescer").start()
 
     def render(self, panels: list, tile_h: int, tile_w: int) -> list[dict]:
         from configurable_spectrograms_tpu.render.figure import device_render_panels
@@ -66,7 +73,8 @@ class RenderCoalescer:
                 while not self._queue:
                     self._wake.wait(timeout=5.0)
                     if not self._queue:
-                        return  # idle; a future request restarts the thread
+                        self._running = False  # idle; next request restarts us
+                        return
                 batch = self._queue
                 self._queue = []
 
