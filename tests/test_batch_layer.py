@@ -224,3 +224,20 @@ def _tui_env(repo):
     env["PYTHONPATH"] = f"{repo}:{env.get('PYTHONPATH', '')}"
     env["JAX_PLATFORMS"] = "cpu"
     return env
+
+
+def _pp_worker(item):
+    """Module-level (spawn-picklable) worker for the ProcessPool test."""
+    return (item, "ok" if item % 2 == 0 else "no_data")
+
+
+def test_run_batch_with_process_pool(tmp_path):
+    """run_batch stays executor-agnostic: a ProcessPoolExecutor works too."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    results = run_batch(
+        [0, 1, 2, 3], _pp_worker, functools.partial(ProcessPoolExecutor, max_workers=2),
+        progress_json_path=str(tmp_path / "pp.json"), flush_batch_size=1,
+        install_signal_handlers=False,
+    )
+    assert dict(results) == {0: "ok", 1: "no_data", 2: "ok", 3: "no_data"}

@@ -259,3 +259,30 @@ def test_render_matches_matplotlib_log_y(rng, z_scale):
     ref = np.asarray(fig.canvas.buffer_rgba()).copy()
     mismatch = np.any(ref != out["rgba"], axis=-1).mean()
     assert mismatch < 0.09, f"log-y/{z_scale}-z mismatch fraction {mismatch:.4f}"
+
+
+def test_render_matrix_fuzz_vs_oracle():
+    """Randomized configurations all match the reference-math oracle."""
+    fuzz = np.random.default_rng(99)
+    for trial in range(10):
+        T = int(fuzz.integers(8, 70))
+        E = int(fuzz.integers(4, 30))
+        matrix = (fuzz.random((T, E)) * 10 ** fuzz.integers(1, 5)).astype(np.float32)
+        if fuzz.random() < 0.5:
+            matrix[fuzz.random(matrix.shape) < 0.1] = 0.0
+        if fuzz.random() < 0.3:
+            matrix[:, int(fuzz.integers(0, E))] = np.nan
+        descending = fuzz.random() < 0.5
+        energy = (np.geomspace(9000, 5, E) if descending else np.geomspace(5, 9000, E)).astype(np.float32)
+        y_scale = "log" if fuzz.random() < 0.5 else "linear"
+        z_scale = "log" if fuzz.random() < 0.5 else "linear"
+        t0 = int(fuzz.integers(0, T // 2))
+        tc = int(fuzz.integers(1, T - t0))
+        window = TimeWindow(t0, tc, (float(t0), float(t0 + tc - 1)),
+                            (float(t0) - fuzz.random() * 3, float(t0 + tc - 1) + fuzz.random() * 3))
+        z_min = float(fuzz.random() * 5) if fuzz.random() < 0.3 else None
+        z_max = float(50 + fuzz.random() * 100) if fuzz.random() < 0.3 else None
+        spec = RenderSpec(height=int(fuzz.integers(8, 50)), width=int(fuzz.integers(8, 80)),
+                          y_scale=y_scale, z_scale=z_scale)
+        _assert_tile_matches_oracle(matrix, energy, spec, window=window,
+                                    y_min=0.0, y_max=8000.0, z_min=z_min, z_max=z_max)
