@@ -40,7 +40,12 @@ from configurable_spectrograms_tpu.render.text import (
     pt_to_px,
     text_size,
 )
-from configurable_spectrograms_tpu.render.tile import TimeWindow, make_x_map, resample_indices
+from configurable_spectrograms_tpu.render.tile import (
+    TimeWindow,
+    make_x_map,
+    pixel_columns,
+    resample_indices,
+)
 
 TICK_LABEL_PT = 15.0
 AXIS_LABEL_PT = 18.0
@@ -303,15 +308,21 @@ def _batched_quantize_fn(spec_key):
 
     import jax.numpy as jnp
 
-    y_scale, z_scale, lo_pct, hi_pct, explicit_bounds = spec_key
+    y_scale, z_scale, lo_pct, hi_pct, explicit_bounds, gather_w = spec_key
     spec = RenderSpec(8, 8, y_scale, z_scale, lo_pct, hi_pct)
 
-    def one(u, pm, tv, en, ev, ts, tc, zb, zbev, zbft, cubes):
+    def one(u, pm, tv, en, ev, ts, tc, zb, zbev, zbft, t_map, cubes):
         m = collapse_cube(cubes[u], pm, tv)
         q = quantize_matrix(
             m, en, ev, tv, ts, tc, zb, spec,
             zb_e_valid=zbev, zb_full_time=zbft, skip_percentile=explicit_bounds,
         )
+        idx = q["idx"]
+        if gather_w:
+            # When the time axis is longer than the pixel width, only <= W
+            # distinct rows are ever sampled -- gather them on device so
+            # the readback scales with pixels, not samples.
+            idx = idx[t_map]
         # Pack the metadata (scalars + kept_pos) behind the index matrix in
         # ONE uint8 buffer: this host<->device link charges latency per
         # buffer, so a single readback wins.  Floats travel as bitcast
@@ -333,9 +344,9 @@ def _batched_quantize_fn(spec_key):
             ]
         )
         meta_bytes = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(-1)
-        return jnp.concatenate([q["idx"].reshape(-1), meta_bytes])
+        return jnp.concatenate([idx.reshape(-1), meta_bytes])
 
-    return jax.jit(jax.vmap(one, in_axes=(0,) * 10 + (None,)))
+    return jax.jit(jax.vmap(one, in_axes=(0,) * 11 + (None,)))
 
 
 def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> list[dict]:
@@ -424,14 +435,26 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
                 zb_e_valids[j, :E] = e_valids[j, :E]
                 zb_full[j] = False
 
-        fn = _batched_quantize_fn((y_scale, z_scale, lo_pct, hi_pct, explicit))
+        # When the padded time axis exceeds the pixel width, gather one
+        # matrix row per pixel column on device: readback then scales with
+        # pixels, not samples (~4x smaller at real FAST record lengths).
+        gather_w = _bucket(tile_w, 256, 256) if Tp > _bucket(tile_w, 256, 256) else 0
+        t_maps = np.zeros((n, max(gather_w, 1)), np.int32)
+        if gather_w:
+            for j, i in enumerate(idxs):
+                cols, _ = pixel_columns(
+                    make_x_map(panels[i].window, tile_w), int(t_starts[j]), int(t_counts[j]), Tp, tile_w
+                )
+                t_maps[j, :tile_w] = cols
+
+        fn = _batched_quantize_fn((y_scale, z_scale, lo_pct, hi_pct, explicit, gather_w))
         import time as _time
 
         import jax
 
         out_dev = fn(
             u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
-            zb_e_valids, zb_full, cubes,
+            zb_e_valids, zb_full, t_maps, cubes,
         )
         jax.block_until_ready(out_dev)  # compute (and possible compile) done
         t0 = _time.perf_counter()
@@ -453,8 +476,9 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
                 f"{packed.nbytes / max(xfer, 1e-9) / 1e6:.2f} MB/s; switching panel "
                 f"rasterization to the host backend for this process"
             )
-        idx_host = packed[:, : Tp * Ep].reshape(n, Tp, Ep)
-        meta_host = packed[:, Tp * Ep :].copy().view(np.float32).reshape(n, 7 + Ep)
+        rows_out = gather_w if gather_w else Tp
+        idx_host = packed[:, : rows_out * Ep].reshape(n, rows_out, Ep)
+        meta_host = packed[:, rows_out * Ep :].copy().view(np.float32).reshape(n, 7 + Ep)
 
         for j, i in enumerate(idxs):
             p = panels[i]
@@ -475,6 +499,7 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
                 y_scale,
                 colormap_lut(p.colormap),
                 empty=bool(empty_j),
+                pre_gathered=bool(gather_w),
             )
             results[i] = {
                 "rgba": rgba,

@@ -60,6 +60,23 @@ def compute_time_window(
     return TimeWindow(t_start=lo, t_count=hi - lo, extent=extent, xlim=xlim)
 
 
+def pixel_columns(
+    x_map: np.ndarray, t_start: int, t_count: int, n_time: int, out_w: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-pixel-column matrix row indices and in-extent mask (float32 math).
+
+    The single source of truth for the pixel->time-row mapping, shared by
+    host resampling and the device-side pre-gather (their arithmetic must
+    agree bit-for-bit).
+    """
+    xm = np.asarray(x_map, np.float32)
+    px = np.arange(out_w, dtype=np.float32)
+    col_f = xm[0] * px + xm[1]
+    x_ok = (col_f >= 0.0) & (col_f <= np.float32(t_count))
+    col = np.clip(col_f.astype(np.int32), 0, max(t_count - 1, 0))
+    return np.clip(t_start + col, 0, n_time - 1), x_ok
+
+
 def resample_indices(
     idx: np.ndarray,
     kept_pos: np.ndarray,
@@ -76,6 +93,7 @@ def resample_indices(
     lut: np.ndarray,
     bg_rgba: tuple[int, int, int, int] = (255, 255, 255, 255),
     empty: bool = False,
+    pre_gathered: bool = False,
 ) -> np.ndarray:
     """Pixel-replicate a quantized (T, E) index matrix to an RGBA tile.
 
@@ -83,18 +101,20 @@ def resample_indices(
     :func:`configurable_spectrograms_tpu.ops.spectrogram.render_matrix`
     (same float32 arithmetic, so outputs are bit-identical); used on the
     readback-light production path where the device ships only the small
-    index matrix.  Returns (out_h, out_w, 4) uint8 in PNG row order.
+    index matrix.  With ``pre_gathered`` the device already gathered one
+    matrix row per pixel column (row i == pixel column i); out-of-extent
+    columns still mask to background here.  Returns (out_h, out_w, 4)
+    uint8 in PNG row order.
     """
     lut_ext = np.concatenate([np.asarray(lut, np.uint8), np.asarray([bg_rgba], np.uint8)], axis=0)
     if empty or n_kept <= 0 or t_count <= 0:
         return np.broadcast_to(lut_ext[256], (out_h, out_w, 4)).copy()
     T, E = idx.shape
-    xm = np.asarray(x_map, np.float32)
-    px = np.arange(out_w, dtype=np.float32)
-    col_f = xm[0] * px + xm[1]
-    x_ok = (col_f >= 0.0) & (col_f <= np.float32(t_count))
-    col = np.clip(col_f.astype(np.int32), 0, max(t_count - 1, 0))
-    t_idx = np.clip(t_start + col, 0, T - 1)
+    if pre_gathered:
+        t_idx = np.arange(out_w, dtype=np.int32)
+        _, x_ok = pixel_columns(x_map, t_start, t_count, max(T, t_count), out_w)
+    else:
+        t_idx, x_ok = pixel_columns(x_map, t_start, t_count, T, out_w)
 
     py = ((np.arange(out_h, dtype=np.float32) + np.float32(0.5)) / np.float32(out_h)).astype(np.float32)
     nk = np.float32(max(n_kept, 1))

@@ -69,3 +69,42 @@ def test_host_resample_empty():
         np.array([1.0, 0.0], np.float32), 8, 8, "linear", lut, empty=True,
     )
     assert np.all(tile == 255)
+
+
+def test_pre_gather_path_matches_direct(rng):
+    """Long records (T >> W) take the device pre-gather path with equal pixels."""
+    from configurable_spectrograms_tpu.render import figure as figure_mod
+    from configurable_spectrograms_tpu.render.figure import PanelData, device_render_panels
+
+    T, A, E = 700, 6, 12
+    cube = (rng.random((T, A, E)) * 300).astype(np.float32)
+    energy = np.geomspace(4000, 10, E).astype(np.float32)
+
+    def build():
+        return PanelData(
+            cube=cube, pitch_mask=np.ones(A, bool), energy=energy,
+            times=np.arange(T, dtype=np.float64),
+            window=TimeWindow(10, 600, (10.0, 609.0), (5.0, 615.0)),
+            y_min=0.0, y_max=4000.0, z_min=None, z_max=None,
+            y_scale="log", z_scale="log", colormap="inferno",
+            x_is_unix=True, z_label="Counts",
+        )
+
+    tile_h, tile_w = 40, 120  # Tp (768) > Wp (256) -> gather active
+    gathered = device_render_panels([build()], tile_h, tile_w)[0]
+    # Reference result through the ungathered full-device renderer.
+    import jax.numpy as jnp
+
+    from configurable_spectrograms_tpu.ops import RenderSpec, collapse_cube, render_matrix
+
+    p = build()
+    spec = RenderSpec(height=tile_h, width=tile_w, y_scale="log", z_scale="log")
+    direct = render_matrix(
+        collapse_cube(jnp.asarray(cube), jnp.ones(A, bool), T),
+        jnp.asarray(energy), jnp.asarray((energy >= 0) & (energy <= 4000)),
+        jnp.int32(T), jnp.int32(10), jnp.int32(600),
+        jnp.asarray(make_x_map(p.window, tile_w)),
+        jnp.asarray(np.array([np.nan, np.nan], np.float32)),
+        jnp.asarray(colormap_lut("inferno")), spec,
+    )
+    np.testing.assert_array_equal(gathered["rgba"], np.asarray(direct["rgba"]))
