@@ -238,6 +238,8 @@ def generic_plot_spectrogram_set(
     if figure_title:
         fig.suptitle(figure_title)
     fig.tight_layout(rect=(0, 0, 1, 0.97))
+    if show:
+        _show_figure(fig)
     return fig, fig
 
 
@@ -367,4 +369,19 @@ def generic_plot_multirow_optional_zoom(
             f"Marked range: {v0.strftime('%Y-%m-%d %H:%M:%S')} to {v1.strftime('%Y-%m-%d %H:%M:%S')} UTC"
         )
         fig.text(0.5, 0.045, marked_str, ha="center", va="bottom", fontsize=13, color="red")
+    if show:
+        _show_figure(fig)
     return fig, fig
+
+
+def _show_figure(fig) -> None:
+    """Best-effort interactive display (the reference's ``show=True``).
+
+    Renders and hands the image to the system viewer; silently a no-op on
+    headless machines (reference plotting.py:498-501,694-697 used
+    ``plt.show``, equally dependent on a display).
+    """
+    try:
+        fig.render().show()
+    except Exception as exc:
+        log_message(f"[WARN] show=True but no display available: {exc}")
