@@ -128,6 +128,7 @@ def audio_spectrogram_dataset(
         "y": freqs,
         "data": spec_np[:, None, :],
         "label": label or ("Mel spectrogram" if n_mels else "STFT spectrogram"),
+        "x_label": "Time (s)",
         "y_label": "Frequency (Hz)",
         "z_label": "Power",
     }

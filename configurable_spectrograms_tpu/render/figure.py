@@ -724,12 +724,17 @@ class _Layout:
         tick_max_w = 0
         if p.z_scale == "log" and vmin > 0 and vmax > vmin:
             lmin, lmax = math.log10(vmin), math.log10(vmax)
-            for k in locators.log_ticks(vmin, vmax):
+            exps = locators.log_ticks(vmin, vmax)
+            # Label every decade tick unless they'd collide (wide dynamic
+            # ranges, e.g. audio power spanning 12 decades).
+            label_step = max(1, math.ceil(len(exps) * (self.tick_px * 1.4) / max(h, 1)))
+            for j, k in enumerate(exps):
                 frac = (k - lmin) / (lmax - lmin)
                 py = y1 - frac * h
                 draw.line([(cb_x0 + cb_w, py), (cb_x0 + cb_w + self.tick_len // 2, py)], fill="black", width=1)
-                w = draw_pow10(draw, (cb_x0 + cb_w + self.tick_len // 2 + 2, py), k, self.tick_px)
-                tick_max_w = max(tick_max_w, w)
+                if j % label_step == 0:
+                    w = draw_pow10(draw, (cb_x0 + cb_w + self.tick_len // 2 + 2, py), k, self.tick_px)
+                    tick_max_w = max(tick_max_w, w)
         elif math.isfinite(vmin) and math.isfinite(vmax) and vmax > vmin:
             for t in locators.nice_linear_ticks(vmin, vmax):
                 frac = (t - vmin) / (vmax - vmin)
@@ -738,8 +743,10 @@ class _Layout:
                 lab = locators.format_linear_tick(t)
                 draw_text(draw, (cb_x0 + cb_w + self.tick_len // 2 + 2, py), lab, self.tick_px, anchor="lm")
                 tick_max_w = max(tick_max_w, text_size(lab, self.tick_px)[0])
-        # The reference overrides the colorbar label to "Counts" at the end
-        # regardless of z_label (reference plotting.py:387).
+        # Deliberate divergence: the reference stomps every colorbar label
+        # to "Counts" at the end (reference plotting.py:387); we honor the
+        # requested z_label so non-FAST data (e.g. the audio front-end's
+        # "Power") stays truthful.  FAST/generic rows pass "Counts" anyway.
         label_x = cb_x0 + cb_w + self.tick_len // 2 + tick_max_w + self.label_px // 2 + 6
         draw_rotated_text(img, (min(label_x, self.W - self.label_px // 2 - 2), (y0 + y1) / 2),
-                          "Counts", self.label_px, angle=90)
+                          p.z_label or "Counts", self.label_px, angle=90)
