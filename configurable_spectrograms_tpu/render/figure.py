@@ -236,11 +236,26 @@ def render_figures(figures: list["SpectroFigure"], dpi: float | None = None) -> 
 #: Rasterization backend: ``device`` (JAX), ``host`` (numpy), or ``auto``
 #: (device until a pathologically slow device->host readback is measured,
 #: then host for the rest of the process).  See render/host_quantize.py.
-_BACKEND = {"mode": os.environ.get("CST_RENDER_BACKEND", "auto"), "forced_host": False}
+_BACKEND = {
+    "mode": os.environ.get("CST_RENDER_BACKEND", "auto"),
+    "forced_host": False,
+    "calibrated": False,
+}
 
 #: Auto-switch threshold: a readback slower than this effective bandwidth
 #: (and taking over a second) marks the device link unusable.
 _MIN_LINK_MBPS = 1.0
+
+#: Readback slower than this per panel (but above the hard floor) triggers a
+#: one-shot calibration: time the host backend on the same group and keep
+#: whichever is faster.  Direct-attached devices read back in ~1 ms/panel and
+#: never pay the calibration; only degraded links (e.g. a slow relay) do.
+_CALIBRATE_XFER_SEC_PER_PANEL = 0.02
+
+
+def _readback(out_dev) -> np.ndarray:
+    """D2H transfer of the packed result buffer (timed; test seam)."""
+    return np.asarray(out_dev)
 
 
 def _host_backend_active() -> bool:
@@ -458,7 +473,7 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
         )
         jax.block_until_ready(out_dev)  # compute (and possible compile) done
         t0 = _time.perf_counter()
-        packed = np.asarray(out_dev)
+        packed = _readback(out_dev)
         xfer = _time.perf_counter() - t0
         if (
             _BACKEND["mode"] == "auto"
@@ -476,6 +491,32 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
                 f"{packed.nbytes / max(xfer, 1e-9) / 1e6:.2f} MB/s; switching panel "
                 f"rasterization to the host backend for this process"
             )
+        elif (
+            _BACKEND["mode"] == "auto"
+            and not _BACKEND["forced_host"]
+            and not _BACKEND["calibrated"]
+            and xfer / n > _CALIBRATE_XFER_SEC_PER_PANEL
+        ):
+            # The link is slow enough that readback alone may cost more than
+            # redoing the whole panel on the host.  Measure once: render this
+            # same group on the host (parity-tested identical output) and
+            # compare its TOTAL time against the readback time alone -- a
+            # comparison conservative toward the device, since the device
+            # path's compute is treated as free.
+            _BACKEND["calibrated"] = True
+            t0 = _time.perf_counter()
+            _render_group_host(panels, idxs, tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct, results)
+            host_t = _time.perf_counter() - t0
+            if xfer > host_t:
+                _BACKEND["forced_host"] = True
+                from configurable_spectrograms_tpu.utils.logging import log_error
+
+                log_error(
+                    f"[BACKEND] calibration: device readback {xfer * 1e3:.0f} ms vs "
+                    f"host render {host_t * 1e3:.0f} ms for {n} panel(s); switching "
+                    f"panel rasterization to the host backend for this process"
+                )
+                continue  # the host results for this group are already in place
         rows_out = gather_w if gather_w else Tp
         idx_host = packed[:, : rows_out * Ep].reshape(n, rows_out, Ep)
         meta_host = packed[:, rows_out * Ep :].copy().view(np.float32).reshape(n, 7 + Ep)

@@ -75,6 +75,43 @@ def test_host_backend_full_figure(monkeypatch, rng, tmp_path):
     assert frac_diff < 0.02, f"host/device figures diverge on {frac_diff:.4f} of pixels"
 
 
+def test_auto_backend_calibration_flip(monkeypatch, rng):
+    """A slow readback (above the hard-floor bandwidth, so the <1 MB/s trip
+    never fires) triggers the one-shot readback-vs-host calibration, flips to
+    the host backend, and the figure pixels still match a pure-host render."""
+    import time
+
+    from configurable_spectrograms_tpu.data.synthetic import synth_instrument_arrays
+    from configurable_spectrograms_tpu.render import figure as figure_mod
+    from configurable_spectrograms_tpu.render.plotting import generic_plot_multirow_optional_zoom
+
+    a = synth_instrument_arrays(rng, n_time=60, n_angle=6, n_energy=16)
+    ds = [{"x": a["time_unix"], "y": a["energy"][0, 0, :], "data": a["data"], "label": "R"}]
+
+    real_readback = figure_mod._readback
+
+    def slow_readback(out_dev):
+        time.sleep(0.25)
+        return real_readback(out_dev)
+
+    monkeypatch.setitem(figure_mod._BACKEND, "mode", "auto")
+    monkeypatch.setitem(figure_mod._BACKEND, "forced_host", False)
+    monkeypatch.setitem(figure_mod._BACKEND, "calibrated", False)
+    monkeypatch.setattr(figure_mod, "_readback", slow_readback)
+    fig, _ = generic_plot_multirow_optional_zoom(ds, z_scale="log", colormap="inferno")
+    auto_img = np.asarray(fig.render(dpi=60))
+    assert figure_mod._BACKEND["calibrated"]
+    assert figure_mod._BACKEND["forced_host"]
+
+    monkeypatch.setattr(figure_mod, "_readback", real_readback)
+    monkeypatch.setitem(figure_mod._BACKEND, "mode", "host")
+    monkeypatch.setitem(figure_mod._BACKEND, "forced_host", False)
+    fig2, _ = generic_plot_multirow_optional_zoom(ds, z_scale="log", colormap="inferno")
+    host_img = np.asarray(fig2.render(dpi=60))
+    assert auto_img.shape == host_img.shape
+    assert (auto_img != host_img).any(axis=-1).mean() < 0.02
+
+
 def test_host_quantize_empty():
     q = host_quantize(np.full((4, 3), np.nan, np.float32), np.array([1.0, 2.0, 3.0], np.float32),
                       np.ones(3, bool), 0, 4, (None, None), "linear", "linear", 1, 99)
