@@ -87,7 +87,7 @@ class CDF:
     metadata at construction, each variable's data on first ``varget``.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, validate: bool = False):
         self.path = str(path)
         with open(self.path, "rb") as f:
             raw = f.read()
@@ -120,6 +120,13 @@ class CDF:
             # Truncated or structurally invalid container: surface a CDFError
             # whose message the error-reason classifier maps to 'invalid-cdf'.
             raise CDFError(f"{path} is not a CDF file or a non-supported CDF! ({exc})") from exc
+        if validate and self._has_checksum:
+            # The 16-byte MD5 signature covers the physical dotCDF file (the
+            # compressed bytes for CCR files), everything but itself.
+            import hashlib
+
+            if len(raw) < 24 or hashlib.md5(raw[:-16]).digest() != raw[-16:]:
+                raise CDFError(f"{path}: MD5 checksum mismatch (file corrupted)")
 
     # -- low-level helpers --------------------------------------------------
 
@@ -176,6 +183,7 @@ class CDF:
         flags, p = self._i4(p)
         self._row_major = bool(flags & 0x1)
         self._single_file = bool(flags & 0x2)
+        self._has_checksum = bool(flags & 0x4) and bool(flags & 0x8)  # MD5 signature present
         if not self._single_file:
             raise CDFError(f"{self.path}: multi-file CDFs are not supported")
         self._data_be = self._encoding in _BIG_ENDIAN_ENCODINGS
@@ -357,6 +365,7 @@ class CDF:
             "zVariables": [v.name for v in self._vars.values() if v.is_z],
             "rVariables": [v.name for v in self._vars.values() if not v.is_z],
             "Attributes": sorted(self._gattrs),
+            "Checksum": "MD5" if self._has_checksum else None,
         }
 
     def variables(self) -> list[str]:

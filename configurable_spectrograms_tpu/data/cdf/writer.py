@@ -96,6 +96,7 @@ def write_cdf(
     compress: str = "none",
     row_major: bool = True,
     version: int = 3,
+    checksum: bool = False,
 ) -> str:
     """Write *variables* to a single-file CDF at *path*.
 
@@ -115,6 +116,10 @@ def write_cdf(
         Record-interior element order.
     version : {3, 2}, default 3
         Container format generation (2 = V2.7 legacy layout).
+    checksum : bool, default False
+        Append the spec's 16-byte MD5 signature (of the physical file
+        content preceding it) and set the CDR checksum flags; readers
+        opt in to verifying it via ``CDF(path, validate=True)``.
 
     Returns
     -------
@@ -129,6 +134,8 @@ def write_cdf(
 
     # --- CDR -----------------------------------------------------------------
     flags = 0x2 | (0x1 if row_major else 0x0)  # single-file (+ row-major)
+    if checksum:
+        flags |= 0x4 | 0x8  # checksum present, MD5 method
     cdr = bytearray()
     cdr_gdr_pos = len(cdr)
     cdr += fmt.off(0)  # GDRoffset (patched)
@@ -268,6 +275,10 @@ def write_cdf(
         cdata = gzip.compress(body, compresslevel=6)
         ccr = fmt.off(0) + fmt.off(len(body)) + struct.pack(">i", 0) + cdata
         blob = struct.pack(">II", fmt.magic1, 0xCCCC0001) + fmt.record(10, ccr)
+    if checksum:
+        import hashlib
+
+        blob += hashlib.md5(blob).digest()
     with open(path, "wb") as f:
         f.write(blob)
     return path

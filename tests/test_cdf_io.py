@@ -100,3 +100,42 @@ def test_v2_column_major(tmp_path, sample_vars):
 def test_bad_version(tmp_path, sample_vars):
     with pytest.raises(ValueError):
         write_cdf(str(tmp_path / "x.cdf"), sample_vars, version=4)
+
+
+@pytest.mark.parametrize("compress,version", [("none", 3), ("file", 3), ("gzip", 2)])
+def test_checksum_roundtrip_and_validation(tmp_path, sample_vars, compress, version):
+    """MD5-signed files read back clean under validate=True; a flipped data
+    byte fails validation but still parses with validation off (cdflib's
+    default posture, which the reference relies on)."""
+    path = str(tmp_path / f"ck_{compress}_{version}.cdf")
+    write_cdf(path, sample_vars, compress=compress, version=version, checksum=True)
+    with CDF(path, validate=True) as c:
+        assert c.cdf_info()["Checksum"] == "MD5"
+        np.testing.assert_array_equal(c.varget("data"), sample_vars["data"])
+
+    good = open(path, "rb").read()
+    # A flipped signature byte: the container itself is intact, so a lenient
+    # read (cdflib's default posture, which the reference relies on) still
+    # parses while validation catches the mismatch.
+    blob = bytearray(good)
+    blob[-1] ^= 0xFF
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(CDFError, match="checksum mismatch"):
+        CDF(path, validate=True)
+    CDF(path, validate=False)
+
+    # A flipped content byte always fails a validating open (as a checksum
+    # mismatch, or earlier as a decompression/parse error for compressed
+    # containers).
+    blob = bytearray(good)
+    blob[-20] ^= 0xFF
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(CDFError):
+        CDF(path, validate=True)
+
+
+def test_validate_without_checksum_is_noop(tmp_path, sample_vars):
+    path = str(tmp_path / "nock.cdf")
+    write_cdf(path, sample_vars)
+    with CDF(path, validate=True) as c:
+        assert c.cdf_info()["Checksum"] is None
