@@ -18,8 +18,6 @@ pools still work for purely host-side workloads.
 from __future__ import annotations
 
 import concurrent.futures
-import json
-import os
 import signal
 import sys
 from collections.abc import Callable, Iterable

@@ -22,7 +22,12 @@ from configurable_spectrograms_tpu.constants import (
     PLOT_FIGURE_HEIGHT_INCHES,
     PLOT_FIGURE_WIDTH_INCHES,
 )
-from configurable_spectrograms_tpu.render.figure import AXIS_LABEL_PT, Axes, PanelData, SpectroFigure
+from configurable_spectrograms_tpu.render.figure import (  # Axes re-exported: make_spectrogram returns one
+    AXIS_LABEL_PT,
+    Axes,
+    PanelData,
+    SpectroFigure,
+)
 from configurable_spectrograms_tpu.render.tile import compute_time_window
 from configurable_spectrograms_tpu.utils.logging import log_message
 

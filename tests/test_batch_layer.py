@@ -6,8 +6,6 @@ import json
 import os
 from concurrent.futures import ThreadPoolExecutor
 
-import numpy as np
-import pytest
 
 from configurable_spectrograms_tpu.batch_runner import run_batch
 from configurable_spectrograms_tpu.data import download as dl

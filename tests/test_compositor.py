@@ -2,7 +2,6 @@
 
 import numpy as np
 import pytest
-from PIL import Image
 
 from configurable_spectrograms_tpu.render.figure import SpectroFigure
 from configurable_spectrograms_tpu.render.plotting import make_spectrogram

@@ -2,7 +2,6 @@
 
 import json
 
-import numpy as np
 import pytest
 
 from configurable_spectrograms_tpu.fast.batch_directory import _ProgressLedger

@@ -73,7 +73,6 @@ def test_host_resample_empty():
 
 def test_pre_gather_path_matches_direct(rng):
     """Long records (T >> W) take the device pre-gather path with equal pixels."""
-    from configurable_spectrograms_tpu.render import figure as figure_mod
     from configurable_spectrograms_tpu.render.figure import PanelData, device_render_panels
 
     T, A, E = 700, 6, 12
