@@ -22,7 +22,11 @@ from configurable_spectrograms_tpu.constants import (
 from configurable_spectrograms_tpu.data.cdf import CDF
 from configurable_spectrograms_tpu.utils.logging import log_error, log_message
 
-INSTRUMENT_TAGS = ("ees", "eeb", "ies", "ieb")
+#: Recognized filename tags.  ``esv`` extends the reference's set (its
+#: download.py:22 notes esv CDFs exist but never recognizes them); the
+#: default batch instrument order stays the reference's four, so esv only
+#: participates when a caller asks for it via ``instrument_order``.
+INSTRUMENT_TAGS = ("ees", "eeb", "ies", "ieb", "esv")
 
 # Module-level caches avoiding repeated disk I/O in batch loops.
 filtered_orbits_cache: dict[str, pd.DataFrame | None] = {}

@@ -290,3 +290,27 @@ def test_get_cdf_var_shapes(archive):
     assert len(shapes["data"]) == 8  # 2 orbits x 4 instruments
     assert all(s == (80, 16, 24) for s in shapes["data"])
     assert all(s == (80, 16, 24) for s in shapes["energy"])
+
+
+def test_esv_instrument_opt_in(tmp_path):
+    """``esv`` files (noted but never recognized by the reference,
+    download.py:22) are discovered and rendered when the caller includes
+    the tag in ``instrument_order``; the default order still excludes them."""
+    from configurable_spectrograms_tpu.data.orbit_discovery import discover_orbit_files
+
+    order = ("ees", "eeb", "ies", "ieb", "esv")
+    mapping = synth_fast_archive(
+        str(tmp_path / "data"), [600], instruments=order, n_time=60, n_angle=8, n_energy=16
+    )
+    assert "esv" in mapping[600]
+
+    by_default = discover_orbit_files(str(tmp_path / "data"))
+    assert "esv" not in by_default[600]
+    with_esv = discover_orbit_files(str(tmp_path / "data"), instrument_order=order)
+    assert set(with_esv[600]) == set(order)
+
+    fig, _ = FAST_plot_instrument_grid(
+        with_esv[600], orbit_number=600, show=False, instrument_order=order
+    )
+    assert fig is not None
+    assert fig.nrows == 5
