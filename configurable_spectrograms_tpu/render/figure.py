@@ -665,8 +665,8 @@ class _Layout:
             # No data drawn (or device-side empty): frame + title only --
             # the y extent / color bounds in ``r`` are meaningless here.
             if ax.title:
-                draw_text(draw, ((x0 + x1) / 2, y0 - self.label_px - 2), ax.title,
-                          pt_to_px(ax.title_fontsize_pt, self.dpi), anchor="ma")
+                draw_text(draw, ((x0 + x1) / 2, y0 - 3), ax.title,
+                          pt_to_px(ax.title_fontsize_pt, self.dpi), anchor="md")
             return
 
         self._draw_x_ticks(draw, rect, p)
@@ -683,8 +683,8 @@ class _Layout:
             drawer(draw, rect, marker_px, self.dpi, **kw)
 
         if ax.title:
-            draw_text(draw, ((x0 + x1) / 2, y0 - self.label_px - 2), ax.title,
-                      pt_to_px(ax.title_fontsize_pt, self.dpi), anchor="ma")
+            draw_text(draw, ((x0 + x1) / 2, y0 - 3), ax.title,
+                      pt_to_px(ax.title_fontsize_pt, self.dpi), anchor="md")
         if ax.xlabel:
             draw_text(draw, ((x0 + x1) / 2, y1 + self.tick_len + round(self.tick_px * 1.3)),
                       ax.xlabel, self.label_px, anchor="ma")
