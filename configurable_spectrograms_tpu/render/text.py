@@ -128,6 +128,23 @@ def draw_text(
     canvas.paste(tile, (round(x), round(y)), tile)
 
 
+@functools.lru_cache(maxsize=2048)
+def _rotated_tile(text: str, px: int, angle: float, fill) -> Image.Image | None:
+    """Pre-rendered rotated text bitmap (row labels and colorbar labels
+    repeat across panels/figures, so this is nearly always a cache hit)."""
+    w, h = text_size(text, px)
+    if w == 0:
+        return None
+    tmp = Image.new("RGBA", (w + 4, h + 4), (0, 0, 0, 0))
+    d = ImageDraw.Draw(tmp)
+    font = get_font(px)
+    if "\n" in text:
+        d.multiline_text((2, 2), text, font=font, fill=fill, align="center")
+    else:
+        d.text((2, 2), text, font=font, fill=fill)
+    return tmp.rotate(angle, expand=True)
+
+
 def draw_rotated_text(
     canvas: Image.Image,
     center: tuple[float, float],
@@ -139,17 +156,9 @@ def draw_rotated_text(
     """Draw *text* rotated by *angle* degrees, centered at *center*."""
     if not text:
         return
-    w, h = text_size(text, px)
-    if w == 0:
+    rot = _rotated_tile(text, px, float(angle), fill if isinstance(fill, str) else tuple(fill))
+    if rot is None:
         return
-    tmp = Image.new("RGBA", (w + 4, h + 4), (0, 0, 0, 0))
-    d = ImageDraw.Draw(tmp)
-    font = get_font(px)
-    if "\n" in text:
-        d.multiline_text((2, 2), text, font=font, fill=fill, align="center")
-    else:
-        d.text((2, 2), text, font=font, fill=fill)
-    rot = tmp.rotate(angle, expand=True)
     canvas.paste(rot, (round(center[0] - rot.width / 2), round(center[1] - rot.height / 2)), rot)
 
 
