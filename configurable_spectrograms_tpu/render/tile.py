@@ -130,10 +130,14 @@ def resample_indices(
     row_eff = (n_kept - 1 - row) if flip else row
     e_idx = np.asarray(kept_pos)[np.clip(row_eff, 0, E - 1)]
 
-    tile = lut_ext[idx[np.ix_(t_idx, e_idx)].astype(np.int32)]  # (out_w, out_h, 4)
-    tile = tile.transpose(1, 0, 2)  # (out_h, out_w, 4), origin lower
-    tile[:, ~x_ok] = lut_ext[256]
-    return tile[::-1, :, :]
+    # Gather straight into PNG row order (top row first == highest y, so
+    # the row map is reversed) -- one uint8 gather, one LUT gather, and a
+    # C-contiguous result with no transpose/flip copies downstream.
+    gathered = idx[t_idx[None, :], e_idx[::-1][:, None]]  # (out_h, out_w) uint8
+    tile = lut_ext[gathered]  # (out_h, out_w, 4)
+    if not x_ok.all():
+        tile[:, ~x_ok] = lut_ext[256]
+    return tile
 
 
 def make_x_map(window: TimeWindow, width: int) -> np.ndarray:
