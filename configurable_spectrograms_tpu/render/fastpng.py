@@ -28,29 +28,41 @@ _LIB = os.path.join(_NATIVE_DIR, "libfastpng.so")
 @functools.lru_cache(maxsize=1)
 def _load() -> ctypes.CDLL | None:
     if not os.path.exists(_LIB) and os.path.exists(_SRC):
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-fPIC", "-shared", "-o", _LIB, _SRC, "-lz"],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception:
+        # Prefer libdeflate (~2-3x faster whole-buffer deflate + hw CRC);
+        # fall back to plain zlib where it isn't installed.
+        base = ["g++", "-O3", "-fPIC", "-shared", "-o", _LIB, _SRC]
+        for extra in (["-DFASTPNG_USE_LIBDEFLATE", "-ldeflate"], ["-lz"]):
+            try:
+                subprocess.run(base + extra, check=True, capture_output=True, timeout=120)
+                break
+            except Exception:
+                continue
+        else:
             return None
     if not os.path.exists(_LIB):
         return None
     try:
         lib = ctypes.CDLL(_LIB)
+        lib.fastpng_write_v2
     except OSError:
         return None
-    lib.fastpng_write_rgb.argtypes = [
+    except AttributeError:
+        # Stale library from an older source revision: rebuild once.
+        try:
+            os.remove(_LIB)
+        except OSError:
+            return None
+        _load.cache_clear()
+        return _load()
+    lib.fastpng_write_v2.argtypes = [
         ctypes.c_char_p,
+        ctypes.c_int32,
         ctypes.c_int32,
         ctypes.c_int32,
         ctypes.c_int32,
         ctypes.c_char_p,
     ]
-    lib.fastpng_write_rgb.restype = ctypes.c_int32
+    lib.fastpng_write_v2.restype = ctypes.c_int32
     return lib
 
 
@@ -59,21 +71,24 @@ def native_available() -> bool:
 
 
 def write_png_rgb(array: np.ndarray, path: str, compress_level: int = 3) -> bool:
-    """Write an (H, W, 3) uint8 array as a PNG; returns False on any failure.
+    """Write an (H, W, 3|4) uint8 array as an RGB PNG; False on any failure.
 
-    Callers fall back to PIL when this returns False.
+    RGBA input has its alpha dropped inside the encoder, so a shared RGBA
+    canvas encodes with zero Python-side copies.  Callers fall back to PIL
+    when this returns False.
     """
     lib = _load()
     if lib is None:
         return False
     a = np.ascontiguousarray(array, dtype=np.uint8)
-    if a.ndim != 3 or a.shape[2] != 3:
+    if a.ndim != 3 or a.shape[2] not in (3, 4):
         return False
     h, w = a.shape[:2]
-    rc = lib.fastpng_write_rgb(
+    rc = lib.fastpng_write_v2(
         a.ctypes.data_as(ctypes.c_char_p),
         np.int32(w),
         np.int32(h),
+        np.int32(a.shape[2]),
         np.int32(compress_level),
         path.encode(),
     )

@@ -195,10 +195,16 @@ def save_image(image: Image.Image, path: str, compress_level: int = 3) -> None:
     if is_png:
         from configurable_spectrograms_tpu.render.fastpng import write_png_rgb
 
-        rgb = image if image.mode == "RGB" else image.convert("RGB")
-        if write_png_rgb(np.asarray(rgb), path, compress_level):
+        # Compositor-rendered figures carry their numpy canvas: encode it
+        # directly (zero copies -- the native encoder drops RGBA's alpha).
+        arr = getattr(image, "_np_canvas", None)
+        if arr is None:
+            rgb = image if image.mode == "RGB" else image.convert("RGB")
+            arr = np.asarray(rgb)
+        if write_png_rgb(arr, path, compress_level):
             return
-        image.save(path, format="PNG", compress_level=compress_level)
+        img = image if image.mode == "RGB" else image.convert("RGB")
+        img.save(path, format="PNG", compress_level=compress_level)
     else:
         image.save(path)
 
@@ -610,12 +616,16 @@ class _Layout:
     def composite(self) -> Image.Image:
         # Pass 1: blit data tiles and colorbar strips straight into a numpy
         # canvas (pure memcpy, no PIL Image wrapping per tile).  Pass 2:
-        # decorations (frames, ticks, text, markers) via PIL on the wrapped
-        # image.  RGB throughout -- every source is opaque or masked.
-        canvas = np.full((self.H, self.W, 3), 255, np.uint8)
+        # decorations (frames, ticks, text, markers) via PIL drawing into the
+        # SAME memory: ``frombuffer`` shares the RGBA buffer with numpy, so
+        # neither compositing nor the later PNG encode copies the canvas
+        # (save_image reads ``_np_canvas``; the native encoder drops alpha).
+        canvas = np.full((self.H, self.W, 4), 255, np.uint8)
         for ax in self.fig.axes:
             self._blit_tiles(canvas, ax)
-        img = Image.fromarray(canvas)
+        img = Image.frombuffer("RGBA", (self.W, self.H), canvas, "raw", "RGBA", 0, 1)
+        img.readonly = 0  # the numpy buffer is writable; draw in place
+        img._np_canvas = canvas
         draw = ImageDraw.Draw(img)
         for ax in self.fig.axes:
             self._draw_axes(img, draw, ax)
@@ -645,14 +655,14 @@ class _Layout:
         if p is None or r is None or bool(r["empty"]):
             return
         x0, y0, x1, y1 = self.axes_rect(ax)
-        canvas[y0:y1, x0:x1] = r["rgba"][: y1 - y0, : x1 - x0, :3]
+        canvas[y0:y1, x0:x1] = r["rgba"][: y1 - y0, : x1 - x0]
         from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
 
         cb_x0 = x1 + round(0.035 * self.cell_w)
         cb_w = max(4, round(0.045 * self.cell_w))
         h = self.tile_h
         rows = np.clip(((1.0 - (np.arange(h) + 0.5) / h) * 256).astype(int), 0, 255)
-        canvas[y0 : y0 + h, cb_x0 : cb_x0 + cb_w] = colormap_lut(p.colormap)[rows][:, None, :3]
+        canvas[y0 : y0 + h, cb_x0 : cb_x0 + cb_w] = colormap_lut(p.colormap)[rows][:, None]
 
     def _draw_axes(self, img: Image.Image, draw: ImageDraw.ImageDraw, ax: Axes) -> None:
         rect = self.axes_rect(ax)

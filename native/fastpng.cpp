@@ -14,7 +14,15 @@
 #include <cstdio>
 #include <cstring>
 #include <vector>
+
+// libdeflate compresses a whole buffer ~2-3x faster than zlib at the same
+// ratio; the build tries it first (-DFASTPNG_USE_LIBDEFLATE -ldeflate) and
+// falls back to plain zlib when the library is absent.
+#ifdef FASTPNG_USE_LIBDEFLATE
+#include <libdeflate.h>
+#else
 #include <zlib.h>
+#endif
 
 namespace {
 
@@ -49,29 +57,52 @@ void chunk(std::vector<uint8_t>& out, const char type[4], const uint8_t* data, s
     size_t start = out.size();
     out.insert(out.end(), type, type + 4);
     out.insert(out.end(), data, data + n);
+#ifdef FASTPNG_USE_LIBDEFLATE
+    uint32_t crc = libdeflate_crc32(0, out.data() + start, out.size() - start);
+#else
     uint32_t crc = crc32_of(out.data() + start, out.size() - start) ^ 0xFFFFFFFFu;
+#endif
     put_be32(out, crc);
 }
 
 }  // namespace
 
-extern "C" int fastpng_write_rgb(
-    const uint8_t* rgb,   // h*w*3 bytes, row-major
+extern "C" int fastpng_write_v2(
+    const uint8_t* px,    // h*w*channels bytes, row-major
     int32_t w,
     int32_t h,
-    int32_t zlevel,       // 1..9
+    int32_t channels,     // 3 (RGB) or 4 (RGBA; alpha dropped -- output is RGB)
+    int32_t zlevel,
     const char* path
 ) {
-    if (w <= 0 || h <= 0 || rgb == nullptr || path == nullptr) return -1;
-    const size_t stride = size_t(w) * 3;
+    if (w <= 0 || h <= 0 || px == nullptr || path == nullptr) return -1;
+    if (channels != 3 && channels != 4) return -1;
+    const size_t stride = size_t(w) * 3;           // output scanline bytes
+    const size_t in_stride = size_t(w) * size_t(channels);
 
     // Filtered scanlines: filter byte 2 ("Up") per row; row 0 uses "None".
+    // RGBA input is repacked to RGB rows on the fly (one small row buffer),
+    // which lets callers hand over a shared RGBA canvas with zero copies.
     std::vector<uint8_t> raw(size_t(h) * (stride + 1));
+    std::vector<uint8_t> rowbuf(channels == 4 ? stride * 2 : 0);
     {
         uint8_t* dst = raw.data();
         const uint8_t* prev = nullptr;
+        uint8_t* cur_rgb = rowbuf.data();
+        uint8_t* prev_rgb = rowbuf.data() + stride;
         for (int32_t y = 0; y < h; ++y) {
-            const uint8_t* src = rgb + size_t(y) * stride;
+            const uint8_t* src;
+            if (channels == 3) {
+                src = px + size_t(y) * in_stride;
+            } else {
+                const uint8_t* in = px + size_t(y) * in_stride;
+                for (int32_t x = 0; x < w; ++x) {
+                    cur_rgb[size_t(x) * 3 + 0] = in[size_t(x) * 4 + 0];
+                    cur_rgb[size_t(x) * 3 + 1] = in[size_t(x) * 4 + 1];
+                    cur_rgb[size_t(x) * 3 + 2] = in[size_t(x) * 4 + 2];
+                }
+                src = cur_rgb;
+            }
             if (prev == nullptr) {
                 *dst++ = 0;  // None
                 std::memcpy(dst, src, stride);
@@ -81,10 +112,26 @@ extern "C" int fastpng_write_rgb(
                 for (size_t x = 0; x < stride; ++x) dst[x] = uint8_t(src[x] - prev[x]);
                 dst += stride;
             }
-            prev = src;
+            if (channels == 3) {
+                prev = src;
+            } else {
+                std::swap(cur_rgb, prev_rgb);
+                prev = prev_rgb;
+            }
         }
     }
 
+#ifdef FASTPNG_USE_LIBDEFLATE
+    int lvl = zlevel < 1 ? 1 : (zlevel > 12 ? 12 : zlevel);
+    libdeflate_compressor* comp = libdeflate_alloc_compressor(lvl);
+    if (comp == nullptr) return -2;
+    size_t cap = libdeflate_zlib_compress_bound(comp, raw.size());
+    std::vector<uint8_t> zdata(cap);
+    size_t zn = libdeflate_zlib_compress(comp, raw.data(), raw.size(), zdata.data(), cap);
+    libdeflate_free_compressor(comp);
+    if (zn == 0) return -2;
+    zdata.resize(zn);
+#else
     uLongf bound = compressBound(uLong(raw.size()));
     std::vector<uint8_t> zdata(bound);
     if (compress2(zdata.data(), &bound, raw.data(), uLong(raw.size()),
@@ -92,6 +139,7 @@ extern "C" int fastpng_write_rgb(
         return -2;
     }
     zdata.resize(bound);
+#endif
 
     std::vector<uint8_t> out;
     out.reserve(zdata.size() + 128);
@@ -117,4 +165,10 @@ extern "C" int fastpng_write_rgb(
     size_t written = std::fwrite(out.data(), 1, out.size(), f);
     std::fclose(f);
     return written == out.size() ? 0 : -4;
+}
+
+extern "C" int fastpng_write_rgb(
+    const uint8_t* rgb, int32_t w, int32_t h, int32_t zlevel, const char* path
+) {
+    return fastpng_write_v2(rgb, w, h, 3, zlevel, path);
 }

@@ -17,7 +17,7 @@ def panel_inputs(rng):
 
 
 def _render(fig, dpi=100):
-    return np.asarray(fig.render(dpi=dpi))
+    return np.asarray(fig.render(dpi=dpi).convert("RGB"))
 
 
 def test_cusp_line_marker_pixels(panel_inputs):

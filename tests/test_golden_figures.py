@@ -47,7 +47,7 @@ def _render_multirow_zoom():
         cusp_marker_style="both",
         title="Golden multirow",
     )
-    return np.asarray(fig.render(dpi=60))
+    return np.asarray(fig.render(dpi=60).convert("RGB"))
 
 
 def _render_generic_set():
@@ -58,7 +58,7 @@ def _render_generic_set():
     fig, _ = generic_plot_spectrogram_set(
         ds, y_scale="linear", z_scale="linear", colormap="viridis", figure_title="Golden set"
     )
-    return np.asarray(fig.render(dpi=60))
+    return np.asarray(fig.render(dpi=60).convert("RGB"))
 
 
 @pytest.mark.parametrize(
