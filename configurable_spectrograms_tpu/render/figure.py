@@ -206,7 +206,9 @@ def save_image(image: Image.Image, path: str, compress_level: int = 3) -> None:
         img = image if image.mode == "RGB" else image.convert("RGB")
         img.save(path, format="PNG", compress_level=compress_level)
     else:
-        image.save(path)
+        # Formats without alpha (JPEG, BMP) reject RGBA; flatten first.
+        fmt_needs_rgb = os.path.splitext(path)[1].lower() in (".jpg", ".jpeg", ".bmp")
+        (image.convert("RGB") if fmt_needs_rgb and image.mode != "RGB" else image).save(path)
 
 
 def render_figures(figures: list["SpectroFigure"], dpi: float | None = None) -> list[Image.Image]:
