@@ -9,6 +9,7 @@ package's own CDF reader instead of cdflib).
 from __future__ import annotations
 
 import os
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -33,6 +34,13 @@ filtered_orbits_cache: dict[str, pd.DataFrame | None] = {}
 orbit_column_cache: dict[tuple[int, str], tuple[str, str, str]] = {}
 cdf_type_cache: dict[str, str | None] = {}
 _dataset_cache: dict[tuple, dict[str, np.ndarray]] = {}
+#: All _dataset_cache access (lookup, insert, eviction, byte accounting)
+#: happens under this lock: the batch driver's ThreadPoolExecutor workers
+#: call load_fast_cdf_dataset concurrently, and unguarded eviction while
+#: another thread inserts raises mid-batch (marking the orbit as a
+#: permanent error in the progress JSON).
+_dataset_cache_lock = threading.Lock()
+_dataset_cache_bytes = 0  # running total; maintained under the lock
 #: Byte budget for cached datasets (FIFO eviction).  Sized so a batch
 #: driver's worker threads (4 workers x 4 instruments x ~13 MB synthetic /
 #: ~200 MB real cubes) don't thrash, without letting real-dimension
@@ -181,8 +189,11 @@ def load_fast_cdf_dataset(
     except OSError:
         mtime = None
     cache_key = (cdf_path, mtime, tuple(variable_names))
-    if mtime is not None and cache_key in _dataset_cache:
-        return _dataset_cache[cache_key]
+    if mtime is not None:
+        with _dataset_cache_lock:
+            cached = _dataset_cache.get(cache_key)
+        if cached is not None:
+            return cached
 
     t_name, d_name, e_name, p_name = variable_names
     with CDF(cdf_path) as handle:
@@ -202,15 +213,12 @@ def load_fast_cdf_dataset(
     }
     if mtime is not None:
         entry_bytes = sum(a.nbytes for a in result.values())
-
-        def _cached_bytes() -> int:
-            return sum(sum(a.nbytes for a in d.values()) for d in _dataset_cache.values())
-
-        while _dataset_cache and _cached_bytes() + entry_bytes > _DATASET_CACHE_MAX_BYTES:
-            try:
-                _dataset_cache.pop(next(iter(_dataset_cache)))
-            except (StopIteration, KeyError):  # pragma: no cover - thread race
-                break
-        if entry_bytes <= _DATASET_CACHE_MAX_BYTES:
-            _dataset_cache[cache_key] = result
+        global _dataset_cache_bytes
+        with _dataset_cache_lock:
+            while _dataset_cache and _dataset_cache_bytes + entry_bytes > _DATASET_CACHE_MAX_BYTES:
+                evicted = _dataset_cache.pop(next(iter(_dataset_cache)))
+                _dataset_cache_bytes -= sum(a.nbytes for a in evicted.values())
+            if entry_bytes <= _DATASET_CACHE_MAX_BYTES and cache_key not in _dataset_cache:
+                _dataset_cache[cache_key] = result
+                _dataset_cache_bytes += entry_bytes
     return result

@@ -22,22 +22,61 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
 _SRC = os.path.join(_NATIVE_DIR, "fastpng.cpp")
-_LIB = os.path.join(_NATIVE_DIR, "libfastpng.so")
+
+
+def _lib_path() -> str:
+    """Per-user cache location for the compiled library.
+
+    A pre-built ``native/libfastpng.so`` next to the source is honored;
+    otherwise the artifact lives under ``~/.cache`` (or
+    ``CST_NATIVE_CACHE_DIR``) so first-use compilation works on read-only
+    installs and never writes into the package tree.
+    """
+    packaged = os.path.join(_NATIVE_DIR, "libfastpng.so")
+    if os.path.exists(packaged):
+        return packaged
+    cache_root = os.environ.get("CST_NATIVE_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "configurable_spectrograms_tpu"
+    )
+    return os.path.join(cache_root, "libfastpng.so")
+
+
+def _compile(lib_path: str) -> bool:
+    """Compile the encoder to *lib_path* atomically.
+
+    The compiler writes to a pid-unique temporary which is then
+    ``os.rename``d into place, so concurrent processes (ProcessPool
+    workers, parallel CLIs) never dlopen a torn library -- each process
+    either sees the complete artifact or compiles its own and the last
+    rename wins (identical content).
+    """
+    try:
+        os.makedirs(os.path.dirname(lib_path), exist_ok=True)
+    except OSError:
+        return False
+    tmp = f"{lib_path}.tmp.{os.getpid()}"
+    # Prefer libdeflate (~2-3x faster whole-buffer deflate + hw CRC);
+    # fall back to plain zlib where it isn't installed.
+    base = ["g++", "-O3", "-fPIC", "-shared", "-o", tmp, _SRC]
+    for extra in (["-DFASTPNG_USE_LIBDEFLATE", "-ldeflate"], ["-lz"]):
+        try:
+            subprocess.run(base + extra, check=True, capture_output=True, timeout=120)
+            os.rename(tmp, lib_path)
+            return True
+        except Exception:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            continue
+    return False
 
 
 @functools.lru_cache(maxsize=1)
 def _load() -> ctypes.CDLL | None:
+    _LIB = _lib_path()
     if not os.path.exists(_LIB) and os.path.exists(_SRC):
-        # Prefer libdeflate (~2-3x faster whole-buffer deflate + hw CRC);
-        # fall back to plain zlib where it isn't installed.
-        base = ["g++", "-O3", "-fPIC", "-shared", "-o", _LIB, _SRC]
-        for extra in (["-DFASTPNG_USE_LIBDEFLATE", "-ldeflate"], ["-lz"]):
-            try:
-                subprocess.run(base + extra, check=True, capture_output=True, timeout=120)
-                break
-            except Exception:
-                continue
-        else:
+        if not _compile(_LIB):
             return None
     if not os.path.exists(_LIB):
         return None

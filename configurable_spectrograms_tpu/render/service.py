@@ -68,32 +68,48 @@ class RenderCoalescer:
     def _run(self) -> None:
         from configurable_spectrograms_tpu.render.figure import device_render_panels
 
-        while True:
-            with self._lock:
-                while not self._queue:
-                    self._wake.wait(timeout=5.0)
-                    if not self._queue:
-                        self._running = False  # idle; next request restarts us
-                        return
-                batch = self._queue
-                self._queue = []
+        batch: list[_Request] = []
+        try:
+            while True:
+                with self._lock:
+                    while not self._queue:
+                        self._wake.wait(timeout=5.0)
+                        if not self._queue:
+                            self._running = False  # idle; next request restarts us
+                            return
+                    batch = self._queue
+                    self._queue = []
 
-            # Pool same-geometry requests into one device call.
-            by_geometry: dict[tuple[int, int], list[_Request]] = {}
-            for req in batch:
-                by_geometry.setdefault((req.tile_h, req.tile_w), []).append(req)
-            for (tile_h, tile_w), reqs in by_geometry.items():
-                all_panels = [p for r in reqs for p in r.panels]
-                try:
-                    results = device_render_panels(all_panels, tile_h, tile_w)
-                except Exception as exc:
+                # Pool same-geometry requests into one device call.
+                by_geometry: dict[tuple[int, int], list[_Request]] = {}
+                for req in batch:
+                    by_geometry.setdefault((req.tile_h, req.tile_w), []).append(req)
+                for (tile_h, tile_w), reqs in by_geometry.items():
+                    all_panels = [p for r in reqs for p in r.panels]
+                    try:
+                        results = device_render_panels(all_panels, tile_h, tile_w)
+                    except Exception as exc:
+                        for r in reqs:
+                            r.future.set_exception(exc)
+                        continue
+                    pos = 0
                     for r in reqs:
-                        r.future.set_exception(exc)
-                    continue
-                pos = 0
-                for r in reqs:
-                    r.future.set_result(results[pos : pos + len(r.panels)])
-                    pos += len(r.panels)
+                        r.future.set_result(results[pos : pos + len(r.panels)])
+                        pos += len(r.panels)
+                batch = []
+        except BaseException as exc:  # e.g. MemoryError/KeyboardInterrupt
+            # The dispatcher is dying: fail every drained-but-unresolved
+            # future (callers blocked on future.result() would otherwise
+            # hang forever) and clear _running so the next render() can
+            # restart a fresh dispatcher.  No new thread can have started
+            # meanwhile -- _ensure_thread only starts one when _running is
+            # False, and it is still True until this line.
+            for req in batch:
+                if not req.future.done():
+                    req.future.set_exception(exc)
+            with self._lock:
+                self._running = False
+            raise
 
 
 _COALESCER = RenderCoalescer()
