@@ -6,6 +6,8 @@ matplotlib-specific collapse callable replaced by a named mode consumed by
 the device kernels in :mod:`configurable_spectrograms_tpu.ops`.
 """
 
+import os
+
 #: Directory containing CDF data files.
 CDF_DATA_DIRECTORY = "./FAST_data/"
 
@@ -43,5 +45,7 @@ OUTPUT_BASE_DIRECTORY = "./plots/"
 
 #: Default DPI used when saving figures (FAST grids / generic sets),
 #: matching reference fast/process_orbit.py:110 and generic_batch.py:113.
-FAST_SAVE_DPI = 200
+#: ``CST_FAST_SAVE_DPI`` overrides for smoke runs (e.g. the multi-chip
+#: dry run renders the full driver path at a small DPI).
+FAST_SAVE_DPI = int(os.environ.get("CST_FAST_SAVE_DPI", 200))
 GENERIC_SAVE_DPI = 150

@@ -194,6 +194,7 @@ def FAST_plot_spectrograms_directory(
     log_flush_batch_size: int | None = None,
     max_processing_percentile: float | None = None,
     override_plots: bool = True,
+    extrema_json_path: str | None = None,
 ) -> list[dict[str, Any]]:
     """Batch process ESA spectrogram plots for all orbits in a directory.
 
@@ -214,12 +215,14 @@ def FAST_plot_spectrograms_directory(
 
     global_extrema = None
     if max_processing_percentile is not None:
+        extrema_kwargs = {} if extrema_json_path is None else {"extrema_json_path": extrema_json_path}
         global_extrema = compute_global_extrema(
             directory_path,
             y_scale,
             z_scale,
             instrument_order,
             compute_mins=False,
+            **extrema_kwargs,
             max_percentile=float(max_processing_percentile),
             log_floor_cutoff=0.1,
             log_floor_value=-1.0,

@@ -178,92 +178,113 @@ def compute_global_extrema(
     if not active_insts:
         return _ordered_with_cursor_first(state, cursor_key)
 
-    # --- incremental scan (device-reduced per orbit) -------------------------
+    # --- incremental scan (device-reduced, chunked across orbits) -----------
     energy_counts: dict[str, dict[float, int]] = {inst: {} for inst in active_insts}
     hists: dict[str, np.ndarray] = {inst: np.zeros(HIST_BINS, np.int64) for inst in active_insts}
     orbits_since_flush = 0
 
+    pending_indexed = [(i, o) for i, o in enumerate(sorted_orbits) if o > last_orbit]
     try:
         from tqdm import tqdm
 
-        pending = [o for o in sorted_orbits if o > last_orbit]
-        bar = tqdm(total=len(pending), desc=f"Extrema {y_scale}/{z_scale}", unit="orbit", leave=False,
-                   disable=(len(pending) == 0))
+        bar = tqdm(total=len(pending_indexed), desc=f"Extrema {y_scale}/{z_scale}", unit="orbit",
+                   leave=False, disable=(len(pending_indexed) == 0))
     except Exception:
         bar = None
-        pending = [o for o in sorted_orbits if o > last_orbit]
+
+    # Orbits per device dispatch: wide enough to fill every mesh device
+    # with one file (and to amortize dispatch latency on one chip), capped
+    # by the flush cadence so resume granularity is unchanged.
+    from configurable_spectrograms_tpu.parallel.mesh import data_parallel_mesh
+
+    mesh = data_parallel_mesh()
+    n_devices = int(mesh.devices.size) if mesh is not None else 1
+    chunk_orbits = max(1, -(-n_devices * 2 // max(1, len(active_insts))))
+    chunk_orbits = min(chunk_orbits, flush_batch_size)
+
+    def _update_state_for_orbit(orbit_index: int, orbit: int) -> None:
+        """Derive and store the post-orbit extrema for every active instrument
+        (identical math to the reference's per-orbit update,
+        reference fast/extrema.py:245-322)."""
+        for inst in active_insts:
+            key_prefix = f"{inst}_{y_scale}_{z_scale}"
+            try:
+                counts_map = energy_counts[inst]
+                candidate_e = 0.0
+                if counts_map:
+                    es = sorted(counts_map)
+                    cum = np.cumsum([counts_map[e] for e in es])
+                    target = 0.99 * cum[-1]
+                    idx = min(int(np.searchsorted(cum, target, side="right")), len(es) - 1)
+                    candidate_e = float(es[idx])
+                candidate_z = hist_percentile(hists[inst], max_percentile)
+
+                prev_e = state.get(f"{key_prefix}_y_max")
+                prev_z = state.get(f"{key_prefix}_z_max")
+                merged_e = max(float(prev_e), candidate_e) if isinstance(prev_e, (int, float)) else candidate_e
+                merged_z = max(float(prev_z), candidate_z) if isinstance(prev_z, (int, float)) else candidate_z
+                merged_e = int(min(4000, math.ceil(merged_e)))
+                merged_z = float(math.ceil(merged_z))
+
+                if compute_mins and hists[inst].sum() > 0:
+                    z_min_store = hist_percentile(hists[inst], 1.0)
+                else:
+                    z_min_store = 0
+                state[f"{key_prefix}_y_min"] = 0
+                state[f"{key_prefix}_y_max"] = merged_e
+                state[f"{key_prefix}_z_min"] = z_min_store
+                state[f"{key_prefix}_z_max"] = merged_z
+                state[f"{key_prefix}_extrema_progress"] = {
+                    "processed_index": orbit_index,
+                    "total": totals[inst],
+                    "complete": orbit_index + 1 >= totals[inst],
+                }
+                state[cursor_key] = orbit
+            except Exception as exc:
+                log_exception(
+                    f"[EXTREMA] Update failure inst={inst} orbit={orbit}",
+                    exc,
+                    level="message",
+                )
 
     try:
-        for orbit_index, orbit in enumerate(sorted_orbits):
-            if orbit <= last_orbit:
-                continue
-            # Load and reduce every active instrument's file in one device batch.
-            loaded: list[tuple[str, np.ndarray, np.ndarray]] = []
-            for inst in active_insts:
-                path = orbit_map.get(orbit, {}).get(inst)
-                if path is None:
-                    continue
-                try:
-                    ds = load_fast_cdf_dataset(path)
-                    loaded.append((inst, ds["data"].astype(np.float32, copy=False), ds["energy"]))
-                except Exception as exc:
-                    log_exception(
-                        f"[EXTREMA] Ingest failure inst={inst} orbit={orbit} file={path}",
-                        exc,
-                        level="message",
-                    )
-            stats = batched_file_stats([cube for _, cube, _ in loaded])
-            for (inst, _cube, energy), st in zip(loaded, stats):
-                counts_map = energy_counts[inst]
-                for e_val, cnt in zip(energy, st["counts"]):
-                    if cnt:
-                        counts_map[float(e_val)] = counts_map.get(float(e_val), 0) + int(cnt)
-                hists[inst] += st["hist"].astype(np.int64)
+        for c0 in range(0, len(pending_indexed), chunk_orbits):
+            chunk = pending_indexed[c0 : c0 + chunk_orbits]
+            # Load every active instrument's file for the chunk's orbits and
+            # reduce them in ONE device dispatch (sharded over the mesh).
+            loaded: list[tuple[int, str, np.ndarray, np.ndarray]] = []
+            for _, orbit in chunk:
+                for inst in active_insts:
+                    path = orbit_map.get(orbit, {}).get(inst)
+                    if path is None:
+                        continue
+                    try:
+                        ds = load_fast_cdf_dataset(path)
+                        loaded.append((orbit, inst, ds["data"].astype(np.float32, copy=False), ds["energy"]))
+                    except Exception as exc:
+                        log_exception(
+                            f"[EXTREMA] Ingest failure inst={inst} orbit={orbit} file={path}",
+                            exc,
+                            level="message",
+                        )
+            stats = batched_file_stats([cube for _, _, cube, _ in loaded])
+            stats_by_orbit: dict[int, list] = {}
+            for (orbit, inst, _cube, energy), st in zip(loaded, stats):
+                stats_by_orbit.setdefault(orbit, []).append((inst, energy, st))
 
-            for inst in active_insts:
-                key_prefix = f"{inst}_{y_scale}_{z_scale}"
-                try:
+            # Fold chunk results orbit by orbit IN ORDER so the monotone
+            # merge and cursor semantics match the sequential scan exactly.
+            for orbit_index, orbit in chunk:
+                for inst, energy, st in stats_by_orbit.get(orbit, []):
                     counts_map = energy_counts[inst]
-                    candidate_e = 0.0
-                    if counts_map:
-                        es = sorted(counts_map)
-                        cum = np.cumsum([counts_map[e] for e in es])
-                        target = 0.99 * cum[-1]
-                        idx = min(int(np.searchsorted(cum, target, side="right")), len(es) - 1)
-                        candidate_e = float(es[idx])
-                    candidate_z = hist_percentile(hists[inst], max_percentile)
-
-                    prev_e = state.get(f"{key_prefix}_y_max")
-                    prev_z = state.get(f"{key_prefix}_z_max")
-                    merged_e = max(float(prev_e), candidate_e) if isinstance(prev_e, (int, float)) else candidate_e
-                    merged_z = max(float(prev_z), candidate_z) if isinstance(prev_z, (int, float)) else candidate_z
-                    merged_e = int(min(4000, math.ceil(merged_e)))
-                    merged_z = float(math.ceil(merged_z))
-
-                    if compute_mins and hists[inst].sum() > 0:
-                        z_min_store = hist_percentile(hists[inst], 1.0)
-                    else:
-                        z_min_store = 0
-                    state[f"{key_prefix}_y_min"] = 0
-                    state[f"{key_prefix}_y_max"] = merged_e
-                    state[f"{key_prefix}_z_min"] = z_min_store
-                    state[f"{key_prefix}_z_max"] = merged_z
-                    state[f"{key_prefix}_extrema_progress"] = {
-                        "processed_index": orbit_index,
-                        "total": totals[inst],
-                        "complete": orbit_index + 1 >= totals[inst],
-                    }
-                    state[cursor_key] = orbit
-                except Exception as exc:
-                    log_exception(
-                        f"[EXTREMA] Update failure inst={inst} orbit={orbit}",
-                        exc,
-                        level="message",
-                    )
-
-            if bar is not None:
-                bar.update(1)
-            orbits_since_flush += 1
+                    for e_val, cnt in zip(energy, st["counts"]):
+                        if cnt:
+                            counts_map[float(e_val)] = counts_map.get(float(e_val), 0) + int(cnt)
+                    hists[inst] += st["hist"].astype(np.int64)
+                _update_state_for_orbit(orbit_index, orbit)
+                if bar is not None:
+                    bar.update(1)
+                orbits_since_flush += 1
             if orbits_since_flush >= flush_batch_size:
                 _flush(force=True)
                 orbits_since_flush = 0

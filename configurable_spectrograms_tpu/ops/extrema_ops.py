@@ -67,31 +67,86 @@ def file_extrema_stats(cube: jax.Array, t_valid: jax.Array) -> dict[str, jax.Arr
     return {"counts": counts, "hist": sorted_bincount(flat_bins, HIST_BINS)}
 
 
-_batched_stats = jax.jit(jax.vmap(file_extrema_stats))
+@functools.lru_cache(maxsize=2)
+def _batched_stats_fn(sharded: bool):
+    """The (cached) jitted per-file stats program, optionally mesh-sharded.
+
+    When sharded, files partition over the data-parallel mesh's ``data``
+    axis: the per-file reduction needs zero collectives, so each chip scans
+    its shard of the archive -- the extrema pre-pass's multi-chip fan-out
+    (the host-pooled equivalent is reference fast/extrema.py:245-285).
+    """
+    batched = jax.vmap(file_extrema_stats)
+    if not sharded:
+        return jax.jit(batched)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from configurable_spectrograms_tpu.parallel.mesh import data_parallel_mesh
+
+    lane = NamedSharding(data_parallel_mesh(), P("data"))
+    return jax.jit(batched, in_shardings=(lane, lane), out_shardings=lane)
+
+
+def host_file_stats(cube: np.ndarray) -> dict[str, np.ndarray]:
+    """Pure-numpy mirror of :func:`file_extrema_stats` (same float32 math).
+
+    The extrema pre-pass runs *before* any figure render, so it must make
+    its own device-vs-host decision; when the device link is down this is
+    what keeps the whole batch pipeline alive.
+    """
+    collapsed = np.where(np.isnan(cube), np.float32(0.0), cube).sum(axis=1, dtype=np.float32)
+    fp = np.isfinite(collapsed) & (collapsed > 0)
+    counts = fp.sum(axis=0).astype(np.int32)
+    vals = collapsed[fp]
+    logv = np.log10(vals, dtype=np.float32)
+    bins = np.clip(
+        ((logv - np.float32(LOG_LO)) / np.float32(LOG_HI - LOG_LO) * np.float32(HIST_BINS)).astype(np.int32),
+        0,
+        HIST_BINS - 1,
+    )
+    hist = np.bincount(bins, minlength=HIST_BINS).astype(np.int32)
+    return {"counts": counts, "hist": hist}
 
 
 def batched_file_stats(cubes: list[np.ndarray]) -> list[dict[str, np.ndarray]]:
     """Compute :func:`file_extrema_stats` for many host cubes in one dispatch.
 
     Cubes are padded to the max (T, A, E) in the batch (NaN padding, which
-    the collapse masks out via ``t_valid`` and nansum semantics).
+    the collapse masks out via ``t_valid`` and nansum semantics).  On a
+    multi-device host the file batch additionally pads to a multiple of
+    the device count (all-NaN dummy files reduce to empty summaries) and
+    shards over the mesh.  When the render backend has fallen back to the
+    host (dead/degraded device link), the stats compute in numpy instead.
     """
     if not cubes:
         return []
+    from configurable_spectrograms_tpu.render.figure import _host_backend_active, probe_device_link
+
+    probe_device_link()
+    if _host_backend_active():
+        return [host_file_stats(np.asarray(c, np.float32)) for c in cubes]
+    from configurable_spectrograms_tpu.parallel.mesh import data_parallel_mesh
+
+    mesh = data_parallel_mesh()
+    n = len(cubes)
+    n_lanes = n
+    if mesh is not None:
+        d = int(mesh.devices.size)
+        n_lanes = ((n + d - 1) // d) * d
     Tm = max(c.shape[0] for c in cubes)
     Am = max(c.shape[1] for c in cubes)
     Em = max(c.shape[2] for c in cubes)
-    batch = np.full((len(cubes), Tm, Am, Em), np.nan, np.float32)
-    t_valids = np.zeros((len(cubes),), np.int32)
+    batch = np.full((n_lanes, Tm, Am, Em), np.nan, np.float32)
+    t_valids = np.zeros((n_lanes,), np.int32)
     for i, c in enumerate(cubes):
         T, A, E = c.shape
         batch[i, :T, :A, :E] = c
         t_valids[i] = T
-    out = _batched_stats(jnp.asarray(batch), jnp.asarray(t_valids))
+    out = _batched_stats_fn(mesh is not None)(jnp.asarray(batch), jnp.asarray(t_valids))
     counts = np.asarray(out["counts"])
     hist = np.asarray(out["hist"])
     return [
-        {"counts": counts[i, : cubes[i].shape[2]], "hist": hist[i]} for i in range(len(cubes))
+        {"counts": counts[i, : cubes[i].shape[2]], "hist": hist[i]} for i in range(n)
     ]
 
 

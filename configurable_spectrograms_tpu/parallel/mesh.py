@@ -2,9 +2,35 @@
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh
+
+
+def data_parallel_mesh() -> Mesh | None:
+    """The process-wide 1-axis ``('data',)`` mesh over every local device.
+
+    This is what the production render and extrema paths shard over --
+    the TPU-native replacement for the reference's 4-process plot pool
+    (reference fast/batch_directory.py:337).  Returns ``None`` on a single
+    device (the unsharded programs are then compiled without partitioning)
+    or when ``CST_DATA_MESH=0`` (the test/debug escape hatch for comparing
+    sharded vs single-device output).
+    """
+    if os.environ.get("CST_DATA_MESH", "1") == "0":
+        return None
+    return _cached_data_mesh()
+
+
+@functools.lru_cache(maxsize=1)
+def _cached_data_mesh() -> Mesh | None:
+    devices = jax.devices()
+    if len(devices) < 2:
+        return None
+    return Mesh(np.asarray(devices), ("data",))
 
 
 def make_mesh(

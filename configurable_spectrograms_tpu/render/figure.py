@@ -248,7 +248,63 @@ _BACKEND = {
     "mode": os.environ.get("CST_RENDER_BACKEND", "auto"),
     "forced_host": False,
     "calibrated": False,
+    "probed": False,
 }
+_BACKEND_LOCK = __import__("threading").Lock()
+
+#: A tiny H2D+D2H round trip slower than this forces the host backend
+#: before any real batch is shipped.  A healthy link answers in
+#: milliseconds; a dead relay (observed: 64 KB taking 80 s) would
+#: otherwise stall the first real readback for minutes.  Generous enough
+#: to absorb a slow first backend initialization (~10 s seen on the
+#: tunneled device).
+_PROBE_TIMEOUT_SEC = float(os.environ.get("CST_LINK_PROBE_TIMEOUT", 20.0))
+
+
+def probe_device_link() -> None:
+    """One-shot preflight: force the host backend if a trivial device
+    round trip cannot complete within ``_PROBE_TIMEOUT_SEC``.
+
+    Runs the transfer in a daemon thread so a hung link cannot block the
+    caller; the in-flight transfer is abandoned (it holds no locks the
+    host path needs).  Pure transfers only -- no compilation -- so a slow
+    first-jit on a healthy device never trips this.
+    """
+    with _BACKEND_LOCK:
+        if _BACKEND["probed"] or _BACKEND["mode"] != "auto" or _BACKEND["forced_host"]:
+            _BACKEND["probed"] = True
+            return
+        _BACKEND["probed"] = True
+    import threading
+    import time as _time
+
+    done = threading.Event()
+    outcome: dict = {}
+
+    def _roundtrip():
+        try:
+            import jax
+
+            dev = jax.device_put(np.zeros(256, np.uint8))
+            jax.block_until_ready(dev)
+            t0 = _time.perf_counter()
+            np.asarray(dev)
+            outcome["dt"] = _time.perf_counter() - t0
+        except Exception as exc:  # pragma: no cover - device init failure
+            outcome["err"] = str(exc)
+        finally:
+            done.set()
+
+    threading.Thread(target=_roundtrip, daemon=True, name="link-probe").start()
+    if not done.wait(timeout=_PROBE_TIMEOUT_SEC) or "err" in outcome:
+        _BACKEND["forced_host"] = True
+        from configurable_spectrograms_tpu.utils.logging import log_error
+
+        why = outcome.get("err", f"no response within {_PROBE_TIMEOUT_SEC:.0f}s")
+        log_error(
+            f"[BACKEND] device link preflight failed ({why}); using the host "
+            f"rasterization backend for this process"
+        )
 
 #: Auto-switch threshold: a readback slower than this effective bandwidth
 #: (and taking over a second) marks the device link unusable.
@@ -312,6 +368,19 @@ def _render_group_host(panels: list[PanelData], idxs: list[int], tile_h: int, ti
         }
 
 
+#: Diagnostics for the last device dispatch (tests assert the production
+#: path actually spans the mesh): ``lanes`` = padded panel lanes shipped,
+#: ``devices`` = number of devices the output sharding covered.
+LAST_DISPATCH: dict[str, int] = {"lanes": 0, "devices": 0}
+
+
+def _render_mesh():
+    """The data-parallel device mesh panel batches shard over (or None)."""
+    from configurable_spectrograms_tpu.parallel.mesh import data_parallel_mesh
+
+    return data_parallel_mesh()
+
+
 @functools.lru_cache(maxsize=None)
 def _batched_quantize_fn(spec_key):
     """Build (and cache) the jitted collapse+quantize program for a scale combo.
@@ -320,6 +389,15 @@ def _batched_quantize_fn(spec_key):
     pitch-angle grid's eight panels upload one cube, not eight.  Geometry
     is absent from the key: the device ships quantized (T, E) index
     matrices, and the host resamples to any pixel size.
+
+    With ``sharded`` set the program is jitted over the data-parallel mesh:
+    every per-panel input shards over the ``data`` axis (cubes replicate --
+    panels outnumber cubes ~8:1 on the FAST grids and the panel->cube
+    mapping is arbitrary, so a replicated gather beats a cross-device one),
+    XLA partitions the whole collapse+quantize pipeline with zero
+    collectives, and each chip rasterizes its shard of the lanes.  This is
+    the production multi-chip fan-out replacing the reference's process
+    pool (reference fast/batch_directory.py:337).
     """
     import jax
 
@@ -331,7 +409,7 @@ def _batched_quantize_fn(spec_key):
 
     import jax.numpy as jnp
 
-    y_scale, z_scale, lo_pct, hi_pct, explicit_bounds, gather_w = spec_key
+    y_scale, z_scale, lo_pct, hi_pct, explicit_bounds, gather_w, sharded = spec_key
     spec = RenderSpec(8, 8, y_scale, z_scale, lo_pct, hi_pct)
 
     def one(u, pm, tv, en, ev, ts, tc, zb, zbev, zbft, t_map, cubes):
@@ -369,7 +447,15 @@ def _batched_quantize_fn(spec_key):
         meta_bytes = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(-1)
         return jnp.concatenate([idx.reshape(-1), meta_bytes])
 
-    return jax.jit(jax.vmap(one, in_axes=(0,) * 11 + (None,)))
+    batched = jax.vmap(one, in_axes=(0,) * 11 + (None,))
+    if not sharded:
+        return jax.jit(batched)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _render_mesh()
+    lane = NamedSharding(mesh, P("data"))
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(batched, in_shardings=(lane,) * 11 + (replicated,), out_shardings=lane)
 
 
 def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> list[dict]:
@@ -405,16 +491,25 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
         )
         groups.setdefault(key, []).append(i)
 
+    probe_device_link()
     results: list[dict | None] = [None] * len(panels)
     for (Tp, Ap, Ep, y_scale, z_scale, lo_pct, hi_pct, explicit), idxs in groups.items():
         if _host_backend_active():
             _render_group_host(panels, idxs, tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct, results)
             continue
         n = len(idxs)
+        # Shard lanes over the data-parallel mesh when one exists: pad the
+        # lane count to a multiple of the device count with benign empty
+        # lanes (t_count=0 quantizes to empty and is never read back out).
+        mesh = _render_mesh()
+        n_lanes = n
+        if mesh is not None:
+            d = int(mesh.devices.size)
+            n_lanes = ((n + d - 1) // d) * d
         # Deduplicate cube uploads within the bucket.
         cube_slot: dict[int, int] = {}
         unique_cubes: list[np.ndarray] = []
-        u_idx = np.zeros((n,), np.int32)
+        u_idx = np.zeros((n_lanes,), np.int32)
         for j, i in enumerate(idxs):
             c = panels[i].cube
             slot = cube_slot.get(id(c))
@@ -428,15 +523,15 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
             T, A, E = c.shape
             cubes[s, :T, :A, :E] = c
 
-        masks = np.zeros((n, Ap), bool)
-        energies = np.zeros((n, Ep), np.float32)
-        e_valids = np.zeros((n, Ep), bool)
-        t_valids = np.zeros((n,), np.int32)
-        t_starts = np.zeros((n,), np.int32)
-        t_counts = np.zeros((n,), np.int32)
-        z_bounds = np.zeros((n, 2), np.float32)
-        zb_e_valids = np.zeros((n, Ep), bool)
-        zb_full = np.zeros((n,), bool)
+        masks = np.zeros((n_lanes, Ap), bool)
+        energies = np.zeros((n_lanes, Ep), np.float32)
+        e_valids = np.zeros((n_lanes, Ep), bool)
+        t_valids = np.zeros((n_lanes,), np.int32)
+        t_starts = np.zeros((n_lanes,), np.int32)
+        t_counts = np.zeros((n_lanes,), np.int32)
+        z_bounds = np.full((n_lanes, 2), np.nan, np.float32)
+        zb_e_valids = np.zeros((n_lanes, Ep), bool)
+        zb_full = np.zeros((n_lanes,), bool)
         for j, i in enumerate(idxs):
             p = panels[i]
             T, A, E = p.cube.shape
@@ -462,7 +557,7 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
         # matrix row per pixel column on device: readback then scales with
         # pixels, not samples (~4x smaller at real FAST record lengths).
         gather_w = _bucket(tile_w, 256, 256) if Tp > _bucket(tile_w, 256, 256) else 0
-        t_maps = np.zeros((n, max(gather_w, 1)), np.int32)
+        t_maps = np.zeros((n_lanes, max(gather_w, 1)), np.int32)
         if gather_w:
             for j, i in enumerate(idxs):
                 cols, _ = pixel_columns(
@@ -470,7 +565,9 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
                 )
                 t_maps[j, :tile_w] = cols
 
-        fn = _batched_quantize_fn((y_scale, z_scale, lo_pct, hi_pct, explicit, gather_w))
+        fn = _batched_quantize_fn(
+            (y_scale, z_scale, lo_pct, hi_pct, explicit, gather_w, mesh is not None)
+        )
         import time as _time
 
         import jax
@@ -480,6 +577,8 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
             zb_e_valids, zb_full, t_maps, cubes,
         )
         jax.block_until_ready(out_dev)  # compute (and possible compile) done
+        LAST_DISPATCH["lanes"] = n_lanes
+        LAST_DISPATCH["devices"] = len(getattr(out_dev.sharding, "device_set", ())) or 1
         t0 = _time.perf_counter()
         packed = _readback(out_dev)
         xfer = _time.perf_counter() - t0
@@ -526,8 +625,8 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
                 )
                 continue  # the host results for this group are already in place
         rows_out = gather_w if gather_w else Tp
-        idx_host = packed[:, : rows_out * Ep].reshape(n, rows_out, Ep)
-        meta_host = packed[:, rows_out * Ep :].copy().view(np.float32).reshape(n, 7 + Ep)
+        idx_host = packed[:n, : rows_out * Ep].reshape(n, rows_out, Ep)
+        meta_host = packed[:n, rows_out * Ep :].copy().view(np.float32).reshape(n, 7 + Ep)
 
         for j, i in enumerate(idxs):
             p = panels[i]

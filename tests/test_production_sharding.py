@@ -1,0 +1,135 @@
+"""The PRODUCTION render/extrema paths shard over the device mesh.
+
+These pin the round-2 wiring: :func:`device_render_panels` (the light-
+readback quantize program every figure render flows through) and
+:func:`batched_file_stats` (the extrema pre-pass reduction) must actually
+span all mesh devices AND produce bit-identical results to the unsharded
+single-device programs (``CST_DATA_MESH=0``).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from configurable_spectrograms_tpu.ops.extrema_ops import batched_file_stats  # noqa: E402
+from configurable_spectrograms_tpu.render import figure  # noqa: E402
+from configurable_spectrograms_tpu.render.figure import PanelData, device_render_panels  # noqa: E402
+from configurable_spectrograms_tpu.render.tile import TimeWindow  # noqa: E402
+
+
+def _require_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+def _build_panels(rng, n_panels):
+    panels = []
+    for k in range(n_panels):
+        T, A, E = 60 + 3 * k, 6, 12
+        cube = (rng.random((T, A, E)) * (50 + 10 * k)).astype(np.float32)
+        cube[rng.random(cube.shape) < 0.05] = np.nan
+        energy = np.geomspace(4000, 10, E).astype(np.float32)
+        panels.append(
+            PanelData(
+                cube=cube,
+                pitch_mask=np.ones(A, bool),
+                energy=energy,
+                times=np.arange(T, dtype=np.float64),
+                window=TimeWindow(0, T, (0.0, float(T - 1)), (0.0, float(T - 1))),
+                y_min=0.0,
+                y_max=4000.0,
+                z_min=None,
+                z_max=None,
+                y_scale="log",
+                z_scale="log",
+                colormap="inferno",
+                x_is_unix=False,
+                z_label="Counts",
+            )
+        )
+    return panels
+
+
+def _render_results(panels, tile_h=32, tile_w=48):
+    out = device_render_panels(panels, tile_h, tile_w)
+    return [
+        {k: (np.asarray(v) if isinstance(v, np.ndarray) else v) for k, v in r.items()}
+        for r in out
+    ]
+
+
+def test_production_render_spans_mesh_and_matches_unsharded(rng, monkeypatch):
+    _require_devices(8)
+    panels = _build_panels(rng, 10)  # pads to 16 lanes over 8 devices
+
+    monkeypatch.setenv("CST_DATA_MESH", "1")
+    sharded = _render_results(panels)
+    assert figure.LAST_DISPATCH["devices"] == 8
+    assert figure.LAST_DISPATCH["lanes"] % 8 == 0
+
+    monkeypatch.setenv("CST_DATA_MESH", "0")
+    single = _render_results(panels)
+    assert figure.LAST_DISPATCH["devices"] == 1
+
+    for s, u in zip(sharded, single):
+        np.testing.assert_array_equal(s["rgba"], u["rgba"])
+        for key in ("vmin", "vmax", "y0", "y1", "n_kept", "empty"):
+            assert s[key] == pytest.approx(u[key]), key
+
+
+def test_batched_file_stats_sharded_matches_unsharded(rng, monkeypatch):
+    _require_devices(8)
+    cubes = []
+    for k in range(5):  # deliberately not a multiple of 8 (pads to 8 lanes)
+        c = (rng.random((30 + k, 4, 8)) * 100).astype(np.float32)
+        c[rng.random(c.shape) < 0.1] = np.nan
+        cubes.append(c)
+
+    monkeypatch.setenv("CST_DATA_MESH", "1")
+    sharded = batched_file_stats(cubes)
+    monkeypatch.setenv("CST_DATA_MESH", "0")
+    single = batched_file_stats(cubes)
+
+    assert len(sharded) == len(single) == 5
+    for s, u in zip(sharded, single):
+        np.testing.assert_array_equal(s["counts"], u["counts"])
+        np.testing.assert_array_equal(s["hist"], u["hist"])
+
+
+def test_extrema_scan_identical_with_and_without_mesh(synth_archive, tmp_path, monkeypatch):
+    """The chunked, mesh-sharded folder scan writes the same JSON as the
+    sequential single-device scan (same monotone-merge and cursor values)."""
+    _require_devices(8)
+    from configurable_spectrograms_tpu.fast.extrema import compute_global_extrema
+
+    results = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("CST_DATA_MESH", flag)
+        path = tmp_path / f"extrema_{flag}.json"
+        out = compute_global_extrema(
+            synth_archive["root"],
+            "linear",
+            "log",
+            ("ees", "eeb", "ies", "ieb"),
+            extrema_json_path=str(path),
+            max_percentile=95.0,
+        )
+        results[flag] = (out, json.loads(path.read_text()))
+    assert results["1"][0] == results["0"][0]
+    assert results["1"][1] == results["0"][1]
+
+
+def test_host_file_stats_matches_device(rng):
+    """The numpy extrema fallback is bit-identical to the device reduction."""
+    from configurable_spectrograms_tpu.ops.extrema_ops import host_file_stats
+
+    cube = (rng.random((50, 6, 10)) * 1e4).astype(np.float32)
+    cube[rng.random(cube.shape) < 0.15] = np.nan
+    cube[3, 2, 4] = np.inf
+    device = batched_file_stats([cube])[0]
+    host = host_file_stats(cube)
+    np.testing.assert_array_equal(device["counts"], host["counts"])
+    np.testing.assert_array_equal(device["hist"], host["hist"])
