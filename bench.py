@@ -8,12 +8,21 @@ Workload (mirrors the reference's flagship batch path, SURVEY.md section 3.1):
 pitch-angle grids -- per (orbit, instrument) figure, 4 category rows x 2
 columns (full + zoom) = 8 spectrogram panels, composited and PNG-encoded at
 200 DPI.  ``value`` is steady-state panels/sec through this framework's
-device pipeline on the available chip.  ``vs_baseline`` divides by a
-matplotlib-Agg baseline rendering the *same* figures the reference's way
-(imshow + LogNorm + colorbars per panel, savefig dpi=200) measured in this
-same environment -- the reference publishes no numbers and cannot run here
-directly (cdflib is not installed), so the baseline re-creates its render
-path faithfully (reference plotting.py:92-389,505-698).
+production pipeline on the available chip.
+
+``vs_baseline`` divides by a matplotlib-Agg baseline rendering the *same*
+figures the reference's way (imshow + LogNorm + colorbars per panel,
+savefig dpi=200) **through a 4-process pool** -- the reference driver's
+actual operating mode (reference fast/batch_directory.py:46) -- measured in
+this same environment (the reference publishes no numbers and cannot run
+here directly; the baseline re-creates its render path faithfully,
+reference plotting.py:92-389,505-698).  Both sides get a warmup pass and
+report the median of three timed passes.
+
+When the device link is healthy the JSON carries both ``device`` and
+``host`` backend throughputs (the headline ``value`` is the better one);
+when the link is down (this environment's relay oscillates), the device
+pass is skipped and reported as null.
 """
 
 from __future__ import annotations
@@ -30,8 +39,10 @@ N_ORBITS = 6
 N_TIME = 2048
 N_ANGLE = 32
 N_ENERGY = 48
-BASELINE_FIGURES = 2  # matplotlib figures to time (slow)
+BASELINE_FIGURES = 8  # matplotlib figures per timed pass
+BASELINE_WORKERS = 4  # the reference driver's default plot pool
 PANELS_PER_FIGURE = 8  # 4 pitch rows x (full + zoom)
+PASSES = 3
 
 
 def _build_archive(root: str) -> dict:
@@ -50,10 +61,10 @@ def _build_archive(root: str) -> dict:
 
 
 def _bench_ours(archive: dict, out_dir: str) -> tuple[float, float]:
-    """Return (panels_per_sec, p50_figure_latency_sec).
+    """Return (median panels_per_sec, p50_figure_latency_sec).
 
     Throughput is measured through the production concurrency model (a
-    host thread pool feeding the one device, as the batch driver uses,
+    host thread pool feeding the device/mesh, as the batch driver uses,
     fast/batch_directory.py) -- CDF decode, device readback, and PNG encode
     all release the GIL and overlap; p50 latency is measured single-stream.
     """
@@ -91,12 +102,10 @@ def _bench_ours(archive: dict, out_dir: str) -> tuple[float, float]:
         render_one(orbit, path, os.path.join(out_dir, f"lat_{orbit}_{inst}.png"))
         latencies.append(time.perf_counter() - f0)
 
-    # Batch throughput with the driver's thread-pool model.  Thread
-    # scheduling on a loaded single-core host is noisy (and this
-    # environment's device link oscillates), so take the best of three
-    # passes as the capability estimate.
-    best = 0.0
-    for _ in range(3):
+    # Batch throughput with the driver's thread-pool model; median of three
+    # timed passes (same policy as the baseline).
+    rates = []
+    for _ in range(PASSES):
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=4) as pool:
             futs = [
@@ -105,13 +114,33 @@ def _bench_ours(archive: dict, out_dir: str) -> tuple[float, float]:
             ]
             for f in futs:
                 f.result()
-        elapsed = time.perf_counter() - t0
-        best = max(best, len(jobs) * PANELS_PER_FIGURE / elapsed)
-    return best, float(np.percentile(latencies, 50))
+        rates.append(len(jobs) * PANELS_PER_FIGURE / (time.perf_counter() - t0))
+    return float(np.median(rates)), float(np.percentile(latencies, 50))
 
 
-def _bench_matplotlib(archive: dict, out_dir: str) -> float:
-    """Reference-equivalent matplotlib render of the same figures; panels/sec."""
+def _mpl_worker_init():
+    """Per-process warmup: import matplotlib, build the font cache, and
+    render one throwaway figure so none of that lands in the timed region."""
+    os.environ["JAX_PLATFORMS"] = "cpu"  # baseline workers must never claim the TPU
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib.backends.backend_agg import FigureCanvasAgg as FigureCanvas
+    from matplotlib.figure import Figure
+
+    fig = Figure(figsize=(2, 2))
+    FigureCanvas(fig)
+    ax = fig.add_subplot(1, 1, 1)
+    ax.imshow(np.ones((4, 4)))
+    import io
+
+    fig.savefig(io.BytesIO(), format="png", dpi=50)
+
+
+def _mpl_render_figure(args) -> None:
+    """Render one pitch-angle grid exactly the reference's way (one process
+    pool work unit; reference plotting.py:92-389 + fast/plotting.py:34)."""
+    orbit, inst, path, csv, out_path = args
     import matplotlib
 
     matplotlib.use("Agg")
@@ -126,81 +155,126 @@ def _bench_matplotlib(archive: dict, out_dir: str) -> float:
     )
     from configurable_spectrograms_tpu.fast.constants import DEFAULT_PITCH_ANGLE_CATEGORIES
 
-    df = load_filtered_orbits(archive["csv"])
+    df = load_filtered_orbits(csv)  # module-cached per worker process
+    ds = load_fast_cdf_dataset(path)
+    times, data, energy, pitch = ds["times"], ds["data"], ds["energy"], ds["pitch_angle"]
+    marks = get_timestamps_for_orbit(df, orbit, inst, times)
+    center = 0.5 * (marks[0] + marks[1]) if len(marks) == 2 else None
+    duration = max(6.25 * 60, abs(marks[1] - marks[0]) * 1.5) if len(marks) == 2 else None
+    n_rows, n_cols = 4, 2
+    fig = Figure(figsize=(12 * n_cols, 3 * n_rows))
+    FigureCanvas(fig)
+    for i, (key, ranges) in enumerate(DEFAULT_PITCH_ANGLE_CATEGORIES.items()):
+        mask = np.zeros_like(pitch, dtype=bool)
+        for lo, hi in ranges:
+            mask |= (pitch >= lo) & (pitch <= hi)
+        collapsed = np.nansum(data[:, mask, :], axis=1)
+        for j in range(n_cols):
+            ax = fig.add_subplot(n_rows, n_cols, i * n_cols + j + 1)
+            if j == 1 and center is not None:
+                zmask = (times >= center - duration / 2) & (times <= center + duration / 2)
+                mat, tt = collapsed[zmask], times[zmask]
+            else:
+                mat, tt = collapsed, times
+            mp = mat.T
+            vmin = max(float(np.nanpercentile(mp[mp > 0], 1)) if (mp > 0).any() else 1e-10, 1e-10)
+            vmax = float(np.nanpercentile(mp, 99))
+            mp = np.where(~np.isfinite(mp) | (mp <= 0), vmin, mp)
+            im = ax.imshow(
+                mp,
+                aspect="auto",
+                origin="lower",
+                extent=(tt[0], tt[-1], float(energy[-1]), float(energy[0])),
+                cmap="inferno",
+                norm=mcolors.LogNorm(vmin=vmin, vmax=max(vmax, vmin * 10)),
+            )
+            ax.set_yscale("log")
+            fig.colorbar(im, ax=ax, label="Counts")
+            for m in marks:
+                ax.axvline(m, color="black", linewidth=4)
+                ax.axvline(m, color="red", linewidth=2)
+    fig.savefig(out_path, dpi=200)
+
+
+def _bench_matplotlib(archive: dict, out_dir: str) -> float:
+    """Reference-equivalent matplotlib render through a 4-process pool
+    (the reference driver's operating mode); median panels/sec of 3 passes."""
+    import multiprocessing as mp
+    from concurrent.futures import ProcessPoolExecutor
+
     jobs = [
-        (orbit, inst, paths[inst])
+        (orbit, inst, paths[inst], archive["csv"], os.path.join(out_dir, f"mpl_{orbit}_{inst}.png"))
         for orbit, paths in sorted(archive["mapping"].items())
         for inst in ("ees", "eeb", "ies", "ieb")
     ][:BASELINE_FIGURES]
 
-    t0 = time.perf_counter()
-    for orbit, inst, path in jobs:
-        ds = load_fast_cdf_dataset(path)
-        times, data, energy, pitch = ds["times"], ds["data"], ds["energy"], ds["pitch_angle"]
-        marks = get_timestamps_for_orbit(df, orbit, inst, times)
-        center = 0.5 * (marks[0] + marks[1]) if len(marks) == 2 else None
-        duration = max(6.25 * 60, abs(marks[1] - marks[0]) * 1.5) if len(marks) == 2 else None
-        n_rows, n_cols = 4, 2
-        fig = Figure(figsize=(12 * n_cols, 3 * n_rows))
-        FigureCanvas(fig)
-        for i, (key, ranges) in enumerate(DEFAULT_PITCH_ANGLE_CATEGORIES.items()):
-            mask = np.zeros_like(pitch, dtype=bool)
-            for lo, hi in ranges:
-                mask |= (pitch >= lo) & (pitch <= hi)
-            collapsed = np.nansum(data[:, mask, :], axis=1)
-            for j in range(n_cols):
-                ax = fig.add_subplot(n_rows, n_cols, i * n_cols + j + 1)
-                if j == 1 and center is not None:
-                    zmask = (times >= center - duration / 2) & (times <= center + duration / 2)
-                    mat, tt = collapsed[zmask], times[zmask]
-                else:
-                    mat, tt = collapsed, times
-                mp = mat.T
-                vmin = max(float(np.nanpercentile(mp[mp > 0], 1)) if (mp > 0).any() else 1e-10, 1e-10)
-                vmax = float(np.nanpercentile(mp, 99))
-                mp = np.where(~np.isfinite(mp) | (mp <= 0), vmin, mp)
-                im = ax.imshow(
-                    mp,
-                    aspect="auto",
-                    origin="lower",
-                    extent=(tt[0], tt[-1], float(energy[-1]), float(energy[0])),
-                    cmap="inferno",
-                    norm=mcolors.LogNorm(vmin=vmin, vmax=max(vmax, vmin * 10)),
-                )
-                ax.set_yscale("log")
-                fig.colorbar(im, ax=ax, label="Counts")
-                for m in marks:
-                    ax.axvline(m, color="black", linewidth=4)
-                    ax.axvline(m, color="red", linewidth=2)
-        fig.savefig(os.path.join(out_dir, f"mpl_{orbit}_{inst}.png"), dpi=200)
-    elapsed = time.perf_counter() - t0
-    return len(jobs) * PANELS_PER_FIGURE / elapsed
+    # Spawn (not fork): the parent holds an initialized TPU client.
+    ctx = mp.get_context("spawn")
+    rates = []
+    with ProcessPoolExecutor(
+        max_workers=BASELINE_WORKERS, mp_context=ctx, initializer=_mpl_worker_init
+    ) as pool:
+        # One discarded pass primes worker imports beyond the initializer.
+        list(pool.map(_mpl_render_figure, jobs[:BASELINE_WORKERS]))
+        for _ in range(PASSES):
+            t0 = time.perf_counter()
+            list(pool.map(_mpl_render_figure, jobs))
+            rates.append(len(jobs) * PANELS_PER_FIGURE / (time.perf_counter() - t0))
+    return float(np.median(rates))
 
 
 def main() -> None:
+    from configurable_spectrograms_tpu.render.figure import (
+        _BACKEND,
+        _host_backend_active,
+        probe_device_link,
+    )
+
     with tempfile.TemporaryDirectory() as root:
         archive = _build_archive(root)
-        ours_dir = os.path.join(root, "ours")
         mpl_dir = os.path.join(root, "mpl")
-        os.makedirs(ours_dir)
         os.makedirs(mpl_dir)
-        ours, p50 = _bench_ours(archive, ours_dir)
-        baseline = _bench_matplotlib(archive, mpl_dir)
-        from configurable_spectrograms_tpu.render.figure import _BACKEND, _host_backend_active
 
-        backend = "host" if _host_backend_active() else "device"
-        if _BACKEND["forced_host"]:
-            backend = "host (auto-switched: device link degraded mid-run)"
+        probe_device_link()
+        device_ok = not _host_backend_active()
+
+        results: dict[str, tuple[float, float] | None] = {"device": None, "host": None}
+        if device_ok and _BACKEND["mode"] == "auto":
+            d = os.path.join(root, "ours_device")
+            os.makedirs(d)
+            results["device"] = _bench_ours(archive, d)
+            # A mid-run auto-switch means the link degraded: the numbers are
+            # a mix; report them as host.
+            if _BACKEND["forced_host"]:
+                results["host"] = results.pop("device")
+                results["device"] = None
+                device_ok = False
+        if results["host"] is None:
+            prev = _BACKEND["mode"]
+            _BACKEND["mode"] = "host"
+            h = os.path.join(root, "ours_host")
+            os.makedirs(h)
+            results["host"] = _bench_ours(archive, h)
+            _BACKEND["mode"] = prev
+
+        baseline = _bench_matplotlib(archive, mpl_dir)
+
+        candidates = {k: v for k, v in results.items() if v is not None}
+        best_backend = max(candidates, key=lambda k: candidates[k][0])
+        value, p50 = candidates[best_backend]
         print(
             json.dumps(
                 {
                     "metric": "FAST spectrogram panels/sec per chip (pitch-angle grid batch)",
-                    "value": round(ours, 2),
+                    "value": round(value, 2),
                     "unit": "panels/sec",
-                    "vs_baseline": round(ours / baseline, 2),
+                    "vs_baseline": round(value / baseline, 2),
                     "p50_figure_latency_sec": round(p50, 3),
                     "baseline_panels_per_sec": round(baseline, 2),
-                    "backend": backend,
+                    "baseline_mode": f"matplotlib Agg x{BASELINE_WORKERS}-process pool, median of {PASSES}",
+                    "backend": best_backend,
+                    "device_panels_per_sec": round(results["device"][0], 2) if results["device"] else None,
+                    "host_panels_per_sec": round(results["host"][0], 2) if results["host"] else None,
                 }
             )
         )
