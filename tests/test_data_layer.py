@@ -127,3 +127,34 @@ def test_resolve_shared_orbit_tie_breaks_low():
     orbit, mapping = resolve_shared_orbit(files)
     assert orbit == 100
     assert sorted(mapping) == ["ees", "ieb"]
+
+
+def test_real_cusp_indices_dataset():
+    """The shipped FAST_Cusp_Indices.csv (the reference's real 2000-2001
+    cusp-event index, reference FAST_Cusp_Indices.csv:1) loads and yields
+    the reference's timestamps for known orbits."""
+    import os
+
+    import numpy as np
+
+    from configurable_spectrograms_tpu.data.cdf_utils import (
+        get_timestamps_for_orbit,
+        load_filtered_orbits,
+    )
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "FAST_Cusp_Indices.csv")
+    df = load_filtered_orbits(path)
+    assert df is not None and len(df) == 324
+    times = np.arange(1000, dtype=np.float64) * 10.0 + 5.0
+
+    # Orbit 13519 ees: min/Max indices 423/464 in the real dataset.
+    assert get_timestamps_for_orbit(df, 13519, "ees", times) == [times[423], times[464]]
+    # Orbit 13572 ees is degenerate (min == Max) -> single timestamp.
+    row = df[df["Orbit Number"] == 13572].iloc[0]
+    lo = int(row["ees min Index"])
+    assert get_timestamps_for_orbit(df, 13572, "ees", times) == [times[lo]]
+    # Orbit 13477 eeb has no recorded indices -> no markers.
+    assert get_timestamps_for_orbit(df, 13477, "eeb", times) == []
+    # Unknown orbit -> no markers.
+    assert get_timestamps_for_orbit(df, 1, "ees", times) == []
