@@ -1,0 +1,34 @@
+"""Figure-level parity gate against the actual reference implementation.
+
+Runs only when a reference checkout exists (CST_REFERENCE_ROOT or
+/root/reference): renders the same synthetic orbit through the reference
+package (its cdflib import backed by this repo's CDF reader) and through
+this framework, and requires exact color bounds, zero interior-pixel
+differences, and only cell-boundary rounding elsewhere.  Measured numbers
+are recorded in docs/parity.md.
+"""
+
+import os
+
+import pytest
+
+REFERENCE_ROOT = os.environ.get("CST_REFERENCE_ROOT", "/root/reference")
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE_ROOT, "src")),
+    reason="no reference checkout available",
+)
+def test_data_region_parity_vs_reference():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    from tools.parity_vs_reference import measure
+
+    summary = measure(REFERENCE_ROOT, dpi=200.0)
+    assert summary["panels"] == 8
+    assert summary["worst_vmin_rel_err"] == 0.0
+    assert summary["worst_vmax_rel_err"] == 0.0
+    assert summary["worst_interior_pixel_mismatch_frac"] == 0.0
+    assert summary["worst_pixel_mismatch_frac"] <= 0.08  # cell-boundary rounding only
+    assert summary["worst_mean_abs_channel_diff"] <= 2.0

@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Figure-level parity measurement against the ACTUAL reference code.
+
+Renders the same synthetic orbit through (a) the reference package itself
+(``/root/reference/src`` -- pure Python; its ``cdflib`` dependency is
+satisfied by a shim over this repo's own CDF reader) and (b) this
+framework, then compares every spectrogram panel's *data region*
+pixel-for-pixel: the reference figure's axes interiors (matplotlib Agg
+imshow output) against this framework's device-rasterized tiles rendered
+at the same pixel sizes and window mappings.
+
+Decorations (margins, fonts, tick layout) are deliberately not pixel-
+cloned; the parity contract is the data tile "within colormap
+quantization" plus matching color bounds.  Prints a JSON summary and a
+per-panel table; exits nonzero if any panel exceeds the thresholds.
+
+Usage: ``PYTHONPATH=/root/repo python tools/parity_vs_reference.py
+[--reference /root/reference] [--dpi 200]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _install_cdflib_shim() -> None:
+    """Back the reference's ``import cdflib`` with this repo's CDF reader."""
+    from configurable_spectrograms_tpu.data.cdf import CDF
+
+    shim = types.ModuleType("cdflib")
+    shim.CDF = CDF
+    sys.modules.setdefault("cdflib", shim)
+
+
+def _load_reference(reference_root: str):
+    sys.path.insert(0, os.path.join(reference_root, "src"))
+    _install_cdflib_shim()
+    import configurable_spectrograms.fast.plotting as ref_fast_plotting
+    from configurable_spectrograms.cdf_utils import load_filtered_orbits as ref_load_orbits
+
+    return ref_fast_plotting, ref_load_orbits
+
+
+def _axes_interior(fig, ax, buf: np.ndarray, inset: int = 2) -> np.ndarray:
+    """Crop one axes' data region (interior, spines excluded) from the
+    rendered figure buffer (row 0 = image top)."""
+    bbox = ax.get_window_extent()
+    H = buf.shape[0]
+    x0, x1 = int(round(bbox.x0)), int(round(bbox.x1))
+    y0, y1 = int(round(H - bbox.y1)), int(round(H - bbox.y0))
+    return buf[y0 + inset : y1 - inset, x0 + inset : x1 - inset, :3]
+
+
+def measure(reference_root: str, dpi: float) -> dict:
+    from configurable_spectrograms_tpu.data.cdf_utils import load_filtered_orbits
+    from configurable_spectrograms_tpu.data.synthetic import synth_fast_archive
+    from configurable_spectrograms_tpu.fast.plotting import FAST_plot_pitch_angle_grid
+    from configurable_spectrograms_tpu.render.figure import device_render_panels
+
+    ref_fast_plotting, ref_load_orbits = _load_reference(reference_root)
+
+    with tempfile.TemporaryDirectory() as root:
+        csv = os.path.join(root, "cusp.tsv")
+        mapping = synth_fast_archive(
+            os.path.join(root, "data"), [4242], n_time=120, n_angle=12, n_energy=24,
+            cusp_csv_path=csv, seed=7,
+        )
+        path = mapping[4242]["ees"]
+        # 'bracket' markers draw below the axis on both implementations, so
+        # the data region stays pure data.  ('line'/'both' markers paint
+        # axvlines INTO the reference's data region while this framework
+        # composites them over its tile -- same final figure, but it would
+        # contaminate a tile-level diff.)
+        kwargs = dict(
+            orbit_number=4242,
+            scale_function_y="log",
+            scale_function_z="log",
+            show=False,
+            colormap="inferno",
+            cusp_marker_style="bracket",
+        )
+
+        # --- reference render (its own code, its own matplotlib) ----------
+        ref_fig, _ = ref_fast_plotting.FAST_plot_pitch_angle_grid(
+            path, filtered_orbits_df=ref_load_orbits(csv), **kwargs
+        )
+        ref_fig.set_dpi(dpi)
+        ref_fig.canvas.draw()
+        buf = np.asarray(ref_fig.canvas.buffer_rgba()).copy()
+        ref_axes = [ax for ax in ref_fig.axes if ax.images]
+
+        # --- this framework: same file, same args -------------------------
+        our_fig, _ = FAST_plot_pitch_angle_grid(
+            path, filtered_orbits_df=load_filtered_orbits(csv), **kwargs
+        )
+        our_axes = [ax for ax in our_fig.axes if ax.panel is not None]
+        assert len(ref_axes) == len(our_axes), (len(ref_axes), len(our_axes))
+
+        panels = []
+        rows = []
+        for ref_ax, our_ax in zip(ref_axes, our_axes):
+            tile = _axes_interior(ref_fig, ref_ax, buf)
+            h, w = tile.shape[:2]
+            # Render our panel at the reference interior size + inset crop.
+            res = device_render_panels([our_ax.panel], h + 4, w + 4)[0]
+            ours = res["rgba"][2:-2, 2:-2, :3]
+            im = ref_ax.images[0]
+            ref_vmin, ref_vmax = float(im.norm.vmin), float(im.norm.vmax)
+            diff = np.abs(tile.astype(np.int16) - ours.astype(np.int16))
+            any_diff = (diff > 0).any(axis=-1)
+            # Interior metric: matplotlib and this framework may round a
+            # data-cell boundary to adjacent pixels; exclude +-1 px around
+            # every row/column where the REFERENCE tile itself changes
+            # value.  Interior pixels must match exactly.
+            col_edge = (tile[:, 1:] != tile[:, :-1]).any(axis=(0, 2))
+            row_edge = (tile[1:, :] != tile[:-1, :]).any(axis=(1, 2))
+            col_mask = np.zeros(w, bool)
+            row_mask = np.zeros(h, bool)
+            for i in np.nonzero(col_edge)[0]:
+                col_mask[max(i - 1, 0) : i + 2] = True
+            for i in np.nonzero(row_edge)[0]:
+                row_mask[max(i - 1, 0) : i + 2] = True
+            # The outermost rows/cols are crop-boundary cells (no interior
+            # neighbor to detect the edge against): treat them as edges too.
+            row_mask[[0, -1]] = col_mask[[0, -1]] = True
+            interior = ~row_mask[:, None] & ~col_mask[None, :]
+            interior_mismatch = float(any_diff[interior].mean()) if interior.any() else 0.0
+            rows.append(
+                {
+                    "panel": len(rows),
+                    "size": [h, w],
+                    "pixel_mismatch_frac": float(any_diff.mean()),
+                    "interior_pixel_mismatch_frac": interior_mismatch,
+                    "interior_frac_of_tile": float(interior.mean()),
+                    "mean_abs_channel_diff": float(diff.mean()),
+                    "p99_abs_channel_diff": float(np.percentile(diff, 99)),
+                    "vmin_rel_err": abs(res["vmin"] - ref_vmin) / max(abs(ref_vmin), 1e-12),
+                    "vmax_rel_err": abs(res["vmax"] - ref_vmax) / max(abs(ref_vmax), 1e-12),
+                }
+            )
+            panels.append((tile, ours))
+
+        summary = {
+            "panels": len(rows),
+            "dpi": dpi,
+            "worst_interior_pixel_mismatch_frac": max(r["interior_pixel_mismatch_frac"] for r in rows),
+            "worst_pixel_mismatch_frac": max(r["pixel_mismatch_frac"] for r in rows),
+            "worst_mean_abs_channel_diff": max(r["mean_abs_channel_diff"] for r in rows),
+            "worst_vmin_rel_err": max(r["vmin_rel_err"] for r in rows),
+            "worst_vmax_rel_err": max(r["vmax_rel_err"] for r in rows),
+            "per_panel": rows,
+        }
+        return summary
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reference", default="/root/reference")
+    ap.add_argument("--dpi", type=float, default=200.0)
+    ap.add_argument("--max-mismatch", type=float, default=0.05,
+                    help="max fraction of differing pixels per panel")
+    ap.add_argument("--max-mean-diff", type=float, default=2.0,
+                    help="max mean absolute channel difference per panel")
+    args = ap.parse_args()
+    if not os.path.isdir(args.reference):
+        print(json.dumps({"skipped": f"no reference at {args.reference}"}))
+        return 0
+    summary = measure(args.reference, args.dpi)
+    print(json.dumps(summary, indent=2))
+    ok = (
+        summary["worst_pixel_mismatch_frac"] <= args.max_mismatch
+        and summary["worst_mean_abs_channel_diff"] <= args.max_mean_diff
+        and summary["worst_interior_pixel_mismatch_frac"] == 0.0
+    )
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
