@@ -83,20 +83,92 @@ def single_in_process(
     z_scale: str = "linear",
     colormap: str = "viridis",
     cusp_marker_style: str = "both",
+    instrument_files: dict[str, str] | None = None,
+    date: str | None = None,
 ) -> None:
-    """Process target: render one pitch-angle or instrument-grid figure."""
+    """Process target: render one single-day figure.
+
+    All four sources of the reference GUI's single-day page
+    (reference GUI_batch_download_plot_FAST.py:1449-2031): ``pitch-angle``
+    (one CDF file), ``instrument-grid`` (folder + orbit), ``files``
+    (explicit per-instrument file map), and ``date`` (download that day's
+    CDFs first).
+    """
     import single_plot_FAST_spectrograms as single
 
+    style = (y_scale, z_scale, colormap, cusp_marker_style)
     if mode == "pitch-angle":
-        ok = single.render_single_pitch_angle_grid(
-            cdf_file, output_path, y_scale, z_scale, colormap, cusp_marker_style
+        ok = single.render_single_pitch_angle_grid(cdf_file, output_path, *style)
+    elif mode == "files":
+        ok = single.render_single_instrument_grid_from_files(instrument_files or {}, output_path, *style)
+    elif mode == "date":
+        ok = single.render_single_day_downloaded(
+            date, output_path, data_folder=data_folder or "./FAST_data/",
+            y_scale=y_scale, z_scale=z_scale, colormap=colormap,
+            cusp_marker_style=cusp_marker_style,
         )
     else:
-        ok = single.render_single_instrument_grid(
-            data_folder, orbit, output_path, y_scale, z_scale, colormap, cusp_marker_style
-        )
+        ok = single.render_single_instrument_grid(data_folder, orbit, output_path, *style)
     if not ok:
         raise SystemExit(1)
+
+
+class ProgressTail:
+    """Stream batch progress into a front-end by tailing the progress JSON.
+
+    The drivers persist their state to disk every ``flush_batch_size``
+    completions (the reference's cadence); polling that file gives both
+    front-ends live progress without any new IPC -- the replacement for
+    the reference's Qt progress signals
+    (reference GUI_batch_download_plot_FAST.py:736-743).
+    """
+
+    def __init__(self, path: str, on_progress, interval: float = 1.0):
+        self.path = path
+        self.on_progress = on_progress
+        self.interval = interval
+        self._stop = threading.Event()
+        self._last = None
+
+    def start(self) -> "ProgressTail":
+        threading.Thread(target=self._run, daemon=True, name="progress-tail").start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _poll_once(self) -> None:
+        import json
+        import os
+
+        if not os.path.exists(self.path):
+            return
+        try:
+            with open(self.path) as f:
+                state = json.load(f)
+        except Exception:
+            return  # mid-write or malformed; next poll wins
+        summary = self._summarize(state)
+        if summary and summary != self._last:
+            self._last = summary
+            self.on_progress(summary)
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.interval):
+            self._poll_once()
+        self._poll_once()  # final read so the last flush is never missed
+
+    @staticmethod
+    def _summarize(state: dict) -> str:
+        parts = []
+        for key, value in state.items():
+            if key.endswith("_last_orbit"):
+                parts.append(f"{key.removesuffix('_last_orbit')} @ orbit {value}")
+            elif key == "completed_items" and isinstance(value, list):
+                parts.append(f"{len(value)} completed")
+            elif key == "errors" and isinstance(value, list) and value:
+                parts.append(f"{len(value)} errors")
+        return "; ".join(parts)
 
 
 @dataclass
@@ -180,13 +252,38 @@ def run_tui() -> int:
             )
             runner.start()
             print("Plotting... Ctrl-C to stop.")
-            _wait_interruptible(runner)
+            from configurable_spectrograms_tpu.fast.constants import FAST_PLOTTING_PROGRESS_JSON
+
+            tail = ProgressTail(FAST_PLOTTING_PROGRESS_JSON,
+                                lambda s: print(f"  [progress] {s}")).start()
+            try:
+                _wait_interruptible(runner)
+            finally:
+                tail.stop()
         elif choice == "3":
-            mode = _prompt("Mode (pitch-angle | instrument-grid)", "instrument-grid")
+            mode = _prompt("Mode (pitch-angle | instrument-grid | files | date)", "instrument-grid")
             out = _prompt("Output PNG", "./single.png")
             if mode == "pitch-angle":
                 cdf = _prompt("CDF file", "")
                 runner = ActionRunner(single_in_process, (mode, out, None, None, cdf))
+            elif mode == "files":
+                print("Per-instrument CDF files (blank path to skip an instrument):")
+                files = {}
+                for inst in ("ees", "eeb", "ies", "ieb"):
+                    path = _prompt(f"  {inst} file", "")
+                    if path:
+                        files[inst] = path
+                runner = ActionRunner(
+                    single_in_process,
+                    (mode, out, None, None, None, "linear", "linear", "viridis", "both", files),
+                )
+            elif mode == "date":
+                date = _prompt("Date (YYYY-MM-DD)", "2001-01-01")
+                folder = _prompt("Download folder", "./FAST_data/")
+                runner = ActionRunner(
+                    single_in_process,
+                    (mode, out, folder, None, None, "linear", "linear", "viridis", "both", None, date),
+                )
             else:
                 folder = _prompt("Data folder", "./FAST_data/")
                 orbit = int(_prompt("Orbit", "0"))
@@ -229,7 +326,7 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
     win.setWindowTitle("FAST spectrograms")
     state: dict[str, ActionRunner | None] = {"runner": None}
 
-    def _page(fields: list[tuple[str, str]], run_label: str, make_runner):
+    def _page(fields: list[tuple[str, str]], run_label: str, make_runner, progress_path=None):
         page = QWidget()
         layout = QVBoxLayout(page)
         edits: dict[str, QLineEdit] = {}
@@ -239,33 +336,49 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
             edit = QLineEdit(default)
             edits[name] = edit
             row.addWidget(edit)
-            if "folder" in name.lower() or "file" in name.lower():
+            if "folder" in name.lower():
                 btn = QPushButton("...")
                 btn.clicked.connect(lambda _=None, e=edit: e.setText(QFileDialog.getExistingDirectory() or e.text()))
                 row.addWidget(btn)
+            elif "file" in name.lower():
+                btn = QPushButton("...")
+                btn.clicked.connect(
+                    lambda _=None, e=edit: e.setText(QFileDialog.getOpenFileName(filter="CDF (*.cdf)")[0] or e.text())
+                )
+                row.addWidget(btn)
             layout.addLayout(row)
         status = QLabel("")
+        progress = QLabel("")
         run_btn = QPushButton(run_label)
         stop_btn = QPushButton("Stop")
+        tail_box: dict[str, ProgressTail | None] = {"tail": None}
 
         def start():
             runner = make_runner({k: e.text() for k, e in edits.items()})
-            runner.on_finished = lambda: status.setText("Finished.")
-            runner.on_error = lambda code: status.setText(f"Error (exit {code}).")
+            runner.on_finished = lambda: (status.setText("Finished."), _stop_tail())
+            runner.on_error = lambda code: (status.setText(f"Error (exit {code})."), _stop_tail())
             state["runner"] = runner
             runner.start()
             status.setText("Running...")
+            if progress_path is not None:
+                tail_box["tail"] = ProgressTail(progress_path, progress.setText).start()
+
+        def _stop_tail():
+            if tail_box["tail"] is not None:
+                tail_box["tail"].stop()
 
         def stop():
             if state["runner"] is not None:
                 state["runner"].stop()
                 status.setText("Stopped.")
+            _stop_tail()
 
         run_btn.clicked.connect(start)
         stop_btn.clicked.connect(stop)
         layout.addWidget(run_btn)
         layout.addWidget(stop_btn)
         layout.addWidget(status)
+        layout.addWidget(progress)
         return page
 
     win.addTab(
@@ -279,6 +392,8 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
         ),
         "Download",
     )
+    from configurable_spectrograms_tpu.fast.constants import FAST_PLOTTING_PROGRESS_JSON
+
     win.addTab(
         _page(
             [("Data folder", "./FAST_data/"), ("Output folder", "./FAST_plots/"), ("Percentile", "99")],
@@ -288,6 +403,7 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
                 (v["Data folder"], v["Output folder"], DEFAULT_SCALE_COMBOS,
                  float(v["Percentile"]) if v["Percentile"] else None, "both", False),
             ),
+            progress_path=FAST_PLOTTING_PROGRESS_JSON,
         ),
         "Plot",
     )
@@ -302,7 +418,39 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
         ),
         "Single Day",
     )
-    win.resize(640, 360)
+
+    def _files_runner(v):
+        files = {
+            inst: v[f"{inst} file"] for inst in ("ees", "eeb", "ies", "ieb") if v[f"{inst} file"]
+        }
+        return ActionRunner(
+            single_in_process,
+            ("files", v["Output PNG"], None, None, None, "linear", "linear", "viridis", "both", files),
+        )
+
+    win.addTab(
+        _page(
+            [("ees file", ""), ("eeb file", ""), ("ies file", ""), ("ieb file", ""),
+             ("Output PNG", "./single_files.png")],
+            "Render from files",
+            _files_runner,
+        ),
+        "Single Day (files)",
+    )
+    win.addTab(
+        _page(
+            [("Date", "2001-01-01"), ("Download folder", "./FAST_data/"),
+             ("Output PNG", "./single_day.png")],
+            "Download + render",
+            lambda v: ActionRunner(
+                single_in_process,
+                ("date", v["Output PNG"], v["Download folder"], None, None,
+                 "linear", "linear", "viridis", "both", None, v["Date"]),
+            ),
+        ),
+        "Single Day (date)",
+    )
+    win.resize(640, 420)
     win.show()
     return app.exec()
 

@@ -32,9 +32,31 @@ def report_render_outcome(produced: bool, output_path: str) -> int:
 
 
 def run_cli(main: Callable[[], int | None]) -> None:
-    """Invoke *main*, translating Ctrl-C into the conventional exit code 130."""
+    """Invoke *main*, translating Ctrl-C into the conventional exit code 130.
+
+    Exits via ``os._exit`` after flushing stdio: when the device link is
+    dead, the watchdog link probe leaves a daemon thread blocked inside a
+    device transfer, and normal interpreter teardown of that thread can
+    abort the process AFTER main() succeeded -- clobbering the documented
+    exit codes.  (Same pattern as the reference GUI's ``os._exit(0)``
+    bypassing multiprocessing atexit, reference
+    GUI_batch_download_plot_FAST.py:2157-2159.)
+    """
+    import os
+
+    from configurable_spectrograms_tpu.utils.logging import flush_log_buffer
+
     try:
-        sys.exit(main())
+        code = main()
     except KeyboardInterrupt:
         print("\n[INTERRUPT] Aborted by user.")
-        sys.exit(130)
+        code = 130
+    except SystemExit as exc:  # argparse errors and explicit exits
+        code = exc.code if isinstance(exc.code, int) else (0 if exc.code is None else 1)
+    try:
+        flush_log_buffer(force=True)
+    except Exception:
+        pass
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(int(code or 0))

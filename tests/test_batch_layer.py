@@ -239,3 +239,75 @@ def test_run_batch_with_process_pool(tmp_path):
         install_signal_handlers=False,
     )
     assert dict(results) == {0: "ok", 1: "no_data", 2: "ok", 3: "no_data"}
+
+
+def test_tui_single_day_files_source(tmp_path, synth_archive):
+    """Single-day 'files' source: explicit per-instrument file pickers."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    paths = synth_archive["mapping"][100]
+    script = (
+        "3\nfiles\nout_files.png\n"
+        f"{paths['ees']}\n{paths['eeb']}\n\n\n"  # ees + eeb picked, ies/ieb skipped
+        "q\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, str(repo / "GUI_batch_download_plot_FAST.py"), "--tui"],
+        input=script, text=True, cwd=tmp_path, env=_tui_env(repo),
+        capture_output=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "Done." in proc.stdout
+    assert (tmp_path / "out_files.png").exists()
+
+
+def test_single_day_download_by_date_source(tmp_path, synth_archive, monkeypatch):
+    """Single-day 'date' source: download that day's CDFs, then render the
+    shared orbit's instrument grid (downloader injected -- zero egress)."""
+    import single_plot_FAST_spectrograms as single
+
+    def fake_downloader(date, instruments, data_folder):
+        assert date.isoformat() == "2001-01-26"
+        return {inst: [path] for inst, path in synth_archive["mapping"][101].items()
+                if inst in instruments}
+
+    out = tmp_path / "by_date.png"
+    ok = single.render_single_day_downloaded(
+        "2001-01-26", str(out), data_folder=str(tmp_path), downloader=fake_downloader,
+        y_scale="log", z_scale="log", colormap="inferno",
+    )
+    assert ok and out.exists()
+
+
+def test_render_single_instrument_grid_from_files(tmp_path, synth_archive):
+    import single_plot_FAST_spectrograms as single
+
+    out = tmp_path / "from_files.png"
+    ok = single.render_single_instrument_grid_from_files(
+        dict(synth_archive["mapping"][102]), str(out), y_scale="linear", z_scale="log",
+    )
+    assert ok and out.exists()
+    assert not single.render_single_instrument_grid_from_files({}, str(tmp_path / "no.png"))
+
+
+def test_progress_tail_streams_updates(tmp_path):
+    import json
+    import time
+
+    import GUI_batch_download_plot_FAST as gui
+
+    path = tmp_path / "prog.json"
+    seen = []
+    tail = gui.ProgressTail(str(path), seen.append, interval=0.05).start()
+    time.sleep(0.15)  # no file yet -> no callbacks
+    assert seen == []
+    path.write_text(json.dumps({"log_log_last_orbit": 4100, "log_log_error_plotting": []}))
+    time.sleep(0.3)
+    path.write_text(json.dumps({"log_log_last_orbit": 4101, "completed_items": ["a", "b"]}))
+    time.sleep(0.3)
+    tail.stop()
+    assert any("log_log @ orbit 4100" in s for s in seen), seen
+    assert any("orbit 4101" in s and "2 completed" in s for s in seen), seen
