@@ -249,8 +249,15 @@ _BACKEND = {
     "forced_host": False,
     "calibrated": False,
     "probed": False,
+    "last_probe_ts": 0.0,
+    "reprobe_inflight": False,
 }
 _BACKEND_LOCK = __import__("threading").Lock()
+
+#: With the host backend forced in ``auto`` mode, a recovered link is
+#: re-probed this often (seconds).  The observed relay oscillates between
+#: dead and healthy on a ~1 h scale; long processes get the device back.
+_REPROBE_INTERVAL_SEC = float(os.environ.get("CST_LINK_REPROBE_SEC", 600.0))
 
 #: A tiny H2D+D2H round trip slower than this forces the host backend
 #: before any real batch is shipped.  A healthy link answers in
@@ -296,7 +303,9 @@ def probe_device_link() -> None:
             done.set()
 
     threading.Thread(target=_roundtrip, daemon=True, name="link-probe").start()
-    if not done.wait(timeout=_PROBE_TIMEOUT_SEC) or "err" in outcome:
+    ok = done.wait(timeout=_PROBE_TIMEOUT_SEC) and "err" not in outcome
+    _BACKEND["last_probe_ts"] = _time.monotonic()
+    if not ok:
         _BACKEND["forced_host"] = True
         from configurable_spectrograms_tpu.utils.logging import log_error
 
@@ -305,6 +314,62 @@ def probe_device_link() -> None:
             f"[BACKEND] device link preflight failed ({why}); using the host "
             f"rasterization backend for this process"
         )
+
+
+def maybe_reprobe_device_link() -> None:
+    """Periodically re-check a dead link and un-force the host backend.
+
+    Only meaningful in ``auto`` mode after a failed preflight/readback
+    forced the host path: every ``_REPROBE_INTERVAL_SEC`` a background
+    round trip runs, and on success the device backend (and its one-shot
+    calibration) is restored.  Renders in flight are never blocked --
+    they continue host-side until a reprobe succeeds.
+    """
+    import threading
+    import time as _time
+
+    with _BACKEND_LOCK:
+        due = (
+            _BACKEND["mode"] == "auto"
+            and _BACKEND["forced_host"]
+            and not _BACKEND["reprobe_inflight"]
+            and _time.monotonic() - _BACKEND["last_probe_ts"] > _REPROBE_INTERVAL_SEC
+        )
+        if not due:
+            return
+        _BACKEND["reprobe_inflight"] = True
+
+    def _watchdog():
+        # The transfer runs in an inner thread so a still-dead link cannot
+        # pin the reprobe machinery: on timeout the inner thread is
+        # abandoned (daemon) and the next interval tries again.
+        done = threading.Event()
+
+        def _transfer():
+            try:
+                import jax
+
+                dev = jax.device_put(np.zeros(256, np.uint8))
+                jax.block_until_ready(dev)
+                np.asarray(dev)
+                done.set()
+            except Exception:
+                pass  # leave `done` unset -> treated as a dead link
+
+        threading.Thread(target=_transfer, daemon=True, name="link-reprobe-xfer").start()
+        ok = done.wait(timeout=_PROBE_TIMEOUT_SEC)
+        with _BACKEND_LOCK:
+            _BACKEND["last_probe_ts"] = _time.monotonic()
+            _BACKEND["reprobe_inflight"] = False
+            if ok:
+                _BACKEND["forced_host"] = False
+                _BACKEND["calibrated"] = False  # re-calibrate on the fresh link
+        if ok:
+            from configurable_spectrograms_tpu.utils.logging import log_error
+
+            log_error("[BACKEND] device link recovered; resuming device rasterization")
+
+    threading.Thread(target=_watchdog, daemon=True, name="link-reprobe").start()
 
 #: Auto-switch threshold: a readback slower than this effective bandwidth
 #: (and taking over a second) marks the device link unusable.
@@ -492,6 +557,7 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
         groups.setdefault(key, []).append(i)
 
     probe_device_link()
+    maybe_reprobe_device_link()
     results: list[dict | None] = [None] * len(panels)
     for (Tp, Ap, Ep, y_scale, z_scale, lo_pct, hi_pct, explicit), idxs in groups.items():
         if _host_backend_active():

@@ -116,3 +116,38 @@ def test_host_quantize_empty():
     q = host_quantize(np.full((4, 3), np.nan, np.float32), np.array([1.0, 2.0, 3.0], np.float32),
                       np.ones(3, bool), 0, 4, (None, None), "linear", "linear", 1, 99)
     assert q["empty"]
+
+
+def test_reprobe_restores_device_backend(monkeypatch):
+    """After a forced-host switch, a successful periodic reprobe un-forces it."""
+    import time
+
+    from configurable_spectrograms_tpu.render import figure
+
+    monkeypatch.setitem(figure._BACKEND, "mode", "auto")
+    monkeypatch.setitem(figure._BACKEND, "forced_host", True)
+    monkeypatch.setitem(figure._BACKEND, "calibrated", True)
+    monkeypatch.setitem(figure._BACKEND, "last_probe_ts", 0.0)
+    monkeypatch.setitem(figure._BACKEND, "reprobe_inflight", False)
+    monkeypatch.setattr(figure, "_REPROBE_INTERVAL_SEC", 0.0)
+
+    figure.maybe_reprobe_device_link()
+    deadline = time.monotonic() + 30
+    while figure._BACKEND["forced_host"] and time.monotonic() < deadline:
+        time.sleep(0.05)
+    # On the CPU test backend the round trip always succeeds quickly.
+    assert not figure._BACKEND["forced_host"]
+    assert not figure._BACKEND["calibrated"]
+
+
+def test_reprobe_not_due_is_noop(monkeypatch):
+    from configurable_spectrograms_tpu.render import figure
+
+    monkeypatch.setitem(figure._BACKEND, "mode", "auto")
+    monkeypatch.setitem(figure._BACKEND, "forced_host", True)
+    monkeypatch.setitem(figure._BACKEND, "reprobe_inflight", False)
+    import time
+
+    monkeypatch.setitem(figure._BACKEND, "last_probe_ts", time.monotonic())
+    figure.maybe_reprobe_device_link()  # interval not elapsed -> no thread
+    assert figure._BACKEND["forced_host"]
