@@ -34,3 +34,54 @@ def test_collapse_cube_pallas_shape_gate(rng):
 
     with pytest.raises(ValueError):
         collapse_cube_pallas(jnp.zeros((100, 4, 120)), jnp.ones(4, bool), 100)
+
+
+@pytest.mark.parametrize("z_scale", ["log", "linear"])
+@pytest.mark.parametrize("window", [(0, 512), (60, 300)])
+def test_fused_quantize_pallas_matches_jnp(rng, z_scale, window):
+    """The fused collapse+quantize kernel is bit-identical to the jnp chain
+    (explicit-bounds / skip_percentile path) including NaN/inf handling,
+    the safe log floor, and the colormap index rule."""
+    from configurable_spectrograms_tpu.ops.pallas_kernels import fused_quantize_pallas
+    from configurable_spectrograms_tpu.ops.spectrogram import RenderSpec, quantize_matrix
+
+    T, A, E = 512, 16, 128
+    t_start, t_count = window
+    cube = (rng.random((T, A, E)) * 1e4).astype(np.float32)
+    cube[rng.random(cube.shape) < 0.1] = np.nan
+    cube[5, 3, 7] = np.inf
+    cube[6, 2, 9] = -np.inf
+    mask = rng.random(A) < 0.6
+    e_valid = rng.random(E) < 0.9
+    t_valid = 450
+    z_bounds = np.array([2.0, 5000.0], np.float32)
+
+    got = fused_quantize_pallas(
+        jnp.asarray(cube), jnp.asarray(mask), jnp.asarray(e_valid),
+        t_valid, t_start, t_count, jnp.asarray(z_bounds), z_scale=z_scale,
+    )
+
+    spec = RenderSpec(8, 8, "linear", z_scale)
+    m = collapse_cube(jnp.asarray(cube), jnp.asarray(mask), t_valid)
+    ref = quantize_matrix(
+        m, jnp.asarray(np.geomspace(4000, 1, E).astype(np.float32)), jnp.asarray(e_valid),
+        jnp.int32(t_valid), jnp.int32(t_start), jnp.int32(t_count),
+        jnp.asarray(z_bounds), spec, skip_percentile=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got["idx"]), np.asarray(ref["idx"]))
+    assert float(got["vmin"]) == pytest.approx(float(ref["vmin"]), rel=0, abs=0)
+    # col_all_nan parity against a direct numpy oracle.
+    m_np = np.asarray(m)
+    in_file = np.arange(T)[:, None] < t_valid
+    oracle_colnan = np.all(np.isnan(m_np) | ~in_file, axis=0)
+    np.testing.assert_array_equal(np.asarray(got["col_all_nan"]), oracle_colnan)
+
+
+def test_fused_quantize_pallas_shape_gate():
+    from configurable_spectrograms_tpu.ops.pallas_kernels import fused_quantize_pallas
+
+    with pytest.raises(ValueError):
+        fused_quantize_pallas(
+            jnp.zeros((100, 4, 120)), jnp.ones(4, bool), jnp.ones(120, bool),
+            100, 0, 100, jnp.asarray([0.0, 1.0]),
+        )
