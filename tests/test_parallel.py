@@ -109,3 +109,18 @@ def test_sharded_render_rejects_bad_batch(rng):
             z_bounds=np.zeros((3, 2), np.float32),
             luts=np.zeros((3, 256, 4), np.uint8),
         )
+
+
+def test_init_distributed_forwards_arguments(monkeypatch):
+    """The multi-host bootstrap forwards only the provided arguments to
+    jax.distributed.initialize (auto-detection otherwise)."""
+    from configurable_spectrograms_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize", lambda **kw: calls.append(kw))
+    mesh_mod.init_distributed()
+    mesh_mod.init_distributed(coordinator_address="h:1234", num_processes=4, process_id=1)
+    assert calls == [
+        {},
+        {"coordinator_address": "h:1234", "num_processes": 4, "process_id": 1},
+    ]

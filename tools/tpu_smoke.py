@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Real-chip smoke test: device-path render vs host-path parity on TPU.
+
+The pytest suite forces an 8-device CPU mesh (tests/conftest.py), so
+device-vs-host parity on actual TPU silicon is validated by this script
+instead: it renders a batch of panels through the device backend and the
+host backend and requires byte-identical RGBA tiles and scalar metadata.
+Run whenever the device link is healthy: ``python tools/tpu_smoke.py``.
+Prints one JSON line; exit 0 on parity, 1 on mismatch, 2 when the link is
+too degraded to run the device path.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    from configurable_spectrograms_tpu.render import figure
+    from configurable_spectrograms_tpu.render.figure import PanelData, device_render_panels
+    from configurable_spectrograms_tpu.render.tile import TimeWindow
+
+    import jax
+
+    rng = np.random.default_rng(7)
+    panels = []
+    for k in range(6):
+        T, A, E = 300 + 11 * k, 16, 48
+        cube = (rng.random((T, A, E)) * 1e3).astype(np.float32)
+        cube[rng.random(cube.shape) < 0.08] = np.nan
+        panels.append(
+            PanelData(
+                cube=cube,
+                pitch_mask=rng.random(A) < 0.7,
+                energy=np.geomspace(4000, 5, E).astype(np.float32),
+                times=np.arange(T, dtype=np.float64),
+                window=TimeWindow(0, T, (0.0, float(T - 1)), (0.0, float(T - 1))),
+                y_min=0.0, y_max=4000.0,
+                z_min=None if k % 2 else 1.0,
+                z_max=None if k % 2 else 800.0,
+                y_scale="log" if k % 2 else "linear",
+                z_scale="log",
+                colormap="inferno",
+                x_is_unix=False,
+                z_label="Counts",
+            )
+        )
+
+    figure.probe_device_link()
+    if figure._host_backend_active():
+        print(json.dumps({"status": "skipped", "reason": "device link dead/degraded"}))
+        return 2
+
+    figure._BACKEND["mode"] = "device"
+    device = device_render_panels(panels, 48, 96)
+    figure._BACKEND["mode"] = "host"
+    host = device_render_panels(panels, 48, 96)
+    figure._BACKEND["mode"] = "auto"
+
+    mismatches = []
+    for i, (d, h) in enumerate(zip(device, host)):
+        if not np.array_equal(d["rgba"], h["rgba"]):
+            mismatches.append({"panel": i, "what": "rgba"})
+        for key in ("vmin", "vmax", "y0", "y1", "n_kept", "empty"):
+            if not np.isclose(float(d[key]), float(h[key]), rtol=1e-6, atol=0):
+                mismatches.append({"panel": i, "what": key, "device": float(d[key]), "host": float(h[key])})
+    print(
+        json.dumps(
+            {
+                "status": "ok" if not mismatches else "MISMATCH",
+                "panels": len(panels),
+                "backend": jax.default_backend(),
+                "mismatches": mismatches,
+            }
+        )
+    )
+    return 0 if not mismatches else 1
+
+
+if __name__ == "__main__":
+    # Hard exit: with a dead link the abandoned probe thread can abort the
+    # interpreter during teardown, clobbering the exit code (see
+    # cli/common.run_cli for the same pattern).
+    import os
+
+    code = main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(code)
