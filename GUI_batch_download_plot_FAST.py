@@ -308,6 +308,48 @@ def _wait_interruptible(runner: ActionRunner) -> None:
 # ---------------------------------------------------------------------------
 
 
+#: Token-substituted stylesheet applied per OS color scheme (the
+#: reference's dark/light theming pattern, reference
+#: GUI_batch_download_plot_FAST.py:337-397).  CST_GUI_THEME=dark|light|none
+#: overrides detection.
+_THEME_CSS = """
+QWidget {{ background: {bg}; color: {fg}; }}
+QLineEdit {{ background: {field}; color: {fg}; border: 1px solid {border};
+             border-radius: 3px; padding: 3px; }}
+QPushButton {{ background: {accent}; color: {accent_fg}; border: none;
+               border-radius: 4px; padding: 6px 14px; }}
+QPushButton:hover {{ background: {accent_hover}; }}
+QTabBar::tab {{ background: {field}; color: {fg}; padding: 6px 12px; }}
+QTabBar::tab:selected {{ background: {accent}; color: {accent_fg}; }}
+"""
+
+_THEMES = {
+    "dark": dict(bg="#1e1f22", fg="#e8e8e8", field="#2b2d31", border="#3c3f44",
+                 accent="#3574f0", accent_fg="#ffffff", accent_hover="#4a83f2"),
+    "light": dict(bg="#f7f7f7", fg="#1f1f1f", field="#ffffff", border="#c8c8c8",
+                  accent="#2f6fde", accent_fg="#ffffff", accent_hover="#4681e4"),
+}
+
+
+def _apply_os_theme(app) -> None:  # pragma: no cover - requires PySide6
+    """Style the app after the OS color scheme (override: CST_GUI_THEME)."""
+    import os
+
+    choice = os.environ.get("CST_GUI_THEME", "").lower()
+    if choice == "none":
+        return
+    if choice not in _THEMES:
+        try:
+            from PySide6.QtCore import Qt
+            from PySide6.QtGui import QGuiApplication
+
+            scheme = QGuiApplication.styleHints().colorScheme()
+            choice = "dark" if scheme == Qt.ColorScheme.Dark else "light"
+        except Exception:
+            choice = "light"
+    app.setStyleSheet(_THEME_CSS.format(**_THEMES[choice]))
+
+
 def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
     from PySide6.QtWidgets import (
         QApplication,
@@ -322,6 +364,7 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
     )
 
     app = QApplication(sys.argv)
+    _apply_os_theme(app)
     win = QTabWidget()
     win.setWindowTitle("FAST spectrograms")
     state: dict[str, ActionRunner | None] = {"runner": None}

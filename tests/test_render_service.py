@@ -60,3 +60,39 @@ def test_mixed_geometries_concurrently(rng):
 
 def test_empty_request():
     assert coalesced_render([], 8, 8) == []
+
+
+def test_concurrent_workers_through_coalescer_sharded(rng):
+    """The driver's topology under stress: several worker threads rendering
+    figures concurrently through the coalescer onto the sharded mesh path.
+    Results must match a serial render exactly."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    from configurable_spectrograms_tpu.render.figure import PanelData, device_render_panels
+    from configurable_spectrograms_tpu.render.service import coalesced_render
+    from configurable_spectrograms_tpu.render.tile import TimeWindow
+
+    def build(k):
+        T, A, E = 40 + k, 4, 8
+        local = np.random.default_rng(k)
+        cube = (local.random((T, A, E)) * 100).astype(np.float32)
+        return PanelData(
+            cube=cube, pitch_mask=np.ones(A, bool),
+            energy=np.geomspace(4000, 10, E).astype(np.float32),
+            times=np.arange(T, dtype=np.float64),
+            window=TimeWindow(0, T, (0.0, float(T - 1)), (0.0, float(T - 1))),
+            y_min=0.0, y_max=4000.0, z_min=None, z_max=None,
+            y_scale="log", z_scale="log", colormap="inferno",
+            x_is_unix=False, z_label="Counts",
+        )
+
+    groups = [[build(3 * g + j) for j in range(3)] for g in range(8)]
+    serial = [device_render_panels(g, 24, 32) for g in groups]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        concurrent = list(pool.map(lambda g: coalesced_render(g, 24, 32), groups))
+    for s_group, c_group in zip(serial, concurrent):
+        for s, c in zip(s_group, c_group):
+            np.testing.assert_array_equal(s["rgba"], c["rgba"])
+            assert float(s["vmin"]) == float(c["vmin"])
