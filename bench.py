@@ -35,6 +35,12 @@ import time
 
 import numpy as np
 
+# A decisive backend answer is worth a startup wait here: give the link
+# probe's synchronous window the full cold budget (the relay's first D2H
+# can take minutes) so the device pass isn't skipped on a cold-but-healthy
+# link.  Must be set before the package reads it at import time.
+os.environ.setdefault("CST_LINK_PROBE_SYNC_WAIT", "330")
+
 N_ORBITS = 6
 N_TIME = 2048
 N_ANGLE = 32

@@ -31,7 +31,7 @@ INSTRUMENT_TAGS = ("ees", "eeb", "ies", "ieb", "esv")
 
 # Module-level caches avoiding repeated disk I/O in batch loops.
 filtered_orbits_cache: dict[str, pd.DataFrame | None] = {}
-orbit_column_cache: dict[tuple[int, str], tuple[str, str, str]] = {}
+orbit_column_cache: dict[tuple[tuple[str, ...], str], tuple[str, str, str]] = {}
 cdf_type_cache: dict[str, str | None] = {}
 _dataset_cache: dict[tuple, dict[str, np.ndarray]] = {}
 #: All _dataset_cache access (lookup, insert, eviction, byte accounting)
@@ -48,24 +48,43 @@ _dataset_cache_bytes = 0  # running total; maintained under the lock
 _DATASET_CACHE_MAX_BYTES = int(os.environ.get("CST_DATASET_CACHE_BYTES", 1_500_000_000))
 
 
+#: The cusp-event index shipped at the repository root (the reference's
+#: real 2000-2001 dataset, reference FAST_Cusp_Indices.csv:1).  Used as a
+#: fallback when the CWD-relative default path has no copy, so the shipped
+#: data works from any working directory.
+_SHIPPED_CUSP_CSV = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "FAST_Cusp_Indices.csv",
+)
+
+
 def load_filtered_orbits(csv_path: str = FILTERED_ORBITS_CSV_PATH) -> pd.DataFrame | None:
     """Cached load of the cusp-orbit index (tab-separated despite ``.csv``).
 
-    Returns ``None`` (after logging) when the file can't be read, so
-    callers degrade to marker-free plots.
+    The default (CWD-relative, reference constants.py:28) falls back to the
+    repo-shipped dataset when absent.  Returns ``None`` (after logging) when
+    the file can't be read, so callers degrade to marker-free plots.
     """
     if csv_path not in filtered_orbits_cache:
         try:
             filtered_orbits_cache[csv_path] = pd.read_csv(csv_path, sep="\t")
         except OSError as exc:
-            log_error(f"Error loading CSV {csv_path}: {exc}")
-            return None
+            if csv_path == FILTERED_ORBITS_CSV_PATH and os.path.exists(_SHIPPED_CUSP_CSV):
+                filtered_orbits_cache[csv_path] = pd.read_csv(_SHIPPED_CUSP_CSV, sep="\t")
+            else:
+                log_error(f"Error loading CSV {csv_path}: {exc}")
+                return None
     return filtered_orbits_cache[csv_path]
 
 
 def _orbit_columns(dataframe: pd.DataFrame, instrument: str) -> tuple[str, str, str]:
-    """Resolve (orbit, min-index, max-index) column names, cached per frame."""
-    cache_key = (id(dataframe), instrument)
+    """Resolve (orbit, min-index, max-index) column names, cached per schema.
+
+    Keyed by the column tuple, not ``id(dataframe)``: ids are reused after
+    garbage collection, so an id key can serve a dead frame's column names
+    to a fresh frame with a different schema.
+    """
+    cache_key = (tuple(dataframe.columns), instrument)
     if cache_key not in orbit_column_cache:
         cols = list(dataframe.columns)
         orbit_col = next(c for c in cols if "orbit" in c.lower())

@@ -140,6 +140,60 @@ def test_reprobe_restores_device_backend(monkeypatch):
     assert not figure._BACKEND["calibrated"]
 
 
+def test_cold_link_warm_start_promotion(monkeypatch):
+    """A probe that outlasts the sync window forces host immediately (no
+    caller stall), then promotes back to the device backend when the link's
+    first round trip lands."""
+    import time
+
+    from configurable_spectrograms_tpu.render import figure
+
+    monkeypatch.setitem(figure._BACKEND, "mode", "auto")
+    monkeypatch.setitem(figure._BACKEND, "forced_host", False)
+    monkeypatch.setitem(figure._BACKEND, "probed", False)
+    monkeypatch.setitem(figure._BACKEND, "calibrated", True)
+    monkeypatch.setattr(figure, "_PROBE_SYNC_WAIT_SEC", 0.05)
+
+    def slow_ok_probe():
+        time.sleep(0.4)
+        return {"ok": True, "steady_dt": 0.001}
+
+    monkeypatch.setattr(figure, "_link_roundtrip_probe", slow_ok_probe)
+    t0 = time.monotonic()
+    figure.probe_device_link()
+    assert time.monotonic() - t0 < 0.35  # returned before the probe finished
+    assert figure._BACKEND["forced_host"]  # host-side while the link warms
+
+    deadline = time.monotonic() + 10
+    while figure._BACKEND["forced_host"] and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert not figure._BACKEND["forced_host"]  # promoted on probe success
+    assert not figure._BACKEND["calibrated"]
+
+
+def test_dead_link_stays_host(monkeypatch):
+    """A probe that fails after the sync window leaves the host backend
+    forced (recovery is the periodic reprobe's job)."""
+    import time
+
+    from configurable_spectrograms_tpu.render import figure
+
+    monkeypatch.setitem(figure._BACKEND, "mode", "auto")
+    monkeypatch.setitem(figure._BACKEND, "forced_host", False)
+    monkeypatch.setitem(figure._BACKEND, "probed", False)
+    monkeypatch.setattr(figure, "_PROBE_SYNC_WAIT_SEC", 0.05)
+
+    def slow_bad_probe():
+        time.sleep(0.2)
+        return {"ok": False, "why": "synthetic dead link"}
+
+    monkeypatch.setattr(figure, "_link_roundtrip_probe", slow_bad_probe)
+    figure.probe_device_link()
+    assert figure._BACKEND["forced_host"]
+    time.sleep(0.5)  # give the promote watcher time to (wrongly) flip it
+    assert figure._BACKEND["forced_host"]
+
+
 def test_reprobe_not_due_is_noop(monkeypatch):
     from configurable_spectrograms_tpu.render import figure
 

@@ -19,6 +19,11 @@ import numpy as np
 
 
 def main() -> int:
+    import os
+
+    # Decisive probe: wait out the relay's cold first-D2H (can take minutes)
+    # rather than reporting "skipped" on a healthy-but-cold link.
+    os.environ.setdefault("CST_LINK_PROBE_SYNC_WAIT", "330")
     from configurable_spectrograms_tpu.render import figure
     from configurable_spectrograms_tpu.render.figure import PanelData, device_render_panels
     from configurable_spectrograms_tpu.render.tile import TimeWindow
