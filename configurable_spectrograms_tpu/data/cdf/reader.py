@@ -142,7 +142,9 @@ class CDF:
             raise CDFError("compressed CDF without CCR record")
         cdata = raw[header : 8 + rec_size]
         try:
-            return gzip.decompress(cdata)
+            from configurable_spectrograms_tpu.data.cdf._inflate import gzip_decompress
+
+            return gzip_decompress(cdata)
         except OSError as exc:
             raise CDFError(f"failed to decompress CCR: {exc}") from exc
 
@@ -491,9 +493,11 @@ class CDF:
                 if rtype == _VVR:
                     raw = self._buf[body : body + count * rec_bytes]
                 elif rtype == _CVVR:
+                    from configurable_spectrograms_tpu.data.cdf._inflate import gzip_decompress
+
                     _rfu, p2 = self._i4(body)
                     csize, p2 = self._i(p2)
-                    raw = gzip.decompress(bytes(self._buf[p2 : p2 + csize]))[: count * rec_bytes]
+                    raw = gzip_decompress(bytes(self._buf[p2 : p2 + csize]))[: count * rec_bytes]
                 else:
                     raise CDFError(f"{self.path}: unexpected record type {rtype} in VXR leaf")
                 vals = np.frombuffer(raw, dtype=rec_dtype, count=count * values_per_rec)

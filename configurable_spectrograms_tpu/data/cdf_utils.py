@@ -214,8 +214,10 @@ def load_fast_cdf_dataset(
         if cached is not None:
             return cached
 
+    from configurable_spectrograms_tpu.utils.timing import active_stage
+
     t_name, d_name, e_name, p_name = variable_names
-    with CDF(cdf_path) as handle:
+    with active_stage("cdf_decode"), CDF(cdf_path) as handle:
         times = np.asarray(handle.varget(t_name))
         data = np.asarray(handle.varget(d_name))
         energy_raw = np.asarray(handle.varget(e_name))

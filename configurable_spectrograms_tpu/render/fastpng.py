@@ -24,13 +24,25 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.pa
 _SRC = os.path.join(_NATIVE_DIR, "fastpng.cpp")
 
 
+def _src_digest() -> str:
+    import hashlib
+
+    try:
+        with open(_SRC, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()[:12]
+    except OSError:
+        return "nosrc"
+
+
 def _lib_path() -> str:
     """Per-user cache location for the compiled library.
 
     A pre-built ``native/libfastpng.so`` next to the source is honored;
     otherwise the artifact lives under ``~/.cache`` (or
     ``CST_NATIVE_CACHE_DIR``) so first-use compilation works on read-only
-    installs and never writes into the package tree.
+    installs and never writes into the package tree.  The cached name
+    embeds a source digest, so editing the C++ invalidates stale builds
+    instead of silently loading them.
     """
     packaged = os.path.join(_NATIVE_DIR, "libfastpng.so")
     if os.path.exists(packaged):
@@ -38,7 +50,7 @@ def _lib_path() -> str:
     cache_root = os.environ.get("CST_NATIVE_CACHE_DIR") or os.path.join(
         os.path.expanduser("~"), ".cache", "configurable_spectrograms_tpu"
     )
-    return os.path.join(cache_root, "libfastpng.so")
+    return os.path.join(cache_root, f"libfastpng-{_src_digest()}.so")
 
 
 def _compile(lib_path: str) -> bool:

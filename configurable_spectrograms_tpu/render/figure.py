@@ -191,20 +191,23 @@ def save_image(image: Image.Image, path: str, compress_level: int = 3) -> None:
     The native path (render/fastpng.py) releases the GIL for the whole
     encode, so batch worker threads overlap PNG writing with device work.
     """
+    from configurable_spectrograms_tpu.utils.timing import active_stage
+
     is_png = path.lower().endswith(".png") or "." not in os.path.basename(path)
     if is_png:
-        from configurable_spectrograms_tpu.render.fastpng import write_png_rgb
+        with active_stage("png_encode"):
+            from configurable_spectrograms_tpu.render.fastpng import write_png_rgb
 
-        # Compositor-rendered figures carry their numpy canvas: encode it
-        # directly (zero copies -- the native encoder drops RGBA's alpha).
-        arr = getattr(image, "_np_canvas", None)
-        if arr is None:
-            rgb = image if image.mode == "RGB" else image.convert("RGB")
-            arr = np.asarray(rgb)
-        if write_png_rgb(arr, path, compress_level):
-            return
-        img = image if image.mode == "RGB" else image.convert("RGB")
-        img.save(path, format="PNG", compress_level=compress_level)
+            # Compositor-rendered figures carry their numpy canvas: encode it
+            # directly (zero copies -- the native encoder drops RGBA's alpha).
+            arr = getattr(image, "_np_canvas", None)
+            if arr is None:
+                rgb = image if image.mode == "RGB" else image.convert("RGB")
+                arr = np.asarray(rgb)
+            if write_png_rgb(arr, path, compress_level):
+                return
+            img = image if image.mode == "RGB" else image.convert("RGB")
+            img.save(path, format="PNG", compress_level=compress_level)
     else:
         # Formats without alpha (JPEG, BMP) reject RGBA; flatten first.
         fmt_needs_rgb = os.path.splitext(path)[1].lower() in (".jpg", ".jpeg", ".bmp")
@@ -234,7 +237,10 @@ def render_figures(figures: list["SpectroFigure"], dpi: float | None = None) -> 
         results = coalesced_render(panels, tile_h, tile_w)
         for (f_i, a_i), res in zip(slots, results):
             figures[f_i].axes[a_i].result = res
-    return [layout.composite() for layout in layouts]
+    from configurable_spectrograms_tpu.utils.timing import active_stage
+
+    with active_stage("composite"):
+        return [layout.composite() for layout in layouts]
 
 
 # ---------------------------------------------------------------------------
@@ -622,9 +628,12 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
     probe_device_link()
     maybe_reprobe_device_link()
     results: list[dict | None] = [None] * len(panels)
+    from configurable_spectrograms_tpu.utils.timing import active_stage
+
     for (Tp, Ap, Ep, y_scale, z_scale, lo_pct, hi_pct, explicit), idxs in groups.items():
         if _host_backend_active():
-            _render_group_host(panels, idxs, tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct, results)
+            with active_stage("host_quantize"):
+                _render_group_host(panels, idxs, tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct, results)
             continue
         n = len(idxs)
         # Shard lanes over the data-parallel mesh when one exists: pad the
@@ -701,15 +710,17 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
 
         import jax
 
-        out_dev = fn(
-            u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
-            zb_e_valids, zb_full, t_maps, cubes,
-        )
-        jax.block_until_ready(out_dev)  # compute (and possible compile) done
+        with active_stage("device_dispatch"):
+            out_dev = fn(
+                u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
+                zb_e_valids, zb_full, t_maps, cubes,
+            )
+            jax.block_until_ready(out_dev)  # compute (and possible compile) done
         LAST_DISPATCH["lanes"] = n_lanes
         LAST_DISPATCH["devices"] = len(getattr(out_dev.sharding, "device_set", ())) or 1
         t0 = _time.perf_counter()
-        packed = _readback(out_dev)
+        with active_stage("device_readback"):
+            packed = _readback(out_dev)
         xfer = _time.perf_counter() - t0
         if (
             _BACKEND["mode"] == "auto"
@@ -757,6 +768,7 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
         idx_host = packed[:n, : rows_out * Ep].reshape(n, rows_out, Ep)
         meta_host = packed[:n, rows_out * Ep :].copy().view(np.float32).reshape(n, 7 + Ep)
 
+        _resample_t0 = _time.perf_counter()
         for j, i in enumerate(idxs):
             p = panels[i]
             n_kept_j, flip_j, y0_j, y1_j, vmin_j, vmax_j, empty_j = meta_host[j, :7]
@@ -787,6 +799,14 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
                 "n_kept": int(n_kept_j),
                 "empty": bool(empty_j),
             }
+        from configurable_spectrograms_tpu.utils import timing as _timing
+
+        if _timing.ACTIVE is not None:
+            dt = _time.perf_counter() - _resample_t0
+            _timing.ACTIVE.totals["host_resample"] = (
+                _timing.ACTIVE.totals.get("host_resample", 0.0) + dt
+            )
+            _timing.ACTIVE.counts["host_resample"] = _timing.ACTIVE.counts.get("host_resample", 0) + 1
     return results  # type: ignore[return-value]
 
 

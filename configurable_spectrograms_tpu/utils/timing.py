@@ -63,3 +63,25 @@ def device_trace(log_dir: str | None):
 
     with jax.profiler.trace(log_dir):
         yield
+
+
+# ---------------------------------------------------------------------------
+# process-wide stage accounting (opt-in; zero-cost when inactive)
+# ---------------------------------------------------------------------------
+
+#: When set (tools/budget_figure.py does), hot-path seams record their
+#: stage durations here so an end-to-end run yields a per-stage budget
+#: (VERDICT round-1 item 3).  ``None`` (the default) keeps production
+#: renders free of timing overhead beyond one attribute check.
+ACTIVE: StageTimer | None = None
+
+
+@contextlib.contextmanager
+def active_stage(stage_name: str):
+    """Record into the process-wide :data:`ACTIVE` timer when one is set."""
+    timer = ACTIVE
+    if timer is None:
+        yield
+        return
+    with timer.stage(stage_name):
+        yield

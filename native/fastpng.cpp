@@ -83,8 +83,15 @@ extern "C" int fastpng_write_v2(
     // Filtered scanlines: filter byte 2 ("Up") per row; row 0 uses "None".
     // RGBA input is repacked to RGB rows on the fly (one small row buffer),
     // which lets callers hand over a shared RGBA canvas with zero copies.
-    std::vector<uint8_t> raw(size_t(h) * (stride + 1));
-    std::vector<uint8_t> rowbuf(channels == 4 ? stride * 2 : 0);
+    //
+    // Buffers are thread_local and grow-only: a fresh ~17 MB allocation per
+    // call page-faults its way through the filter loop (measured 3x the
+    // steady-state encode time on first touch), while reuse keeps the pages
+    // warm across a batch.  Cost: up to ~40 MB retained per encoding thread.
+    static thread_local std::vector<uint8_t> raw;
+    raw.resize(size_t(h) * (stride + 1));
+    static thread_local std::vector<uint8_t> rowbuf;
+    rowbuf.resize(channels == 4 ? stride * 2 : 0);
     {
         uint8_t* dst = raw.data();
         const uint8_t* prev = nullptr;
@@ -126,7 +133,8 @@ extern "C" int fastpng_write_v2(
     libdeflate_compressor* comp = libdeflate_alloc_compressor(lvl);
     if (comp == nullptr) return -2;
     size_t cap = libdeflate_zlib_compress_bound(comp, raw.size());
-    std::vector<uint8_t> zdata(cap);
+    static thread_local std::vector<uint8_t> zdata;
+    zdata.resize(cap);
     size_t zn = libdeflate_zlib_compress(comp, raw.data(), raw.size(), zdata.data(), cap);
     libdeflate_free_compressor(comp);
     if (zn == 0) return -2;

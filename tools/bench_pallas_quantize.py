@@ -36,21 +36,24 @@ def _time_fn(fn, cube, mask, e_valid, zb) -> float:
     import jax
     import jax.numpy as jnp
 
+    # The arrays MUST be jit arguments, not closure captures: captured
+    # concrete arrays embed as HLO constants, and this environment's
+    # remote-compile endpoint rejects a 256 MB request body (HTTP 413).
     @jax.jit
-    def step(acc, z):
-        idx = fn(cube, mask, e_valid, z)
+    def step(acc, c, m, ev, z):
+        idx = fn(c, m, ev, z)
         return acc + jnp.sum(idx[:8, :].astype(jnp.int32))
 
     zbs = [jnp.asarray(np.array([2.0 + 1e-3 * i, 5000.0], np.float32)) for i in range(REPS)]
-    acc = step(jnp.int32(0), zb)
+    acc = step(jnp.int32(0), cube, mask, e_valid, zb)
     float(np.asarray(acc))  # compile + warm + establish readback baseline
     t0 = time.perf_counter()
-    float(np.asarray(step(jnp.int32(0), zb)))
+    float(np.asarray(step(jnp.int32(0), cube, mask, e_valid, zb)))
     one = time.perf_counter() - t0  # 1 exec + 1 sync readback
 
     t0 = time.perf_counter()
     for z in zbs:
-        acc = step(acc, z)
+        acc = step(acc, cube, mask, e_valid, z)
     float(np.asarray(acc))  # the only true sync
     total = time.perf_counter() - t0  # REPS execs + 1 sync readback
     return max((total - one) / (REPS - 1), 1e-9)
