@@ -27,4 +27,32 @@ The public API mirrors the reference's:
 functions.
 """
 
+import os as _os
+
+# numpy >= 1.22 madvise(MADV_HUGEPAGE)s every >=4 MB allocation.  On hosts
+# with transparent_hugepage=madvise, that routes each fresh figure canvas /
+# collapse buffer through 2 MB-page allocation, whose latency under memory
+# fragmentation is erratic (measured here: the quantize stage intermittently
+# 77 ms -> 570 ms per figure; A/B-stable 2.2x end-to-end with it off).  The
+# pipeline reuses its large buffers (canvas pool, thread-local encoder
+# scratch), so huge pages buy little; default them off unless the user set
+# the knob themselves.  The runtime setter covers interpreters where
+# numpy was already imported (e.g. by sitecustomize) before this package.
+if "NUMPY_MADVISE_HUGEPAGE" not in _os.environ:
+    _os.environ["NUMPY_MADVISE_HUGEPAGE"] = "0"
+    try:
+        from numpy._core import multiarray as _ma  # numpy >= 2
+    except ImportError:  # pragma: no cover - numpy 1.x
+        try:
+            from numpy.core import multiarray as _ma
+        except ImportError:
+            _ma = None
+    if _ma is not None:
+        try:
+            _ma._set_madvise_hugepage(False)
+        except (AttributeError, TypeError):  # pragma: no cover
+            pass
+    del _ma
+del _os
+
 __version__ = "0.1.0"

@@ -24,6 +24,8 @@ from __future__ import annotations
 import functools
 import math
 import os
+import threading
+import weakref
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -466,14 +468,21 @@ def _render_group_host(panels: list[PanelData], idxs: list[int], tile_h: int, ti
                        results: list) -> None:
     """Pure-numpy group rasterization (no device involved)."""
     from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
-    from configurable_spectrograms_tpu.render.host_quantize import host_collapse, host_quantize
+    from configurable_spectrograms_tpu.render.host_quantize import (
+        host_clean,
+        host_collapse,
+        host_quantize,
+    )
 
+    clean_cache: dict[int, np.ndarray] = {}
     collapse_cache: dict[tuple, np.ndarray] = {}
     for i in idxs:
         p = panels[i]
         ckey = (id(p.cube), p.pitch_mask.tobytes())
         if ckey not in collapse_cache:
-            collapse_cache[ckey] = host_collapse(p.cube, p.pitch_mask)
+            if id(p.cube) not in clean_cache:
+                clean_cache[id(p.cube)] = host_clean(p.cube)
+            collapse_cache[ckey] = host_collapse(p.cube, p.pitch_mask, clean_cache[id(p.cube)])
         matrix = collapse_cache[ckey]
         e_valid = (p.energy >= p.y_min) & (p.energy <= p.y_max)
         if p.bounds_energy_range is not None:
@@ -814,6 +823,33 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
 # layout + compositing
 # ---------------------------------------------------------------------------
 
+#: Recycled figure canvases, keyed by (H, W).  Returned via a weakref
+#: finalizer when the figure Image is collected, so a live Image's buffer
+#: is never handed out twice.  Bounded to a handful of entries (a batch
+#: renders a few distinct figure sizes).
+_CANVAS_POOL: dict[tuple[int, int], list[np.ndarray]] = {}
+_CANVAS_POOL_LOCK = threading.Lock()
+_CANVAS_POOL_MAX_PER_SIZE = 2
+_CANVAS_POOL_MAX_SIZES = 4
+
+
+def _acquire_canvas(h: int, w: int) -> np.ndarray:
+    with _CANVAS_POOL_LOCK:
+        stack = _CANVAS_POOL.get((h, w))
+        canvas = stack.pop() if stack else None
+    if canvas is not None:
+        canvas[...] = 255  # writes to mapped pages: fast and predictable
+        return canvas
+    return np.full((h, w, 4), 255, np.uint8)
+
+
+def _release_canvas(canvas: np.ndarray) -> None:
+    key = (canvas.shape[0], canvas.shape[1])
+    with _CANVAS_POOL_LOCK:
+        stack = _CANVAS_POOL.setdefault(key, [])
+        if len(stack) < _CANVAS_POOL_MAX_PER_SIZE and len(_CANVAS_POOL) <= _CANVAS_POOL_MAX_SIZES:
+            stack.append(canvas)
+
 
 class _Layout:
     """Pixel geometry and PIL compositing for one figure render."""
@@ -870,12 +906,17 @@ class _Layout:
         # SAME memory: ``frombuffer`` shares the RGBA buffer with numpy, so
         # neither compositing nor the later PNG encode copies the canvas
         # (save_image reads ``_np_canvas``; the native encoder drops alpha).
-        canvas = np.full((self.H, self.W, 4), 255, np.uint8)
+        canvas = _acquire_canvas(self.H, self.W)
         for ax in self.fig.axes:
             self._blit_tiles(canvas, ax)
         img = Image.frombuffer("RGBA", (self.W, self.H), canvas, "raw", "RGBA", 0, 1)
         img.readonly = 0  # the numpy buffer is writable; draw in place
         img._np_canvas = canvas
+        # Recycle the canvas once the Image is garbage-collected: a batch
+        # run re-faults ~46 MB of fresh canvas per figure otherwise, and on
+        # this host the kernel's fresh-page path is intermittently 10-40x
+        # slower than writes to already-mapped memory.
+        weakref.finalize(img, _release_canvas, canvas)
         draw = ImageDraw.Draw(img)
         for ax in self.fig.axes:
             self._draw_axes(img, draw, ax)

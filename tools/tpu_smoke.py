@@ -66,9 +66,17 @@ def main() -> int:
     figure._BACKEND["mode"] = "auto"
 
     mismatches = []
+    reports = []
     for i, (d, h) in enumerate(zip(device, host)):
-        if not np.array_equal(d["rgba"], h["rgba"]):
-            mismatches.append({"panel": i, "what": "rgba"})
+        frac = float((d["rgba"] != h["rgba"]).any(axis=-1).mean())
+        explicit = panels[i].z_min is not None and panels[i].z_max is not None
+        reports.append({"panel": i, "pixel_diff_frac": round(frac, 5), "explicit_bounds": explicit})
+        # Explicit-bounds panels are deterministic end-to-end and must be
+        # byte-identical.  Percentile panels may differ by one quantization
+        # step where the TPU's sort/log ulps land on a bin edge; the suite's
+        # documented tolerance (tests/test_host_backend.py) is <2% of pixels.
+        if frac > (0.0 if explicit else 0.02):
+            mismatches.append({"panel": i, "what": "rgba", "pixel_diff_frac": round(frac, 5)})
         for key in ("vmin", "vmax", "y0", "y1", "n_kept", "empty"):
             if not np.isclose(float(d[key]), float(h[key]), rtol=1e-6, atol=0):
                 mismatches.append({"panel": i, "what": key, "device": float(d[key]), "host": float(h[key])})
@@ -78,6 +86,7 @@ def main() -> int:
                 "status": "ok" if not mismatches else "MISMATCH",
                 "panels": len(panels),
                 "backend": jax.default_backend(),
+                "panel_reports": reports,
                 "mismatches": mismatches,
             }
         )
