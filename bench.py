@@ -229,6 +229,11 @@ def _bench_matplotlib(archive: dict, out_dir: str) -> float:
     return float(np.median(rates))
 
 
+def _progress(msg: str) -> None:
+    """Stderr progress marker (stdout carries exactly one JSON line)."""
+    print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
+
 def main() -> None:
     from configurable_spectrograms_tpu.render.figure import (
         _BACKEND,
@@ -237,22 +242,27 @@ def main() -> None:
     )
 
     with tempfile.TemporaryDirectory() as root:
+        _progress("building synthetic archive")
         archive = _build_archive(root)
         mpl_dir = os.path.join(root, "mpl")
         os.makedirs(mpl_dir)
 
+        _progress("probing device link (decisive; cold first-D2H can take minutes)")
         probe_device_link()
         device_ok = not _host_backend_active()
+        _progress(f"device link {'healthy' if device_ok else 'down -> host only'}")
 
         results: dict[str, tuple[float, float] | None] = {"device": None, "host": None}
         if device_ok and _BACKEND["mode"] == "auto":
             d = os.path.join(root, "ours_device")
             os.makedirs(d)
+            _progress("device-backend pass (includes one-time compile)")
             results["device"] = _bench_ours(archive, d)
-            # A mid-run auto-switch means the link degraded: the numbers are
-            # a mix; report them as host.
+            # A mid-run auto-switch means the link degraded: the numbers
+            # mix device- and host-rendered figures and understate both
+            # backends.  Discard them; the clean host pass below runs.
             if _BACKEND["forced_host"]:
-                results["host"] = results.pop("device")
+                _progress("link degraded mid-pass; discarding mixed numbers")
                 results["device"] = None
                 device_ok = False
         if results["host"] is None:
@@ -260,10 +270,13 @@ def main() -> None:
             _BACKEND["mode"] = "host"
             h = os.path.join(root, "ours_host")
             os.makedirs(h)
+            _progress("host-backend pass")
             results["host"] = _bench_ours(archive, h)
             _BACKEND["mode"] = prev
 
+        _progress("matplotlib 4-process baseline pass")
         baseline = _bench_matplotlib(archive, mpl_dir)
+        _progress("done")
 
         candidates = {k: v for k, v in results.items() if v is not None}
         best_backend = max(candidates, key=lambda k: candidates[k][0])
