@@ -139,3 +139,30 @@ def test_validate_without_checksum_is_noop(tmp_path, sample_vars):
     write_cdf(path, sample_vars)
     with CDF(path, validate=True) as c:
         assert c.cdf_info()["Checksum"] is None
+
+
+def test_libdeflate_inflate_matches_gzip(rng):
+    """The libdeflate fast path and the stdlib agree on every payload shape
+    the CDF reader produces (empty, tiny, large, exact-size hint)."""
+    import gzip
+
+    from configurable_spectrograms_tpu.data.cdf._inflate import gzip_decompress
+
+    for payload in (
+        b"",
+        b"x",
+        rng.integers(0, 255, 500_000).astype(np.uint8).tobytes(),
+        bytes(1_000_000),
+    ):
+        z = gzip.compress(payload, 6)
+        assert gzip_decompress(z) == payload
+        assert gzip_decompress(z, len(payload)) == payload
+    # An undersized hint must not corrupt the result (falls back internally).
+    payload = bytes(range(256)) * 100
+    z = gzip.compress(payload, 6)
+    assert gzip_decompress(z, 10) == payload
+    # Corrupt streams still raise like gzip.decompress.
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        gzip_decompress(b"\x1f\x8b" + b"garbagegarbagegarbage")

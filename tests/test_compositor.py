@@ -115,3 +115,52 @@ def test_fastpng_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(PILImage.open(path)), arr)
     # Bad inputs fall back cleanly.
     assert not write_png_rgb(arr[:, :, :2], str(tmp_path / "bad.png"))
+
+
+def test_canvas_pool_never_aliases_live_images(rng):
+    """Two figures rendered back-to-back while BOTH images stay alive must
+    not share the pooled canvas buffer (the finalizer recycles only after
+    the first image dies)."""
+    from configurable_spectrograms_tpu.data.synthetic import synth_instrument_arrays
+    from configurable_spectrograms_tpu.render.plotting import generic_plot_spectrogram_set
+
+    a = synth_instrument_arrays(rng, n_time=40, n_angle=6, n_energy=12)
+    ds = [{"x": a["time_unix"], "y": a["energy"][0, 0, :], "data": a["data"], "label": "R"}]
+    fig1, _ = generic_plot_spectrogram_set(ds, colormap="viridis")
+    img1 = fig1.render(dpi=40)
+    first = np.asarray(img1._np_canvas).copy()
+    fig2, _ = generic_plot_spectrogram_set(ds, colormap="viridis")
+    img2 = fig2.render(dpi=40)
+    assert img1._np_canvas is not img2._np_canvas
+    np.testing.assert_array_equal(np.asarray(img1._np_canvas), first)  # img1 untouched
+
+
+def test_canvas_pool_recycles_after_collection(rng):
+    """Once an image is garbage-collected its canvas returns to the pool
+    and the next same-size render reuses the buffer (reset to white)."""
+    import gc
+
+    from configurable_spectrograms_tpu.data.synthetic import synth_instrument_arrays
+    from configurable_spectrograms_tpu.render import figure as figure_mod
+    from configurable_spectrograms_tpu.render.plotting import generic_plot_spectrogram_set
+
+    # The pool is process-global and size-capped; earlier tests may have
+    # filled it with other canvas sizes, so start from a clean slate.
+    gc.collect()
+    with figure_mod._CANVAS_POOL_LOCK:
+        figure_mod._CANVAS_POOL.clear()
+
+    a = synth_instrument_arrays(rng, n_time=40, n_angle=6, n_energy=12)
+    ds = [{"x": a["time_unix"], "y": a["energy"][0, 0, :], "data": a["data"], "label": "R"}]
+    fig1, _ = generic_plot_spectrogram_set(ds, colormap="viridis")
+    img1 = fig1.render(dpi=40)
+    ref_pixels = np.asarray(img1._np_canvas).copy()
+    key = img1._np_canvas.shape[:2]
+    buf_id = id(img1._np_canvas)
+    del img1
+    gc.collect()
+    assert any(id(c) == buf_id for c in figure_mod._CANVAS_POOL.get(key, []))
+    fig2, _ = generic_plot_spectrogram_set(ds, colormap="viridis")
+    img2 = fig2.render(dpi=40)
+    assert id(img2._np_canvas) == buf_id  # reused...
+    np.testing.assert_array_equal(np.asarray(img2._np_canvas), ref_pixels)  # ...bit-identically
