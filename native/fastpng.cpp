@@ -12,6 +12,7 @@
 
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -64,6 +65,219 @@ void chunk(std::vector<uint8_t>& out, const char type[4], const uint8_t* data, s
 #endif
     put_be32(out, crc);
 }
+
+#ifdef FASTPNG_USE_LIBDEFLATE
+// ---------------------------------------------------------------------------
+// Specialized deflate encoder for filtered figure canvases.
+//
+// A 200-DPI figure canvas is mostly white, so after the Up filter the
+// scanline stream is dominated by long zero runs; libdeflate still walks
+// every byte through its hash-chain matcher (~110 ms for a 34 MB canvas on
+// this host, independent of level, while the filter pass is 7 ms).  This
+// encoder emits a single fixed-Huffman deflate block directly: runs become
+// distance-1 matches found with 8-byte word compares, and the remaining
+// (tile) bytes go through a single-probe hash-4 greedy LZ.  Measured ~4x
+// faster than libdeflate on real canvases at a modest ratio cost; the
+// caller falls back to libdeflate when a sampled zero-fraction says the
+// canvas is noise-like (where static Huffman would *expand* the data).
+// ---------------------------------------------------------------------------
+namespace rlez {
+
+inline uint32_t bit_reverse(uint32_t v, int n) {
+    uint32_t r = 0;
+    for (int i = 0; i < n; ++i) { r = (r << 1) | (v & 1); v >>= 1; }
+    return r;
+}
+
+struct Tables {
+    uint16_t lit_code[288];   // pre-reversed fixed-Huffman literal/length codes
+    uint8_t  lit_bits[288];
+    uint16_t len_sym[259];    // match length 3..258 -> symbol 257..285
+    uint8_t  len_ebits[259];
+    uint16_t len_ebase[259];
+    uint8_t  dist_sym[32769]; // distance 1..32768 -> code 0..29
+    uint8_t  dist_ebits[30];
+    uint16_t dist_base[30];
+    uint16_t dist_code5[30];  // pre-reversed 5-bit fixed distance codes
+    Tables() {
+        for (int s = 0; s < 288; ++s) {
+            int bits, code;
+            if (s < 144)      { bits = 8; code = 0x30 + s; }
+            else if (s < 256) { bits = 9; code = 0x190 + (s - 144); }
+            else if (s < 280) { bits = 7; code = s - 256; }
+            else              { bits = 8; code = 0xC0 + (s - 280); }
+            lit_code[s] = uint16_t(bit_reverse(uint32_t(code), bits));
+            lit_bits[s] = uint8_t(bits);
+        }
+        static const int lext[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,3,3,3,3,4,4,4,4,5,5,5,5,0};
+        static const int lbase[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,35,43,51,59,67,83,99,115,131,163,195,227,258};
+        for (int c = 0; c < 29; ++c) {
+            int lo = lbase[c];
+            int hi = (c == 28) ? 258 : lbase[c + 1] - 1;
+            if (hi > 258) hi = 258;
+            for (int L = lo; L <= hi; ++L) {
+                len_sym[L] = uint16_t(257 + c);
+                len_ebits[L] = uint8_t(lext[c]);
+                len_ebase[L] = uint16_t(lo);
+            }
+        }
+        static const int dext[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,7,7,8,8,9,9,10,10,11,11,12,12,13,13};
+        static const int dbase[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,193,257,385,513,769,1025,1537,2049,3073,4097,6145,8193,12289,16385,24577};
+        for (int c = 0; c < 30; ++c) {
+            dist_ebits[c] = uint8_t(dext[c]);
+            dist_base[c] = uint16_t(dbase[c]);
+            dist_code5[c] = uint16_t(bit_reverse(uint32_t(c), 5));
+            int lo = dbase[c];
+            int hi = (c == 29) ? 32768 : dbase[c + 1] - 1;
+            for (int d = lo; d <= hi; ++d) dist_sym[d] = uint8_t(c);
+        }
+    }
+};
+
+inline const Tables& tables() {
+    static const Tables t;
+    return t;
+}
+
+struct BitWriter {
+    std::vector<uint8_t>& out;
+    uint64_t acc = 0;
+    int nbits = 0;
+    explicit BitWriter(std::vector<uint8_t>& o) : out(o) {}
+    inline void put(uint32_t code, int bits) {
+        acc |= uint64_t(code) << nbits;
+        nbits += bits;
+        while (nbits >= 8) {
+            out.push_back(uint8_t(acc));
+            acc >>= 8;
+            nbits -= 8;
+        }
+    }
+    void flush() {
+        if (nbits > 0) { out.push_back(uint8_t(acc)); acc = 0; nbits = 0; }
+    }
+};
+
+// Compress `in[0..n)` into a zlib stream appended to `out`.
+void deflate_fixed(const uint8_t* in, size_t n, std::vector<uint8_t>& out) {
+    const Tables& T = tables();
+    out.push_back(0x78);  // CMF: deflate, 32K window
+    out.push_back(0x01);  // FLG: fastest, (0x7801 % 31 == 0)
+    BitWriter bw(out);
+    bw.put(1, 1);  // BFINAL
+    bw.put(1, 2);  // BTYPE=01 fixed Huffman
+
+    auto emit_lit = [&](uint8_t b) { bw.put(T.lit_code[b], T.lit_bits[b]); };
+    auto emit_match = [&](size_t L, size_t D) {
+        unsigned s = T.len_sym[L];
+        bw.put(T.lit_code[s], T.lit_bits[s]);
+        if (T.len_ebits[L]) bw.put(uint32_t(L - T.len_ebase[L]), T.len_ebits[L]);
+        unsigned dc = T.dist_sym[D];
+        bw.put(T.dist_code5[dc], 5);
+        if (T.dist_ebits[dc]) bw.put(uint32_t(D - T.dist_base[dc]), T.dist_ebits[dc]);
+    };
+
+    constexpr size_t MIN_RUN = 16;
+    constexpr int HBITS = 15;
+    static thread_local std::vector<int64_t> head_store;
+    head_store.assign(size_t(1) << HBITS, -1);
+    int64_t* head = head_store.data();
+    auto hash4 = [](const uint8_t* p) {
+        uint32_t v;
+        std::memcpy(&v, p, 4);
+        return (v * 2654435761u) >> (32 - HBITS);
+    };
+
+    size_t i = 0;
+    while (i < n) {
+        // Run fast path: byte repeated >= MIN_RUN times becomes dist-1 matches.
+        if (i + MIN_RUN <= n && in[i] == in[i + 1]) {
+            uint8_t b = in[i];
+            uint64_t pat = 0x0101010101010101ull * b;
+            size_t j = i + 1;
+            while (j + 8 <= n) {
+                uint64_t v;
+                std::memcpy(&v, in + j, 8);
+                if (v != pat) break;
+                j += 8;
+            }
+            while (j < n && in[j] == b) ++j;
+            size_t r = j - i;
+            if (r >= MIN_RUN) {
+                if (i + 4 <= n) head[hash4(in + i)] = int64_t(i);
+                emit_lit(b);
+                ++i;
+                --r;
+                while (r >= 3) {
+                    size_t L = r > 258 ? 258 : r;
+                    emit_match(L, 1);
+                    i += L;
+                    r -= L;
+                }
+                while (r > 0) { emit_lit(in[i]); ++i; --r; }
+                continue;
+            }
+        }
+        if (i + 4 <= n) {
+            uint32_t hs = hash4(in + i);
+            int64_t cand = head[hs];
+            head[hs] = int64_t(i);
+            if (cand >= 0 && i - size_t(cand) <= 32768) {
+                uint32_t a, c;
+                std::memcpy(&a, in + i, 4);
+                std::memcpy(&c, in + size_t(cand), 4);
+                if (a == c) {
+                    size_t maxL = n - i;
+                    if (maxL > 258) maxL = 258;
+                    size_t L = 4;
+                    // Word-accelerated extension (overlap-safe: bytes before
+                    // i are fully defined when the decoder copies them).
+                    while (L + 8 <= maxL) {
+                        uint64_t x, y;
+                        std::memcpy(&x, in + i + L, 8);
+                        std::memcpy(&y, in + size_t(cand) + L, 8);
+                        uint64_t diff = x ^ y;
+                        if (diff) { L += size_t(__builtin_ctzll(diff)) >> 3; goto extended; }
+                        L += 8;
+                    }
+                    while (L < maxL && in[size_t(cand) + L] == in[i + L]) ++L;
+                extended:
+                    emit_match(L, i - size_t(cand));
+                    if (i + L + 4 <= n) head[hash4(in + i + L - 1)] = int64_t(i + L - 1);
+                    i += L;
+                    continue;
+                }
+            }
+        }
+        emit_lit(in[i]);
+        ++i;
+    }
+    bw.put(tables().lit_code[256], tables().lit_bits[256]);  // end of block
+    bw.flush();
+    uint32_t adler = libdeflate_adler32(1, in, n);
+    out.push_back(uint8_t(adler >> 24));
+    out.push_back(uint8_t(adler >> 16));
+    out.push_back(uint8_t(adler >> 8));
+    out.push_back(uint8_t(adler));
+}
+
+// Sampled fraction of zero 8-byte words -- cheap proxy for "mostly white
+// canvas after Up filtering", where the run encoder wins.  Noise-like data
+// (static Huffman would expand it) routes to libdeflate instead.
+double sampled_zero_frac(const uint8_t* p, size_t n) {
+    if (n < 4096) return 0.0;
+    size_t step = 4096;
+    size_t hits = 0, total = 0;
+    for (size_t i = 0; i + 8 <= n; i += step, ++total) {
+        uint64_t v;
+        std::memcpy(&v, p + i, 8);
+        if (v == 0) ++hits;
+    }
+    return total ? double(hits) / double(total) : 0.0;
+}
+
+}  // namespace rlez
+#endif  // FASTPNG_USE_LIBDEFLATE
 
 }  // namespace
 
@@ -129,16 +343,30 @@ extern "C" int fastpng_write_v2(
     }
 
 #ifdef FASTPNG_USE_LIBDEFLATE
-    int lvl = zlevel < 1 ? 1 : (zlevel > 12 ? 12 : zlevel);
-    libdeflate_compressor* comp = libdeflate_alloc_compressor(lvl);
-    if (comp == nullptr) return -2;
-    size_t cap = libdeflate_zlib_compress_bound(comp, raw.size());
     static thread_local std::vector<uint8_t> zdata;
-    zdata.resize(cap);
-    size_t zn = libdeflate_zlib_compress(comp, raw.data(), raw.size(), zdata.data(), cap);
-    libdeflate_free_compressor(comp);
-    if (zn == 0) return -2;
-    zdata.resize(zn);
+    zdata.clear();
+    // Mostly-white canvases (the product's figures) take the specialized
+    // run/LZ fixed-Huffman encoder (~4x faster); noise-like data routes to
+    // libdeflate where dynamic Huffman is both smaller and faster.
+    // FASTPNG_ENCODER=libdeflate|rle forces a path (tests / comparison).
+    const char* force = std::getenv("FASTPNG_ENCODER");
+    bool use_rle;
+    if (force && std::strcmp(force, "rle") == 0) use_rle = true;
+    else if (force && std::strcmp(force, "libdeflate") == 0) use_rle = false;
+    else use_rle = rlez::sampled_zero_frac(raw.data(), raw.size()) >= 0.35;
+    if (use_rle) {
+        rlez::deflate_fixed(raw.data(), raw.size(), zdata);
+    } else {
+        int lvl = zlevel < 1 ? 1 : (zlevel > 12 ? 12 : zlevel);
+        libdeflate_compressor* comp = libdeflate_alloc_compressor(lvl);
+        if (comp == nullptr) return -2;
+        size_t cap = libdeflate_zlib_compress_bound(comp, raw.size());
+        zdata.resize(cap);
+        size_t zn = libdeflate_zlib_compress(comp, raw.data(), raw.size(), zdata.data(), cap);
+        libdeflate_free_compressor(comp);
+        if (zn == 0) return -2;
+        zdata.resize(zn);
+    }
 #else
     uLongf bound = compressBound(uLong(raw.size()));
     std::vector<uint8_t> zdata(bound);

@@ -164,3 +164,38 @@ def test_canvas_pool_recycles_after_collection(rng):
     img2 = fig2.render(dpi=40)
     assert id(img2._np_canvas) == buf_id  # reused...
     np.testing.assert_array_equal(np.asarray(img2._np_canvas), ref_pixels)  # ...bit-identically
+
+
+def test_fastpng_rle_encoder_roundtrip(tmp_path, rng, monkeypatch):
+    """The specialized run/LZ fixed-Huffman deflate path (taken automatically
+    for mostly-white canvases) is byte-exact for every canvas shape it can
+    see, including RGBA input and degenerate sizes."""
+    from PIL import Image as PILImage
+
+    from configurable_spectrograms_tpu.render.fastpng import native_available, write_png_rgb
+
+    if not native_available():
+        pytest.skip("native fastpng unavailable (no g++?)")
+    monkeypatch.setenv("FASTPNG_ENCODER", "rle")
+    white = np.full((300, 500, 3), 255, np.uint8)
+    tiles = white.copy()
+    tiles[40:200, 60:400] = (rng.random((160, 340, 3)) * 255).astype(np.uint8)
+    cases = {
+        "white": white,
+        "tiles": tiles,
+        "noise": (rng.random((257, 333, 3)) * 255).astype(np.uint8),
+        "tiny": (rng.random((1, 1, 3)) * 255).astype(np.uint8),
+        "stripes": np.tile((rng.random((1, 64, 3)) * 255).astype(np.uint8), (64, 3, 1)),
+    }
+    cases["rgba"] = np.dstack([tiles, np.full(tiles.shape[:2], 77, np.uint8)])
+    for name, arr in cases.items():
+        path = str(tmp_path / f"{name}.png")
+        assert write_png_rgb(arr, path), name
+        np.testing.assert_array_equal(np.asarray(PILImage.open(path)), arr[:, :, :3])
+    # Auto mode routes a mostly-white canvas to the RLE encoder and noise to
+    # libdeflate; both must still round-trip.
+    monkeypatch.delenv("FASTPNG_ENCODER")
+    for name in ("tiles", "noise"):
+        path = str(tmp_path / f"auto_{name}.png")
+        assert write_png_rgb(cases[name], path)
+        np.testing.assert_array_equal(np.asarray(PILImage.open(path)), cases[name][:, :, :3])
