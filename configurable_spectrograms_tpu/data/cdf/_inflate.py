@@ -30,7 +30,7 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_void_p,
             ctypes.c_char_p,
             ctypes.c_size_t,
-            ctypes.c_char_p,
+            ctypes.c_void_p,  # accepts both string buffers and raw addresses
             ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_size_t),
         ]
@@ -42,6 +42,42 @@ def _load() -> ctypes.CDLL | None:
 _LIB = _load()
 #: One decompressor handle per thread (they are not thread-safe to share).
 _local = threading.local()
+
+
+def _handle():
+    decomp = getattr(_local, "handle", None)
+    if decomp is None:
+        decomp = _LIB.libdeflate_alloc_decompressor()
+        if decomp:
+            _local.handle = decomp
+    return decomp
+
+
+def gzip_decompress_into(data: bytes, dest) -> bool:
+    """Decompress one gzip stream straight into *dest* (a writable,
+    C-contiguous numpy array whose ``nbytes`` equals the stream's ISIZE).
+
+    Skips the intermediate string buffer entirely -- no memset of the
+    output buffer, no trailing copy, no ``frombuffer``+assign pass; the
+    CDF reader points this at the variable's destination slice.  Returns
+    False (writing nothing... or possibly a partial prefix of *dest* on a
+    corrupt stream, which the caller's fallback then overwrites) whenever
+    the fast path cannot run; the caller falls back to
+    :func:`gzip_decompress`.
+    """
+    if _LIB is None or len(data) < 18:
+        return False
+    size = struct.unpack_from("<I", data, len(data) - 4)[0]
+    if size != dest.nbytes or not dest.flags["C_CONTIGUOUS"]:
+        return False
+    decomp = _handle()
+    if not decomp:
+        return False
+    actual = ctypes.c_size_t(0)
+    rc = _LIB.libdeflate_gzip_decompress(
+        decomp, data, len(data), ctypes.c_void_p(dest.ctypes.data), size, ctypes.byref(actual)
+    )
+    return rc == 0 and actual.value == size
 
 
 def gzip_decompress(data: bytes, expected_size: int | None = None) -> bytes:
@@ -58,12 +94,9 @@ def gzip_decompress(data: bytes, expected_size: int | None = None) -> bytes:
     size = expected_size
     if size is None:
         size = struct.unpack_from("<I", data, len(data) - 4)[0]
-    decomp = getattr(_local, "handle", None)
-    if decomp is None:
-        decomp = _LIB.libdeflate_alloc_decompressor()
-        if not decomp:
-            return gzip.decompress(data)
-        _local.handle = decomp
+    decomp = _handle()
+    if not decomp:
+        return gzip.decompress(data)
     out = ctypes.create_string_buffer(size)
     actual = ctypes.c_size_t(0)
     rc = _LIB.libdeflate_gzip_decompress(

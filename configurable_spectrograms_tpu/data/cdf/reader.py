@@ -493,11 +493,22 @@ class CDF:
                 if rtype == _VVR:
                     raw = self._buf[body : body + count * rec_bytes]
                 elif rtype == _CVVR:
-                    from configurable_spectrograms_tpu.data.cdf._inflate import gzip_decompress
+                    from configurable_spectrograms_tpu.data.cdf._inflate import (
+                        gzip_decompress,
+                        gzip_decompress_into,
+                    )
 
                     _rfu, p2 = self._i4(body)
                     csize, p2 = self._i(p2)
-                    raw = gzip_decompress(bytes(self._buf[p2 : p2 + csize]))[: count * rec_bytes]
+                    comp = bytes(self._buf[p2 : p2 + csize])
+                    # Fast path: inflate straight into the destination slice
+                    # (no scratch buffer, no frombuffer+assign copy).  Only
+                    # valid when the stream's ISIZE matches the slice
+                    # exactly, i.e. `last` was not clamped.
+                    dest = out[first * values_per_rec : (last + 1) * values_per_rec]
+                    if gzip_decompress_into(comp, dest):
+                        continue
+                    raw = gzip_decompress(comp)[: count * rec_bytes]
                 else:
                     raise CDFError(f"{self.path}: unexpected record type {rtype} in VXR leaf")
                 vals = np.frombuffer(raw, dtype=rec_dtype, count=count * values_per_rec)

@@ -101,12 +101,13 @@ def host_quantize(
     zmin_arg, zmax_arg = z_bounds
     if zmin_arg is None or zmax_arg is None:
         pool = matrix[zb_sel & ~np.isnan(matrix)]
-        vmin = float(zmin_arg) if zmin_arg is not None else (
-            float(np.percentile(pool, low_pct)) if pool.size else np.nan
-        )
-        vmax = float(zmax_arg) if zmax_arg is not None else (
-            float(np.percentile(pool, high_pct)) if pool.size else np.nan
-        )
+        if pool.size:
+            # One percentile call sorts the pool once for both bounds.
+            p_lo, p_hi = np.percentile(pool, (low_pct, high_pct))
+        else:
+            p_lo = p_hi = np.nan
+        vmin = float(zmin_arg) if zmin_arg is not None else float(p_lo)
+        vmax = float(zmax_arg) if zmax_arg is not None else float(p_hi)
     else:
         vmin, vmax = float(zmin_arg), float(zmax_arg)
 
