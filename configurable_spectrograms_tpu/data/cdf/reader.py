@@ -431,8 +431,19 @@ class CDF:
             pad_val = b" " * var.num_elems
         else:
             pad_val = 0
-        out[:] = pad_val
-        self._fill_from_vxr(var.vxr_head, out, values_per_rec, rec_bytes, rec_dtype, n_rec)
+        # Records the VXR tree never covers get the pad value; filling only
+        # the gaps (usually none) instead of pre-filling the whole buffer
+        # saves a full-size memset pass on every variable load.
+        spans: list[tuple[int, int]] = []
+        self._fill_from_vxr(var.vxr_head, out, values_per_rec, rec_bytes, rec_dtype, n_rec, spans)
+        spans.sort()
+        cursor = 0
+        for first, last in spans:
+            if first > cursor:
+                out[cursor * values_per_rec : first * values_per_rec] = pad_val
+            cursor = max(cursor, last + 1)
+        if cursor < n_rec:
+            out[cursor * values_per_rec :] = pad_val
 
         if base == "S":
             arr: np.ndarray = out
@@ -456,8 +467,13 @@ class CDF:
         rec_bytes: int,
         rec_dtype: np.dtype,
         n_rec: int,
+        spans: list[tuple[int, int]],
     ) -> None:
-        """Walk a VXR chain/tree, decoding VVR/CVVR leaves into *out*."""
+        """Walk a VXR chain/tree, decoding VVR/CVVR leaves into *out*.
+
+        Every decoded record range is appended to *spans* so the caller can
+        pad-fill only the gaps.
+        """
         while vxr_off:
             _, rtype, body = self._rec_header(vxr_off)
             if rtype != _VXR:
@@ -483,13 +499,14 @@ class CDF:
                     continue
                 size, rtype, body = self._rec_header(off)
                 if rtype == _VXR:  # nested index tree
-                    self._fill_from_vxr(off, out, values_per_rec, rec_bytes, rec_dtype, n_rec)
+                    self._fill_from_vxr(off, out, values_per_rec, rec_bytes, rec_dtype, n_rec, spans)
                     continue
                 first = max(0, first)
                 last = min(last, n_rec - 1)
                 count = last - first + 1
                 if count <= 0:
                     continue
+                spans.append((first, last))
                 if rtype == _VVR:
                     raw = self._buf[body : body + count * rec_bytes]
                 elif rtype == _CVVR:

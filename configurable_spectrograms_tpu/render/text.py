@@ -56,8 +56,10 @@ _measure_img = Image.new("RGB", (8, 8))
 _measure_draw = ImageDraw.Draw(_measure_img)
 
 
+@functools.lru_cache(maxsize=16384)
 def text_size(text: str, px: int) -> tuple[int, int]:
-    """(width, height) in pixels of *text* at font size *px*."""
+    """(width, height) in pixels of *text* at font size *px* (memoized --
+    tick labels and titles repeat across panels and figures)."""
     if not text:
         return 0, 0
     lines = text.split("\n")
@@ -162,6 +164,20 @@ def draw_rotated_text(
     canvas.paste(rot, (round(center[0] - rot.width / 2), round(center[1] - rot.height / 2)), rot)
 
 
+@functools.lru_cache(maxsize=4096)
+def _pow10_metrics(exponent: int, px: int) -> tuple[int, int]:
+    """(base_width, superscript_width) for ``10^exponent`` at size *px*.
+
+    Pure measurement (no pixels involved), so caching is exact; the same
+    handful of exponents label every colorbar and log axis in a batch.
+    """
+    f_base = get_font(px)
+    f_sup = get_font(max(1, round(px * 0.72)))
+    bw = _measure_draw.textbbox((0, 0), "10", font=f_base)[2]
+    sw = _measure_draw.textbbox((0, 0), str(exponent), font=f_sup)[2]
+    return bw, sw
+
+
 def draw_pow10(
     draw: ImageDraw.ImageDraw,
     xy: tuple[float, float],
@@ -179,8 +195,7 @@ def draw_pow10(
     sup = str(exponent)
     f_base = get_font(px)
     f_sup = get_font(max(1, round(px * 0.72)))
-    bw = _measure_draw.textbbox((0, 0), base, font=f_base)[2]
-    sw = _measure_draw.textbbox((0, 0), sup, font=f_sup)[2]
+    bw, sw = _pow10_metrics(exponent, px)
     x, y = xy
     if not anchor_left:
         x -= bw + sw
@@ -190,8 +205,5 @@ def draw_pow10(
 
 
 def pow10_width(exponent: int, px: int) -> int:
-    f_base = get_font(px)
-    f_sup = get_font(max(1, round(px * 0.72)))
-    bw = _measure_draw.textbbox((0, 0), "10", font=f_base)[2]
-    sw = _measure_draw.textbbox((0, 0), str(exponent), font=f_sup)[2]
+    bw, sw = _pow10_metrics(exponent, px)
     return bw + sw + 1
