@@ -31,15 +31,52 @@ def frame_signal(x: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
     return x[idx]
 
 
-@functools.partial(jax.jit, static_argnames=("frame_length", "hop_length", "power"))
+@functools.lru_cache(maxsize=8)
+def _dft_bases(frame_length: int) -> tuple[np.ndarray, np.ndarray]:
+    """Windowed real-DFT basis matrices (L, L//2+1) float32.
+
+    The Hann window is folded into the bases, so the framed signal goes
+    straight into two matmuls -- one fused MXU-friendly program with no
+    separate window multiply pass.
+    """
+    n = np.arange(frame_length, dtype=np.float64)[:, None]
+    k = np.arange(frame_length // 2 + 1, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / frame_length
+    w = hann_window(frame_length).astype(np.float64)[:, None]
+    return (np.cos(ang) * w).astype(np.float32), (-np.sin(ang) * w).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("frame_length", "hop_length", "power", "method"))
 def stft_magnitude(
     x: jax.Array,
     frame_length: int = 1024,
     hop_length: int = 256,
     power: float = 2.0,
+    method: str = "fft",
 ) -> jax.Array:
-    """Windowed-FFT magnitude spectrogram: (N,) -> (frames, n_fft//2 + 1)."""
+    """Windowed-FFT magnitude spectrogram: (N,) -> (frames, n_fft//2 + 1).
+
+    Two equivalent device programs (same math, different hardware units):
+
+    - ``"fft"``: window multiply + XLA's native rFFT.
+    - ``"matmul"``: the framed signal times two window-folded DFT basis
+      matrices -- O(L) more FLOPs than the FFT but they all land on the
+      MXU as one large (F, L) @ (L, L//2+1) pair, which on TPU beats the
+      FFT path for typical audio frame lengths (see tools/bench_stft.py
+      for the measured crossover on real silicon).
+    """
     frames = frame_signal(jnp.asarray(x, jnp.float32), frame_length, hop_length)
+    if method == "matmul":
+        cos_b, sin_b = _dft_bases(frame_length)
+        re = jnp.dot(frames, jnp.asarray(cos_b), preferred_element_type=jnp.float32)
+        im = jnp.dot(frames, jnp.asarray(sin_b), preferred_element_type=jnp.float32)
+        p2 = re * re + im * im
+        if power == 2.0:
+            return p2
+        mag = jnp.sqrt(p2)
+        return mag if power == 1.0 else jnp.power(mag, power)
+    if method != "fft":
+        raise ValueError(f"unknown stft method {method!r} (expected 'fft' or 'matmul')")
     windowed = frames * jnp.asarray(hann_window(frame_length))
     spec = jnp.fft.rfft(windowed, axis=-1)
     mag = jnp.abs(spec)
@@ -81,7 +118,9 @@ def mel_filterbank(
     return weights, hz_pts[1:-1].astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("frame_length", "hop_length", "power", "n_mels", "sample_rate"))
+@functools.partial(
+    jax.jit, static_argnames=("frame_length", "hop_length", "power", "n_mels", "sample_rate", "method")
+)
 def mel_spectrogram(
     x: jax.Array,
     sample_rate: int,
@@ -89,9 +128,12 @@ def mel_spectrogram(
     hop_length: int = 256,
     n_mels: int = 128,
     power: float = 2.0,
+    method: str = "fft",
 ) -> jax.Array:
     """Mel spectrogram: (N,) -> (frames, n_mels) via an MXU matmul."""
-    mag = stft_magnitude(x, frame_length=frame_length, hop_length=hop_length, power=power)
+    mag = stft_magnitude(
+        x, frame_length=frame_length, hop_length=hop_length, power=power, method=method
+    )
     weights, _ = mel_filterbank(n_mels, frame_length, float(sample_rate))
     return jnp.dot(mag, jnp.asarray(weights), preferred_element_type=jnp.float32)
 
@@ -104,6 +146,7 @@ def audio_spectrogram_dataset(
     n_mels: int | None = None,
     power: float = 2.0,
     label: str | None = None,
+    method: str = "fft",
 ) -> dict:
     """Build a ``generic_plot_spectrogram_set`` dataset dict from audio.
 
@@ -114,11 +157,11 @@ def audio_spectrogram_dataset(
     """
     x = jnp.asarray(np.asarray(signal, np.float32))
     if n_mels is not None:
-        spec = mel_spectrogram(x, sample_rate, frame_length, hop_length, n_mels, power)
+        spec = mel_spectrogram(x, sample_rate, frame_length, hop_length, n_mels, power, method)
         _, centers = mel_filterbank(n_mels, frame_length, float(sample_rate))
         freqs = centers
     else:
-        spec = stft_magnitude(x, frame_length, hop_length, power)
+        spec = stft_magnitude(x, frame_length, hop_length, power, method)
         freqs = np.linspace(0.0, sample_rate / 2.0, frame_length // 2 + 1).astype(np.float32)
     spec_np = np.asarray(spec)
     frames = spec_np.shape[0]

@@ -48,11 +48,12 @@ def render_audio_spectrogram(
     y_scale: str = "linear",
     z_scale: str = "log",
     colormap: str = "magma",
+    stft_method: str = "fft",
 ) -> bool:
     signal, rate = load_wav(wav_path)
     dataset = audio_spectrogram_dataset(
         signal, rate, frame_length=frame_length, hop_length=hop_length, n_mels=n_mels,
-        label=Path(wav_path).stem,
+        label=Path(wav_path).stem, method=stft_method,
     )
     fig, _ = generic_plot_spectrogram_set(
         [dataset],
@@ -80,6 +81,10 @@ def main() -> int:
     parser.add_argument("--y-scale", choices=("linear", "log"), default="linear")
     parser.add_argument("--z-scale", choices=("linear", "log"), default="log")
     parser.add_argument("--colormap", default="magma")
+    parser.add_argument(
+        "--stft-method", choices=("fft", "matmul"), default="fft",
+        help="Device STFT program: XLA rFFT or MXU DFT-basis matmuls.",
+    )
     args = parser.parse_args()
 
     produced = render_audio_spectrogram(
@@ -91,6 +96,7 @@ def main() -> int:
         y_scale=args.y_scale,
         z_scale=args.z_scale,
         colormap=args.colormap,
+        stft_method=args.stft_method,
     )
     if not produced:
         print("[WARNING] No data available to plot for the given input.")

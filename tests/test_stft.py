@@ -112,3 +112,31 @@ def test_wav_cli_roundtrip(tmp_path):
     from PIL import Image
 
     assert Image.open(out).size[0] > 0
+
+
+def test_stft_matmul_matches_fft():
+    """The MXU DFT-matmul program agrees with the rFFT program across
+    powers and frame lengths (same math, different hardware units)."""
+    rng = np.random.default_rng(7)
+    sig = rng.normal(size=4096).astype(np.float32)
+    for L, H in ((256, 64), (512, 128)):
+        for power in (1.0, 2.0):
+            a = np.asarray(stft_magnitude(sig, L, H, power=power, method="fft"))
+            b = np.asarray(stft_magnitude(sig, L, H, power=power, method="matmul"))
+            assert a.shape == b.shape
+            scale = np.abs(a).max()
+            np.testing.assert_allclose(a, b, atol=5e-4 * scale, rtol=1e-3)
+
+
+def test_stft_unknown_method_raises():
+    with pytest.raises(ValueError, match="unknown stft method"):
+        stft_magnitude(np.zeros(512, np.float32), 256, 64, method="welch")
+
+
+def test_mel_spectrogram_method_passthrough():
+    rng = np.random.default_rng(11)
+    sig = rng.normal(size=4096).astype(np.float32)
+    a = np.asarray(mel_spectrogram(sig, 16000, 256, 64, n_mels=32, method="fft"))
+    b = np.asarray(mel_spectrogram(sig, 16000, 256, 64, n_mels=32, method="matmul"))
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(a, b, atol=5e-4 * scale, rtol=1e-3)
