@@ -32,3 +32,24 @@ def test_data_region_parity_vs_reference():
     assert summary["worst_interior_pixel_mismatch_frac"] == 0.0
     assert summary["worst_pixel_mismatch_frac"] <= 0.08  # cell-boundary rounding only
     assert summary["worst_mean_abs_channel_diff"] <= 2.0
+
+
+def test_api_parity_audit_no_missing_symbols():
+    """Every public reference function has an equivalent here accepting the
+    same keyword surface (tools/api_parity_audit.py as a CI gate)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        import api_parity_audit
+    finally:
+        sys.path.pop(0)
+    if not os.path.isdir(api_parity_audit.REFERENCE_ROOT):
+        import pytest
+
+        pytest.skip("reference tree not present")
+    rows, missing = api_parity_audit.audit()
+    assert missing == 0, [r for r in rows if "MISSING" in r.get("status", "")]
+    deltas = [r for r in rows if r["status"].startswith("param delta")]
+    assert not deltas, deltas
