@@ -166,3 +166,36 @@ def test_libdeflate_inflate_matches_gzip(rng):
 
     with _pytest.raises(Exception):
         gzip_decompress(b"\x1f\x8b" + b"garbagegarbagegarbage")
+
+
+def test_reader_corruption_robustness(tmp_path, sample_vars, rng):
+    """Truncated or bit-flipped files fail with CDFError (the error-reason
+    classifier maps it to 'invalid-cdf'), never an uncontrolled exception."""
+    from configurable_spectrograms_tpu.data.cdf.reader import CDFError
+
+    path = str(tmp_path / "fuzz.cdf")
+    write_cdf(path, sample_vars)
+    blob = open(path, "rb").read()
+
+    def try_open(data: bytes, name: str) -> None:
+        p = str(tmp_path / name)
+        with open(p, "wb") as fh:
+            fh.write(data)
+        try:
+            with CDF(p) as c:
+                for v in c.cdf_info()["zVariables"]:
+                    c.varget(v)
+        except CDFError:
+            pass  # the contract
+        # Clean parse of a corrupted-but-decodable file is also acceptable.
+
+    # Truncations at structurally interesting byte counts.
+    for frac in (0.05, 0.3, 0.6, 0.9, 0.99):
+        try_open(blob[: int(len(blob) * frac)], f"trunc_{frac}.cdf")
+    # Random single-byte flips (seeded; skip the 8-byte magic so the file
+    # still claims to be a CDF).
+    for k in range(25):
+        pos = int(rng.integers(8, len(blob)))
+        mutated = bytearray(blob)
+        mutated[pos] ^= 0xFF
+        try_open(bytes(mutated), f"flip_{k}.cdf")
