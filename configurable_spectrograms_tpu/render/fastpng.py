@@ -70,7 +70,14 @@ def _compile(lib_path: str) -> bool:
     # Prefer libdeflate (~2-3x faster whole-buffer deflate + hw CRC);
     # fall back to plain zlib where it isn't installed.
     base = ["g++", "-O3", "-fPIC", "-shared", "-o", tmp, _SRC]
-    for extra in (["-DFASTPNG_USE_LIBDEFLATE", "-ldeflate"], ["-lz"]):
+    # -mssse3 enables the vectorized RGBA->RGB repack (baseline on any
+    # x86-64 made since ~2006); dropped automatically where unsupported.
+    for extra in (
+        ["-mssse3", "-DFASTPNG_USE_LIBDEFLATE", "-ldeflate"],
+        ["-DFASTPNG_USE_LIBDEFLATE", "-ldeflate"],
+        ["-mssse3", "-lz"],
+        ["-lz"],
+    ):
         try:
             subprocess.run(base + extra, check=True, capture_output=True, timeout=120)
             os.rename(tmp, lib_path)

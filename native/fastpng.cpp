@@ -16,6 +16,10 @@
 #include <cstring>
 #include <vector>
 
+#ifdef __SSSE3__
+#include <tmmintrin.h>
+#endif
+
 // libdeflate compresses a whole buffer ~2-3x faster than zlib at the same
 // ratio; the build tries it first (-DFASTPNG_USE_LIBDEFLATE -ldeflate) and
 // falls back to plain zlib when the library is absent.
@@ -51,6 +55,26 @@ void put_be32(std::vector<uint8_t>& v, uint32_t x) {
     v.push_back(uint8_t(x >> 16));
     v.push_back(uint8_t(x >> 8));
     v.push_back(uint8_t(x));
+}
+
+// Repack one RGBA row to RGB.  SSSE3 shuffles 16 input bytes (4 px) to 12
+// output bytes per step; the scalar 4->3 gather defeats auto-vectorization.
+inline void repack_rgba_row(const uint8_t* in, uint8_t* out, int32_t w) {
+    int32_t x = 0;
+#ifdef __SSSE3__
+    const __m128i shuf = _mm_setr_epi8(0, 1, 2, 4, 5, 6, 8, 9, 10, 12, 13, 14, -1, -1, -1, -1);
+    // Each step writes 16 bytes (12 valid + 4 scratch), so stop while the
+    // scratch bytes still land inside the row's output span.
+    for (; x + 5 < w; x += 4) {
+        __m128i px4 = _mm_loadu_si128(reinterpret_cast<const __m128i*>(in + size_t(x) * 4));
+        _mm_storeu_si128(reinterpret_cast<__m128i*>(out + size_t(x) * 3), _mm_shuffle_epi8(px4, shuf));
+    }
+#endif
+    for (; x < w; ++x) {
+        out[size_t(x) * 3 + 0] = in[size_t(x) * 4 + 0];
+        out[size_t(x) * 3 + 1] = in[size_t(x) * 4 + 1];
+        out[size_t(x) * 3 + 2] = in[size_t(x) * 4 + 2];
+    }
 }
 
 void chunk(std::vector<uint8_t>& out, const char type[4], const uint8_t* data, size_t n) {
@@ -316,12 +340,7 @@ extern "C" int fastpng_write_v2(
             if (channels == 3) {
                 src = px + size_t(y) * in_stride;
             } else {
-                const uint8_t* in = px + size_t(y) * in_stride;
-                for (int32_t x = 0; x < w; ++x) {
-                    cur_rgb[size_t(x) * 3 + 0] = in[size_t(x) * 4 + 0];
-                    cur_rgb[size_t(x) * 3 + 1] = in[size_t(x) * 4 + 1];
-                    cur_rgb[size_t(x) * 3 + 2] = in[size_t(x) * 4 + 2];
-                }
+                repack_rgba_row(px + size_t(y) * in_stride, cur_rgb, w);
                 src = cur_rgb;
             }
             if (prev == nullptr) {
