@@ -178,6 +178,35 @@ def _pow10_metrics(exponent: int, px: int) -> tuple[int, int]:
     return bw, sw
 
 
+@functools.lru_cache(maxsize=4096)
+def _pow10_tile(exponent: int, px: int, fill) -> tuple[Image.Image, int]:
+    """``10^exponent`` pre-rendered to one RGBA tile.
+
+    Both glyph runs are drawn together at integer positions, so their
+    relative baseline/superscript alignment is rendered by PIL exactly as
+    the direct path would; the caller pastes the whole pair.  A batch
+    reuses the same handful of exponents on every colorbar and log axis,
+    so this is nearly always a cache hit (glyph rasterization was ~half
+    the compositor's text time).  Returns ``(tile, y_ref)`` where
+    ``y_ref`` is the tile row matching the caller's anchor midline.
+    """
+    bw, sw = _pow10_metrics(exponent, px)
+    w = bw + sw + 2
+    h = max(4, px * 3)
+    y_ref = h // 2
+    tile = Image.new("RGBA", (w, h), (0, 0, 0, 0))
+    d = ImageDraw.Draw(tile)
+    d.text((0, y_ref), "10", font=get_font(px), fill=fill, anchor="lm")
+    d.text(
+        (bw + 1, y_ref - px * 0.35),
+        str(exponent),
+        font=get_font(max(1, round(px * 0.72))),
+        fill=fill,
+        anchor="lm",
+    )
+    return tile, y_ref
+
+
 def draw_pow10(
     draw: ImageDraw.ImageDraw,
     xy: tuple[float, float],
@@ -191,16 +220,23 @@ def draw_pow10(
     Replaces the reference's mathtext ``$10^{k}$`` colorbar/axis labels
     (reference plotting.py:292-298).
     """
-    base = "10"
-    sup = str(exponent)
-    f_base = get_font(px)
-    f_sup = get_font(max(1, round(px * 0.72)))
     bw, sw = _pow10_metrics(exponent, px)
     x, y = xy
     if not anchor_left:
         x -= bw + sw
-    draw.text((x, y), base, font=f_base, fill=fill, anchor="lm")
-    draw.text((x + bw + 1, y - px * 0.35), sup, font=f_sup, fill=fill, anchor="lm")
+    canvas = getattr(draw, "_image", None)
+    if canvas is not None:
+        tile, y_ref = _pow10_tile(exponent, px, fill if isinstance(fill, str) else tuple(fill))
+        canvas.paste(tile, (round(x), round(y) - y_ref), tile)
+    else:  # measurement-only draws (no backing image): direct render
+        draw.text((x, y), "10", font=get_font(px), fill=fill, anchor="lm")
+        draw.text(
+            (x + bw + 1, y - px * 0.35),
+            str(exponent),
+            font=get_font(max(1, round(px * 0.72))),
+            fill=fill,
+            anchor="lm",
+        )
     return bw + sw + 1
 
 

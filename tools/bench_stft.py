@@ -67,8 +67,16 @@ def bench_one(n_samples: int, frame_length: int, hop_length: int, repeats: int =
 
 
 def main() -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true", help="one shape only (slow relay links)")
+    args = parser.parse_args()
     # 10 s and 60 s of 44.1 kHz audio at two common analysis settings.
-    for n, fl, hop in ((441_000, 1024, 256), (441_000, 2048, 512), (2_646_000, 1024, 256)):
+    shapes = ((441_000, 1024, 256), (441_000, 2048, 512), (2_646_000, 1024, 256))
+    if args.quick:
+        shapes = shapes[:1]
+    for n, fl, hop in shapes:
         print(json.dumps(bench_one(n, fl, hop)))
         sys.stdout.flush()
     return 0
