@@ -163,22 +163,35 @@ inline const Tables& tables() {
     return t;
 }
 
+// Pointer-based LSB-first bit writer.  `put` dumps the accumulator with one
+// unaligned 8-byte store and keeps 0-7 residual bits -- no per-byte
+// push_back branches.  Callers must `reserve` headroom before a run of
+// puts; `finish` trims the vector to the exact byte length.
 struct BitWriter {
     std::vector<uint8_t>& out;
+    size_t pos;
     uint64_t acc = 0;
     int nbits = 0;
-    explicit BitWriter(std::vector<uint8_t>& o) : out(o) {}
-    inline void put(uint32_t code, int bits) {
+    explicit BitWriter(std::vector<uint8_t>& o) : out(o), pos(o.size()) {}
+    inline void reserve(size_t upcoming_bytes) {
+        size_t need = pos + upcoming_bytes + 16;
+        if (out.size() < need) out.resize(need + (out.size() >> 1));
+    }
+    inline void put(uint32_t code, int bits) {  // requires reserved headroom
         acc |= uint64_t(code) << nbits;
         nbits += bits;
-        while (nbits >= 8) {
-            out.push_back(uint8_t(acc));
-            acc >>= 8;
-            nbits -= 8;
-        }
+        std::memcpy(out.data() + pos, &acc, 8);
+        pos += size_t(nbits >> 3);
+        acc >>= (nbits & ~7);
+        nbits &= 7;
     }
-    void flush() {
-        if (nbits > 0) { out.push_back(uint8_t(acc)); acc = 0; nbits = 0; }
+    void finish() {
+        if (nbits > 0) {
+            out[pos++] = uint8_t(acc);
+            acc = 0;
+            nbits = 0;
+        }
+        out.resize(pos);
     }
 };
 
@@ -188,6 +201,7 @@ void deflate_fixed(const uint8_t* in, size_t n, std::vector<uint8_t>& out) {
     out.push_back(0x78);  // CMF: deflate, 32K window
     out.push_back(0x01);  // FLG: fastest, (0x7801 % 31 == 0)
     BitWriter bw(out);
+    bw.reserve(1024);
     bw.put(1, 1);  // BFINAL
     bw.put(1, 2);  // BTYPE=01 fixed Huffman
 
@@ -214,6 +228,9 @@ void deflate_fixed(const uint8_t* in, size_t n, std::vector<uint8_t>& out) {
 
     size_t i = 0;
     while (i < n) {
+        // Headroom for the worst burst this iteration can emit (a literal
+        // is <=2 bytes; a full run segment stays far under this).
+        if (bw.pos + 2048 > out.size()) bw.reserve(1 << 16);
         // Run fast path: byte repeated >= MIN_RUN times becomes dist-1 matches.
         if (i + MIN_RUN <= n && in[i] == in[i + 1]) {
             uint8_t b = in[i];
@@ -228,6 +245,7 @@ void deflate_fixed(const uint8_t* in, size_t n, std::vector<uint8_t>& out) {
             while (j < n && in[j] == b) ++j;
             size_t r = j - i;
             if (r >= MIN_RUN) {
+                bw.reserve((r / 258 + 2) * 4 + 64);  // one giant run can emit many matches
                 if (i + 4 <= n) head[hash4(in + i)] = int64_t(i);
                 emit_lit(b);
                 ++i;
@@ -277,7 +295,7 @@ void deflate_fixed(const uint8_t* in, size_t n, std::vector<uint8_t>& out) {
         ++i;
     }
     bw.put(tables().lit_code[256], tables().lit_bits[256]);  // end of block
-    bw.flush();
+    bw.finish();
     uint32_t adler = libdeflate_adler32(1, in, n);
     out.push_back(uint8_t(adler >> 24));
     out.push_back(uint8_t(adler >> 16));
