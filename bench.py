@@ -16,8 +16,10 @@ savefig dpi=200) **through a 4-process pool** -- the reference driver's
 actual operating mode (reference fast/batch_directory.py:46) -- measured in
 this same environment (the reference publishes no numbers and cannot run
 here directly; the baseline re-creates its render path faithfully,
-reference plotting.py:92-389,505-698).  Both sides get a warmup pass and
-report the median of three timed passes.
+reference plotting.py:92-389,505-698).  Both sides get a warmup pass, the
+timed passes are interleaved A/B/A/B so machine-noise windows on this
+shared box hit both sides equally, and each side reports its median of
+three passes.
 
 When the device link is healthy the JSON carries both ``device`` and
 ``host`` backend throughputs (the headline ``value`` is the better one);
@@ -66,16 +68,8 @@ def _build_archive(root: str) -> dict:
     return {"mapping": mapping, "csv": csv}
 
 
-def _bench_ours(archive: dict, out_dir: str) -> tuple[float, float]:
-    """Return (median panels_per_sec, p50_figure_latency_sec).
-
-    Throughput is measured through the production concurrency model (a
-    host thread pool feeding the device/mesh, as the batch driver uses,
-    fast/batch_directory.py) -- CDF decode, device readback, and PNG encode
-    all release the GIL and overlap; p50 latency is measured single-stream.
-    """
-    from concurrent.futures import ThreadPoolExecutor
-
+def _ours_setup(archive: dict):
+    """Build the framework's render closure and job list (no timing)."""
     from configurable_spectrograms_tpu.data.cdf_utils import load_filtered_orbits
     from configurable_spectrograms_tpu.fast.plotting import FAST_plot_pitch_angle_grid
 
@@ -98,30 +92,36 @@ def _bench_ours(archive: dict, out_dir: str) -> tuple[float, float]:
         )
         fig.savefig(out_path, dpi=200)
 
-    # Warmup: compile the render programs once.
-    render_one(jobs[0][0], jobs[0][2], os.path.join(out_dir, "warmup.png"))
+    return render_one, jobs
 
-    # Single-stream p50 figure latency.
+
+def _ours_warmup_and_latency(render_one, jobs, out_dir: str) -> float:
+    """Compile/warm the pipeline, then measure single-stream p50 latency."""
+    render_one(jobs[0][0], jobs[0][2], os.path.join(out_dir, "warmup.png"))
     latencies = []
     for orbit, inst, path in jobs[:4]:
         f0 = time.perf_counter()
         render_one(orbit, path, os.path.join(out_dir, f"lat_{orbit}_{inst}.png"))
         latencies.append(time.perf_counter() - f0)
+    return float(np.percentile(latencies, 50))
 
-    # Batch throughput with the driver's thread-pool model; median of three
-    # timed passes (same policy as the baseline).
-    rates = []
-    for _ in range(PASSES):
-        t0 = time.perf_counter()
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            futs = [
-                pool.submit(render_one, orbit, path, os.path.join(out_dir, f"{orbit}_{inst}.png"))
-                for orbit, inst, path in jobs
-            ]
-            for f in futs:
-                f.result()
-        rates.append(len(jobs) * PANELS_PER_FIGURE / (time.perf_counter() - t0))
-    return float(np.median(rates)), float(np.percentile(latencies, 50))
+
+def _ours_pass(render_one, jobs, out_dir: str) -> float:
+    """One timed batch pass through the production thread-pool model
+    (host thread pool feeding the device/mesh, as the batch driver uses,
+    fast/batch_directory.py) -- CDF decode, device readback, and PNG
+    encode all release the GIL and overlap.  Returns panels/sec."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            pool.submit(render_one, orbit, path, os.path.join(out_dir, f"{orbit}_{inst}.png"))
+            for orbit, inst, path in jobs
+        ]
+        for f in futs:
+            f.result()
+    return len(jobs) * PANELS_PER_FIGURE / (time.perf_counter() - t0)
 
 
 def _mpl_worker_init():
@@ -202,9 +202,11 @@ def _mpl_render_figure(args) -> None:
     fig.savefig(out_path, dpi=200)
 
 
-def _bench_matplotlib(archive: dict, out_dir: str) -> float:
-    """Reference-equivalent matplotlib render through a 4-process pool
-    (the reference driver's operating mode); median panels/sec of 3 passes."""
+def _mpl_pool(archive: dict, out_dir: str):
+    """Reference-equivalent matplotlib baseline through a 4-process pool
+    (the reference driver's operating mode).  Returns ``(pool, pass_fn)``
+    with the pool already warmed; each ``pass_fn()`` call times one full
+    pass and returns panels/sec.  Caller closes the pool."""
     import multiprocessing as mp
     from concurrent.futures import ProcessPoolExecutor
 
@@ -216,17 +218,18 @@ def _bench_matplotlib(archive: dict, out_dir: str) -> float:
 
     # Spawn (not fork): the parent holds an initialized TPU client.
     ctx = mp.get_context("spawn")
-    rates = []
-    with ProcessPoolExecutor(
+    pool = ProcessPoolExecutor(
         max_workers=BASELINE_WORKERS, mp_context=ctx, initializer=_mpl_worker_init
-    ) as pool:
-        # One discarded pass primes worker imports beyond the initializer.
-        list(pool.map(_mpl_render_figure, jobs[:BASELINE_WORKERS]))
-        for _ in range(PASSES):
-            t0 = time.perf_counter()
-            list(pool.map(_mpl_render_figure, jobs))
-            rates.append(len(jobs) * PANELS_PER_FIGURE / (time.perf_counter() - t0))
-    return float(np.median(rates))
+    )
+    # One discarded pass primes worker imports beyond the initializer.
+    list(pool.map(_mpl_render_figure, jobs[:BASELINE_WORKERS]))
+
+    def pass_fn() -> float:
+        t0 = time.perf_counter()
+        list(pool.map(_mpl_render_figure, jobs))
+        return len(jobs) * PANELS_PER_FIGURE / (time.perf_counter() - t0)
+
+    return pool, pass_fn
 
 
 def _progress(msg: str) -> None:
@@ -252,32 +255,60 @@ def main() -> None:
         device_ok = not _host_backend_active()
         _progress(f"device link {'healthy' if device_ok else 'down -> host only'}")
 
-        results: dict[str, tuple[float, float] | None] = {"device": None, "host": None}
-        if device_ok and _BACKEND["mode"] == "auto":
-            d = os.path.join(root, "ours_device")
-            os.makedirs(d)
-            _progress("device-backend pass (includes one-time compile)")
-            results["device"] = _bench_ours(archive, d)
-            # A mid-run auto-switch means the link degraded: the numbers
-            # mix device- and host-rendered figures and understate both
-            # backends.  Discard them; the clean host pass below runs.
-            if _BACKEND["forced_host"]:
-                _progress("link degraded mid-pass; discarding mixed numbers")
-                results["device"] = None
-                device_ok = False
-        if results["host"] is None:
-            prev = _BACKEND["mode"]
-            _BACKEND["mode"] = "host"
-            h = os.path.join(root, "ours_host")
-            os.makedirs(h)
-            _progress("host-backend pass")
-            results["host"] = _bench_ours(archive, h)
-            _BACKEND["mode"] = prev
+        render_one, jobs = _ours_setup(archive)
+        dirs = {}
+        for name in ("ours_device", "ours_host"):
+            dirs[name] = os.path.join(root, name)
+            os.makedirs(dirs[name])
 
-        _progress("matplotlib 4-process baseline pass")
-        baseline = _bench_matplotlib(archive, mpl_dir)
+        # Warmups (compile device programs / build caches) and single-stream
+        # p50 latency, per backend, before any timed pass.
+        latency = {"device": None, "host": None}
+        if device_ok and _BACKEND["mode"] == "auto":
+            _progress("device warmup + latency (includes one-time compile)")
+            latency["device"] = _ours_warmup_and_latency(render_one, jobs, dirs["ours_device"])
+        prev_mode = _BACKEND["mode"]
+        _BACKEND["mode"] = "host"
+        _progress("host warmup + latency")
+        latency["host"] = _ours_warmup_and_latency(render_one, jobs, dirs["ours_host"])
+        _BACKEND["mode"] = prev_mode
+
+        _progress("warming matplotlib 4-process baseline pool")
+        pool, baseline_pass = _mpl_pool(archive, mpl_dir)
+
+        # Interleave the timed passes A/B/A/B so a noisy-neighbor window on
+        # this shared box hits our pipeline and the baseline equally --
+        # the ratio is the headline, so both sides must see the same
+        # machine conditions.
+        rates: dict[str, list[float]] = {"device": [], "host": [], "baseline": []}
+        try:
+            for i in range(PASSES):
+                if device_ok and _BACKEND["mode"] == "auto":
+                    _progress(f"pass {i + 1}/{PASSES}: device backend")
+                    rates["device"].append(_ours_pass(render_one, jobs, dirs["ours_device"]))
+                    # A mid-pass auto-switch means the link degraded: the
+                    # numbers mix device- and host-rendered figures and
+                    # understate both backends.  Discard device entirely.
+                    if _BACKEND["forced_host"]:
+                        _progress("link degraded mid-pass; discarding device numbers")
+                        rates["device"] = []
+                        device_ok = False
+                prev = _BACKEND["mode"]
+                _BACKEND["mode"] = "host"
+                _progress(f"pass {i + 1}/{PASSES}: host backend")
+                rates["host"].append(_ours_pass(render_one, jobs, dirs["ours_host"]))
+                _BACKEND["mode"] = prev
+                _progress(f"pass {i + 1}/{PASSES}: matplotlib baseline")
+                rates["baseline"].append(baseline_pass())
+        finally:
+            pool.shutdown()
         _progress("done")
 
+        baseline = float(np.median(rates["baseline"]))
+        results: dict[str, tuple[float, float] | None] = {
+            k: (float(np.median(rates[k])), latency[k]) if rates[k] else None
+            for k in ("device", "host")
+        }
         candidates = {k: v for k, v in results.items() if v is not None}
         best_backend = max(candidates, key=lambda k: candidates[k][0])
         value, p50 = candidates[best_backend]

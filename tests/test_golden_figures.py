@@ -166,3 +166,24 @@ def test_golden_fast_grid_200dpi(kind, golden_archive, monkeypatch, tmp_path):
     monkeypatch.setitem(figure_mod._BACKEND, "mode", "host")
     render = _render_pitch_grid_200dpi if kind == "pitch" else _render_instrument_grid_200dpi
     _compare_golden(f"fast_{kind}_grid_200dpi", render(golden_archive), tmp_path)
+
+
+def test_golden_audio_mel(monkeypatch, tmp_path):
+    """The audio STFT/mel front-end figure, pinned pixel-for-pixel (a
+    deterministic chirp through mel_spectrogram + the generic renderer)."""
+    from configurable_spectrograms_tpu.ops.stft import audio_spectrogram_dataset
+    from configurable_spectrograms_tpu.render import figure as figure_mod
+    from configurable_spectrograms_tpu.render.plotting import generic_plot_spectrogram_set
+
+    monkeypatch.setitem(figure_mod._BACKEND, "mode", "host")
+    rate = 8000
+    t = np.arange(rate) / rate
+    sig = np.sin(2 * np.pi * (200 + 1400 * t) * t).astype(np.float32)
+    ds = audio_spectrogram_dataset(sig, rate, frame_length=256, hop_length=128, n_mels=48,
+                                   label="Golden chirp")
+    fig, _ = generic_plot_spectrogram_set(
+        [ds], x_is_unix=False, z_scale="log", colormap="magma",
+        y_min=float(ds["y"][0]), y_max=float(ds["y"][-1]),
+    )
+    img = np.asarray(fig.render(dpi=72).convert("RGB"))
+    _compare_golden("audio_mel_chirp", img, tmp_path)
