@@ -101,5 +101,21 @@ def sharded_extrema_stats(
         hist = jax.lax.psum(hist, axis_names)
         return counts, hist
 
-    counts, hist = jax.jit(run)(jnp.asarray(cubes, jnp.float32), jnp.asarray(t_valids, jnp.int32))
+    # Already-global jax.Arrays (multi-host: assembled per process via
+    # mesh.global_file_batch) pass through untouched; host numpy converts
+    # locally (single-process meshes only).
+    c_arr = cubes if isinstance(cubes, jax.Array) else jnp.asarray(cubes, jnp.float32)
+    tv_arr = t_valids if isinstance(t_valids, jax.Array) else jnp.asarray(t_valids, jnp.int32)
+    counts, hist = jax.jit(run)(c_arr, tv_arr)
+    # On a multi-host mesh only the local shards are addressable.  The
+    # histogram is replicated (out_specs P()), so any local shard holds
+    # the full psum'd value; ``counts`` is sharded over files, so gather
+    # it across processes to honor the single-host contract (every caller
+    # gets the full (N, E) array).
+    if not hist.is_fully_addressable:
+        hist = hist.addressable_data(0)
+    if not counts.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        counts = multihost_utils.process_allgather(counts, tiled=True)
     return np.asarray(counts), np.asarray(hist).astype(np.int64)

@@ -63,6 +63,39 @@ def pad_to_multiple(n: int, m: int) -> int:
     return max(m, ((n + m - 1) // m) * m)
 
 
+def global_file_batch(
+    local_cubes: np.ndarray,
+    local_t_valids: np.ndarray,
+    mesh: Mesh,
+):
+    """Assemble per-process file shards into global mesh-sharded arrays.
+
+    Multi-host batch runs give every host its own slice of the archive
+    (the DCN equivalent of the reference's single-host process pool); each
+    host passes its local ``(n_local, T, A, E)`` cube stack here and gets
+    back global ``jax.Array``s sharded over the mesh's ``data`` axis,
+    ready for :func:`..parallel.extrema.sharded_extrema_stats`.  The
+    global file count is ``n_local * process_count`` (pad the local stack
+    with NaN-cube / ``t_valid=0`` lanes so every host contributes the
+    same count).  On a single-process mesh this is just ``device_put``
+    with the same sharding.
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    cubes = np.ascontiguousarray(local_cubes, np.float32)
+    t_valids = np.ascontiguousarray(local_t_valids, np.int32)
+    cube_sh = NamedSharding(mesh, PartitionSpec("data", *([None] * (cubes.ndim - 1))))
+    tv_sh = NamedSharding(mesh, PartitionSpec("data"))
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(cubes), cube_sh), jax.device_put(jnp.asarray(t_valids), tv_sh)
+    n_global = cubes.shape[0] * jax.process_count()
+    return (
+        jax.make_array_from_process_local_data(cube_sh, cubes, (n_global, *cubes.shape[1:])),
+        jax.make_array_from_process_local_data(tv_sh, t_valids, (n_global,)),
+    )
+
+
 def init_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
