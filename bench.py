@@ -113,8 +113,10 @@ def _ours_pass(render_one, jobs, out_dir: str) -> float:
     encode all release the GIL and overlap.  Returns panels/sec."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from configurable_spectrograms_tpu.render.figure import recommended_workers
+
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=recommended_workers(4)) as pool:
         futs = [
             pool.submit(render_one, orbit, path, os.path.join(out_dir, f"{orbit}_{inst}.png"))
             for orbit, inst, path in jobs

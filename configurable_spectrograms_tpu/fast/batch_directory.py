@@ -310,7 +310,11 @@ def FAST_plot_spectrograms_directory(
 
     profile_dir = os.environ.get("CST_PROFILE_DIR")
     try:
-        executor = concurrent.futures.ThreadPoolExecutor(max_workers=max_workers)
+        from configurable_spectrograms_tpu.render.figure import recommended_workers
+
+        executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=recommended_workers(max_workers)
+        )
         future_orbit: dict[concurrent.futures.Future, int] = {}
         for args in jobs:
             if shutdown["flag"]:

@@ -19,6 +19,7 @@ from typing import Any
 
 from configurable_spectrograms_tpu.batch_runner import run_batch
 from configurable_spectrograms_tpu.constants import GENERIC_SAVE_DPI, PLOTTING_PROGRESS_JSON_PATH
+from configurable_spectrograms_tpu.render.figure import recommended_workers
 from configurable_spectrograms_tpu.render.plotting import (
     close_all_axes_and_clear,
     generic_plot_spectrogram_set,
@@ -85,7 +86,7 @@ def generic_batch_plot(
     return run_batch(
         items,
         render_item,
-        functools.partial(ThreadPoolExecutor, max_workers=max_workers),
+        functools.partial(ThreadPoolExecutor, max_workers=recommended_workers(max_workers)),
         progress_json_path=progress_json_path,
         ignore_progress_json=ignore_progress_json,
         flush_batch_size=flush_batch_size,

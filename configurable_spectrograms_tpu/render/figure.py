@@ -463,6 +463,27 @@ def _host_backend_active() -> bool:
     return mode == "host" or (mode == "auto" and _BACKEND["forced_host"])
 
 
+def recommended_workers(requested: int) -> int:
+    """Effective feeder-thread count for a batch render pool.
+
+    On the device backend the requested count stands: feeder threads
+    overlap CDF decode / PNG encode with device dispatch and link time,
+    so more threads than cores still pay off.  On the host backend every
+    stage is host compute, so threads beyond the visible cores only add
+    GIL contention and concurrent-canvas memory pressure (measured 3.5x
+    *slower* with 4 threads on a 1-core box).  Containers that restrict
+    affinity are honored via ``sched_getaffinity``.
+    """
+    requested = max(1, int(requested))
+    if not _host_backend_active():
+        return requested
+    try:
+        cores = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):  # pragma: no cover - non-Linux
+        cores = os.cpu_count() or 1
+    return max(1, min(requested, cores))
+
+
 def _render_group_host(panels: list[PanelData], idxs: list[int], tile_h: int, tile_w: int,
                        y_scale: str, z_scale: str, lo_pct: float, hi_pct: float,
                        results: list) -> None:

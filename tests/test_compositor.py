@@ -199,3 +199,22 @@ def test_fastpng_rle_encoder_roundtrip(tmp_path, rng, monkeypatch):
         path = str(tmp_path / f"auto_{name}.png")
         assert write_png_rgb(cases[name], path)
         np.testing.assert_array_equal(np.asarray(PILImage.open(path)), cases[name][:, :, :3])
+
+
+def test_recommended_workers_host_vs_device(monkeypatch):
+    """Host backend clamps feeder threads to visible cores (threads beyond
+    cores measured 3.5x slower); device backend keeps the requested count
+    (threads overlap link/device time)."""
+    import os
+
+    from configurable_spectrograms_tpu.render import figure as figure_mod
+
+    cores = len(os.sched_getaffinity(0))
+    monkeypatch.setitem(figure_mod._BACKEND, "mode", "host")
+    assert figure_mod.recommended_workers(4) == min(4, cores)
+    assert figure_mod.recommended_workers(0) == 1
+    monkeypatch.setitem(figure_mod._BACKEND, "mode", "device")
+    assert figure_mod.recommended_workers(4) == 4
+    monkeypatch.setitem(figure_mod._BACKEND, "mode", "auto")
+    monkeypatch.setitem(figure_mod._BACKEND, "forced_host", True)
+    assert figure_mod.recommended_workers(7) == min(7, cores)
