@@ -26,9 +26,18 @@ def render_single_spectrogram(
     """One CDF -> a single-row generic spectrogram PNG at 150 DPI.
 
     The CDF must hold the standard ``time_unix``/``data``/``energy``/
-    ``pitch_angle`` variables.  Returns whether a figure was written.
+    ``pitch_angle`` variables.  Returns whether a figure was written; a
+    missing or unreadable file reports "nothing to plot" (exit 1) instead
+    of a traceback.
     """
-    loaded = load_fast_cdf_dataset(cdf_file_path)
+    from configurable_spectrograms_tpu.data.cdf.reader import CDFError
+    from configurable_spectrograms_tpu.utils.logging import log_error
+
+    try:
+        loaded = load_fast_cdf_dataset(cdf_file_path)
+    except (OSError, CDFError, KeyError, ValueError) as exc:
+        log_error(f"[ERROR] Could not load {cdf_file_path}: {exc}")
+        return False
     row = {
         "x": loaded["times"],
         "y": loaded["energy"],
