@@ -50,7 +50,7 @@ N_ENERGY = 48
 BASELINE_FIGURES = 8  # matplotlib figures per timed pass
 BASELINE_WORKERS = 4  # the reference driver's default plot pool
 PANELS_PER_FIGURE = 8  # 4 pitch rows x (full + zoom)
-PASSES = 3
+PASSES = 5  # interleaved; 5 medians tame the baseline's high variance under 4-process memory pressure
 
 
 def _build_archive(root: str) -> dict:
