@@ -107,8 +107,8 @@ def resample_indices(
     uint8 in PNG row order.
     """
     lut_ext = np.concatenate([np.asarray(lut, np.uint8), np.asarray([bg_rgba], np.uint8)], axis=0)
-    if empty or n_kept <= 0 or t_count <= 0:
-        return np.broadcast_to(lut_ext[256], (out_h, out_w, 4)).copy()
+    if empty or n_kept <= 0 or t_count <= 0 or out_h <= 0 or out_w <= 0:
+        return np.broadcast_to(lut_ext[256], (max(out_h, 0), max(out_w, 0), 4)).copy()
     T, E = idx.shape
     if pre_gathered:
         t_idx = np.arange(out_w, dtype=np.int32)
