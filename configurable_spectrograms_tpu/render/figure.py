@@ -473,8 +473,16 @@ def recommended_workers(requested: int) -> int:
     GIL contention and concurrent-canvas memory pressure (measured 3.5x
     *slower* with 4 threads on a 1-core box).  Containers that restrict
     affinity are honored via ``sched_getaffinity``.
+
+    In ``auto`` mode the link preflight runs first (one-shot, bounded by
+    its short synchronous window): pools are sized BEFORE the first
+    render, and an unprobed "device" answer here would hand a
+    host-backend run the full thread count -- exactly the thrash this
+    clamp exists to prevent.  A link that warms up later leaves the pool
+    host-sized for the rest of the batch (conservative).
     """
     requested = max(1, int(requested))
+    probe_device_link()
     if not _host_backend_active():
         return requested
     try:

@@ -224,6 +224,11 @@ def draw_pow10(
     x, y = xy
     if not anchor_left:
         x -= bw + sw
+    # ``ImageDraw._image`` is Pillow >= 9.2 (same access draw_text relies
+    # on).  Without it the direct-draw fallback below renders at subpixel
+    # positions, which can differ from the tile path's integer placement
+    # by <=1 px -- regenerate the goldens if the environment's Pillow
+    # ever loses this attribute.
     canvas = getattr(draw, "_image", None)
     if canvas is not None:
         tile, y_ref = _pow10_tile(exponent, px, fill if isinstance(fill, str) else tuple(fill))

@@ -77,9 +77,16 @@ def get_logfile_path(prefix: str, datetime_marker_path: str) -> str:
 
 
 def set_logfile_path(path: str | None) -> None:
-    """Point buffered flushes at *path* (``None`` discards on flush)."""
+    """Point buffered flushes at *path* (``None`` discards on flush).
+
+    Relative paths are pinned to the current working directory *now*:
+    flushes happen later (batched), and a caller that changes directory in
+    between must not scatter log files across directories.
+    """
+    import os
+
     with _BUF.lock:
-        _BUF.path = path
+        _BUF.path = os.path.abspath(path) if path is not None else None
 
 
 def configure_log_batch(batch_size: int) -> None:

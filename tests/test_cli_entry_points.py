@@ -119,7 +119,15 @@ def test_batch_cli_runs_all_scale_combos(tmp_path, synth_archive, monkeypatch):
     shutil.copy(synth_archive["cusp_csv"], tmp_path / "FAST_Cusp_Indices.csv")
     (tmp_path / "FAST_data" / "cusp.tsv").unlink(missing_ok=True)
 
-    rc = _run_main(monkeypatch, cli, [])
+    try:
+        rc = _run_main(monkeypatch, cli, [])
+    finally:
+        # The CLI pointed the buffered logger at this tmp dir; detach it so
+        # later flushes (from other tests) don't chase a deleted path.
+        from configurable_spectrograms_tpu.utils.logging import flush_log_buffer, set_logfile_path
+
+        flush_log_buffer()
+        set_logfile_path(None)
     assert rc in (0, None)
     pngs = [str(p) for p in (tmp_path / "FAST_plots").rglob("*.png")]
     assert pngs, "batch produced no figures"
