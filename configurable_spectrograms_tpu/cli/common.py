@@ -60,3 +60,29 @@ def run_cli(main: Callable[[], int | None]) -> None:
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(int(code or 0))
+
+
+def clean_exit(code: int = 0) -> None:
+    """Flush logs/stdio and exit immediately, skipping interpreter teardown.
+
+    For library embedders (scripts, notebooks exporting to batch jobs,
+    services) that drive the render pipeline directly instead of through
+    ``run_cli``: when the device link is cold or dead, the background link
+    probe/watchdog daemon threads may still be blocked inside a device
+    transfer, and normal CPython teardown of the runtime beneath them can
+    abort the process (C++ ``terminate``) *after* all useful work
+    finished.  Call this as the last statement of such a script to get a
+    deterministic exit code instead.  Never needed on a directly-attached
+    healthy device (the probe completes in milliseconds).
+    """
+    import os
+
+    from configurable_spectrograms_tpu.utils.logging import flush_log_buffer
+
+    try:
+        flush_log_buffer(force=True)
+    except Exception:
+        pass
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(int(code))
