@@ -218,3 +218,32 @@ def test_recommended_workers_host_vs_device(monkeypatch):
     monkeypatch.setitem(figure_mod._BACKEND, "mode", "auto")
     monkeypatch.setitem(figure_mod._BACKEND, "forced_host", True)
     assert figure_mod.recommended_workers(7) == min(7, cores)
+
+
+def test_fastpng_concurrent_encodes(tmp_path, rng):
+    """Batch feeder threads encode concurrently (the binding releases the
+    GIL; scratch buffers are thread_local): every output must round-trip
+    exactly under contention."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from PIL import Image as PILImage
+
+    from configurable_spectrograms_tpu.render.fastpng import native_available, write_png_rgb
+
+    if not native_available():
+        pytest.skip("native fastpng unavailable (no g++?)")
+    white = np.full((240, 400, 3), 255, np.uint8)
+    imgs = []
+    for k in range(12):
+        a = white.copy()
+        a[20:200, 30 + k : 350] = (rng.random((180, 320 - k, 3)) * 255).astype(np.uint8)
+        imgs.append(a)
+
+    def enc(k):
+        path = str(tmp_path / f"c{k}.png")
+        assert write_png_rgb(imgs[k], path)
+        return k, path
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for k, path in pool.map(enc, range(len(imgs))):
+            np.testing.assert_array_equal(np.asarray(PILImage.open(path)), imgs[k])
