@@ -545,6 +545,96 @@ def _render_group_host(panels: list[PanelData], idxs: list[int], tile_h: int, ti
 #: ``devices`` = number of devices the output sharding covered.
 LAST_DISPATCH: dict[str, int] = {"lanes": 0, "devices": 0}
 
+#: Device-resident padded-cube cache.  A batch renders each cube many
+#: times (raw + given-extrema figure pairs, pitch grid + instrument grid,
+#: repeat passes), and on link-constrained setups the ~12.6 MB-per-cube
+#: H2D upload dominates the device path -- so padded cubes stay resident
+#: and repeat renders stack them on-device with zero host transfer.
+#: Keyed by (id(cube), padded shape); ``weakref.finalize`` on the source
+#: array evicts synchronously at collection, so a recycled ``id`` can
+#: never alias a stale entry.  Budgeted by CST_DEVICE_CUBE_CACHE_BYTES
+#: (default 1.5 GB, FIFO eviction); CST_DEVICE_CUBE_CACHE=0 disables.
+_DEVICE_CUBE_CACHE: dict[tuple, Any] = {}
+_DEVICE_CUBE_IDS: dict[int, list] = {}
+_DEVICE_CUBE_BYTES = {"total": 0}
+_DEVICE_CUBE_LOCK = threading.Lock()
+
+
+def _device_cube_budget() -> int:
+    try:
+        return int(os.environ.get("CST_DEVICE_CUBE_CACHE_BYTES", 1_500_000_000))
+    except ValueError:
+        return 1_500_000_000
+
+
+def _evict_cube_id(cube_id: int) -> None:
+    with _DEVICE_CUBE_LOCK:
+        for key in _DEVICE_CUBE_IDS.pop(cube_id, []):
+            arr = _DEVICE_CUBE_CACHE.pop(key, None)
+            if arr is not None:
+                _DEVICE_CUBE_BYTES["total"] -= arr.nbytes
+
+
+def _padded_device_cube(cube: np.ndarray, Tp: int, Ap: int, Ep: int):
+    """NaN-padded (Tp, Ap, Ep) copy of *cube* resident on device, cached."""
+    import jax
+
+    key = (id(cube), Tp, Ap, Ep)
+    with _DEVICE_CUBE_LOCK:
+        hit = _DEVICE_CUBE_CACHE.get(key)
+        if hit is not None:
+            return hit
+    padded = np.full((Tp, Ap, Ep), np.nan, np.float32)
+    T, A, E = cube.shape
+    padded[:T, :A, :E] = cube
+    arr = jax.device_put(padded)
+    with _DEVICE_CUBE_LOCK:
+        while _DEVICE_CUBE_BYTES["total"] + arr.nbytes > _device_cube_budget() and _DEVICE_CUBE_CACHE:
+            old_key, old = next(iter(_DEVICE_CUBE_CACHE.items()))
+            del _DEVICE_CUBE_CACHE[old_key]
+            _DEVICE_CUBE_BYTES["total"] -= old.nbytes
+            keys = _DEVICE_CUBE_IDS.get(old_key[0])
+            if keys is not None:
+                try:
+                    keys.remove(old_key)
+                except ValueError:
+                    pass
+        _DEVICE_CUBE_CACHE[key] = arr
+        _DEVICE_CUBE_BYTES["total"] += arr.nbytes
+        keys = _DEVICE_CUBE_IDS.get(id(cube))
+        if keys is None:
+            _DEVICE_CUBE_IDS[id(cube)] = [key]
+            weakref.finalize(cube, _evict_cube_id, id(cube))
+        else:
+            keys.append(key)
+    return arr
+
+
+def _stack_cubes(unique_cubes: list[np.ndarray], Tp: int, Ap: int, Ep: int, mesh):
+    """The (n_unique, Tp, Ap, Ep) dispatch input, preferring resident cubes.
+
+    Cache hits stack on-device (an XLA concatenate -- no host transfer);
+    misses pay the same one-time pad + upload the uncached path would.
+    Under a mesh the stack is broadcast to the replicated sharding
+    explicitly, since committed single-device inputs cannot silently
+    reshard into a multi-device jit.
+    """
+    if os.environ.get("CST_DEVICE_CUBE_CACHE", "1") == "0":
+        cubes = np.full((len(unique_cubes), Tp, Ap, Ep), np.nan, np.float32)
+        for s, c in enumerate(unique_cubes):
+            T, A, E = c.shape
+            cubes[s, :T, :A, :E] = c
+        return cubes
+    import jax
+    import jax.numpy as jnp
+
+    stacked = jnp.stack([_padded_device_cube(c, Tp, Ap, Ep) for c in unique_cubes])
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        stacked = jax.device_put(stacked, NamedSharding(mesh, PartitionSpec()))
+    return stacked
+
 
 def _render_mesh():
     """The data-parallel device mesh panel batches shard over (or None)."""
@@ -694,10 +784,7 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
                 cube_slot[id(c)] = slot
                 unique_cubes.append(c)
             u_idx[j] = slot
-        cubes = np.full((len(unique_cubes), Tp, Ap, Ep), np.nan, np.float32)
-        for s, c in enumerate(unique_cubes):
-            T, A, E = c.shape
-            cubes[s, :T, :A, :E] = c
+        cubes = _stack_cubes(unique_cubes, Tp, Ap, Ep, mesh)
 
         masks = np.zeros((n_lanes, Ap), bool)
         energies = np.zeros((n_lanes, Ep), np.float32)

@@ -107,3 +107,47 @@ def test_pre_gather_path_matches_direct(rng):
         jnp.asarray(colormap_lut("inferno")), spec,
     )
     np.testing.assert_array_equal(gathered["rgba"], np.asarray(direct["rgba"]))
+
+
+def test_device_cube_cache_reuse_and_eviction(monkeypatch):
+    """Repeat dispatches of the same cube hit the resident device copy
+    (no re-upload); collection of the source array evicts synchronously;
+    the byte budget caps residency FIFO."""
+    import gc
+
+    import numpy as np
+
+    from configurable_spectrograms_tpu.render import figure as figure_mod
+
+    with figure_mod._DEVICE_CUBE_LOCK:
+        figure_mod._DEVICE_CUBE_CACHE.clear()
+        figure_mod._DEVICE_CUBE_IDS.clear()
+        figure_mod._DEVICE_CUBE_BYTES["total"] = 0
+
+    cube = np.random.default_rng(0).random((32, 8, 16)).astype(np.float32)
+    a1 = figure_mod._padded_device_cube(cube, 32, 8, 16)
+    a2 = figure_mod._padded_device_cube(cube, 32, 8, 16)
+    assert a1 is a2  # resident hit, no second upload
+    # Same source at a second padded geometry is a distinct entry.
+    a3 = figure_mod._padded_device_cube(cube, 64, 8, 16)
+    assert a3 is not a1 and a3.shape == (64, 8, 16)
+    np.testing.assert_array_equal(np.asarray(a1), np.where(np.isnan(cube), np.nan, cube))
+
+    total = figure_mod._DEVICE_CUBE_BYTES["total"]
+    assert total == a1.nbytes + a3.nbytes
+
+    # GC of the source evicts every geometry for that id.
+    del cube
+    gc.collect()
+    assert figure_mod._DEVICE_CUBE_BYTES["total"] == 0
+    assert not figure_mod._DEVICE_CUBE_CACHE
+
+    # Budget eviction: cap below two entries, oldest leaves first.
+    monkeypatch.setenv("CST_DEVICE_CUBE_CACHE_BYTES", str(int(32 * 8 * 16 * 4 * 1.5)))
+    c1 = np.zeros((32, 8, 16), np.float32)
+    c2 = np.ones((32, 8, 16), np.float32)
+    figure_mod._padded_device_cube(c1, 32, 8, 16)
+    figure_mod._padded_device_cube(c2, 32, 8, 16)
+    with figure_mod._DEVICE_CUBE_LOCK:
+        keys = [k[0] for k in figure_mod._DEVICE_CUBE_CACHE]
+    assert keys == [id(c2)]  # c1 evicted FIFO
