@@ -333,4 +333,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()
+    # Skip interpreter teardown: when the device link never warmed, the
+    # background probe thread is still blocked inside a device transfer
+    # and normal CPython shutdown can abort (C++ terminate) AFTER the JSON
+    # was printed, turning a successful run into exit 134.
+    from configurable_spectrograms_tpu.cli import clean_exit
+
+    clean_exit(0)

@@ -498,21 +498,27 @@ def _render_group_host(panels: list[PanelData], idxs: list[int], tile_h: int, ti
     """Pure-numpy group rasterization (no device involved)."""
     from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
     from configurable_spectrograms_tpu.render.host_quantize import (
+        cached_collapse,
         host_clean,
-        host_collapse,
         host_quantize,
     )
 
+    # The shared NaN pass per cube runs at most once per group, and only
+    # if some mask actually misses the cross-render collapse cache.
     clean_cache: dict[int, np.ndarray] = {}
-    collapse_cache: dict[tuple, np.ndarray] = {}
+
+    def _clean_for(cube):
+        def provider():
+            c = clean_cache.get(id(cube))
+            if c is None:
+                c = clean_cache[id(cube)] = host_clean(cube)
+            return c
+
+        return provider
+
     for i in idxs:
         p = panels[i]
-        ckey = (id(p.cube), p.pitch_mask.tobytes())
-        if ckey not in collapse_cache:
-            if id(p.cube) not in clean_cache:
-                clean_cache[id(p.cube)] = host_clean(p.cube)
-            collapse_cache[ckey] = host_collapse(p.cube, p.pitch_mask, clean_cache[id(p.cube)])
-        matrix = collapse_cache[ckey]
+        matrix = cached_collapse(p.cube, p.pitch_mask, _clean_for(p.cube))
         e_valid = (p.energy >= p.y_min) & (p.energy <= p.y_max)
         if p.bounds_energy_range is not None:
             b_lo, b_hi = p.bounds_energy_range

@@ -18,7 +18,61 @@ float32 numpy.  Two reasons it exists:
 
 from __future__ import annotations
 
+import threading
+import weakref
+
 import numpy as np
+
+#: Cross-render collapse cache: a batch renders each cube's category
+#: collapses many times (raw + given-extrema figure pairs, repeat passes)
+#: and the (T, E) matrices are small (~400 KB) next to the 12.6 MB cubes,
+#: so they stay resident keyed by (id(cube), mask bytes).  ``weakref.
+#: finalize`` on the source cube evicts synchronously at collection (a
+#: recycled id can never alias a stale entry); FIFO-capped.
+_COLLAPSE_CACHE: dict[tuple[int, bytes], np.ndarray] = {}
+_COLLAPSE_IDS: dict[int, list] = {}
+_COLLAPSE_LOCK = threading.Lock()
+_COLLAPSE_MAX_ENTRIES = 64
+
+
+def _evict_collapse_id(cube_id: int) -> None:
+    with _COLLAPSE_LOCK:
+        for key in _COLLAPSE_IDS.pop(cube_id, []):
+            _COLLAPSE_CACHE.pop(key, None)
+
+
+def cached_collapse(cube: np.ndarray, pitch_mask: np.ndarray, clean_provider=None) -> np.ndarray:
+    """:func:`host_collapse` with a cross-render resident-result cache.
+
+    *clean_provider* is an optional zero-arg callable returning the
+    :func:`host_clean` array; it is invoked only on a cache miss, so the
+    shared NaN pass is skipped entirely when every mask of a cube hits.
+    Returned matrices are shared -- callers must not mutate them.
+    """
+    key = (id(cube), pitch_mask.tobytes())
+    with _COLLAPSE_LOCK:
+        hit = _COLLAPSE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    matrix = host_collapse(cube, pitch_mask, clean_provider() if clean_provider else None)
+    with _COLLAPSE_LOCK:
+        while len(_COLLAPSE_CACHE) >= _COLLAPSE_MAX_ENTRIES:
+            old_key = next(iter(_COLLAPSE_CACHE))
+            del _COLLAPSE_CACHE[old_key]
+            keys = _COLLAPSE_IDS.get(old_key[0])
+            if keys is not None:
+                try:
+                    keys.remove(old_key)
+                except ValueError:
+                    pass
+        _COLLAPSE_CACHE[key] = matrix
+        keys = _COLLAPSE_IDS.get(id(cube))
+        if keys is None:
+            _COLLAPSE_IDS[id(cube)] = [key]
+            weakref.finalize(cube, _evict_collapse_id, id(cube))
+        else:
+            keys.append(key)
+    return matrix
 
 
 def host_clean(cube: np.ndarray) -> np.ndarray:
@@ -111,13 +165,17 @@ def host_quantize(
     zmin_arg, zmax_arg = z_bounds
     if zmin_arg is None or zmax_arg is None:
         pool = matrix[zb_sel & ~np.isnan(matrix)]
-        if pool.size:
-            # One percentile call sorts the pool once for both bounds.
-            p_lo, p_hi = np.percentile(pool, (low_pct, high_pct))
-        else:
-            p_lo = p_hi = np.nan
-        vmin = float(zmin_arg) if zmin_arg is not None else float(p_lo)
-        vmax = float(zmax_arg) if zmax_arg is not None else float(p_hi)
+        # Two scalar percentile calls on one shared pool: scalar-q
+        # np.percentile interpolates in the input dtype (float32) while
+        # array-q promotes to float64, so combining the calls would change
+        # vmin/vmax in the last ulp and break bit-exactness with the
+        # reference (caught by tests/test_reference_parity.py).
+        vmin = float(zmin_arg) if zmin_arg is not None else (
+            float(np.percentile(pool, low_pct)) if pool.size else np.nan
+        )
+        vmax = float(zmax_arg) if zmax_arg is not None else (
+            float(np.percentile(pool, high_pct)) if pool.size else np.nan
+        )
     else:
         vmin, vmax = float(zmin_arg), float(zmax_arg)
 

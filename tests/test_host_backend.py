@@ -205,3 +205,32 @@ def test_reprobe_not_due_is_noop(monkeypatch):
     monkeypatch.setitem(figure._BACKEND, "last_probe_ts", time.monotonic())
     figure.maybe_reprobe_device_link()  # interval not elapsed -> no thread
     assert figure._BACKEND["forced_host"]
+
+
+def test_cached_collapse_cross_render_reuse(rng):
+    """The raw and given-extrema renders of one figure share collapse
+    results; eviction is tied to the source cube's lifetime."""
+    import gc
+
+    from configurable_spectrograms_tpu.render import host_quantize as hq
+
+    with hq._COLLAPSE_LOCK:
+        hq._COLLAPSE_CACHE.clear()
+        hq._COLLAPSE_IDS.clear()
+
+    cube = (rng.random((64, 8, 16)) * 10).astype(np.float32)
+    mask = np.zeros(8, bool)
+    mask[1:5] = True
+    calls = {"clean": 0}
+
+    def provider():
+        calls["clean"] += 1
+        return hq.host_clean(cube)
+
+    m1 = hq.cached_collapse(cube, mask, provider)
+    m2 = hq.cached_collapse(cube, mask, provider)
+    assert m1 is m2 and calls["clean"] == 1  # second render: pure hit
+    np.testing.assert_array_equal(m1, hq.host_collapse(cube, mask))
+    del cube, m1, m2
+    gc.collect()
+    assert not hq._COLLAPSE_CACHE

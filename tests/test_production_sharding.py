@@ -65,6 +65,13 @@ def test_production_render_spans_mesh_and_matches_unsharded(rng, monkeypatch):
     _require_devices(8)
     panels = _build_panels(rng, 10)  # pads to 16 lanes over 8 devices
 
+    # Pin the device backend: under heavy machine load the auto
+    # calibration can measure a slow readback mid-test and fail the
+    # process over to the host path, silently skipping the dispatches
+    # this test asserts on (LAST_DISPATCH would go stale).
+    monkeypatch.setitem(figure._BACKEND, "mode", "device")
+    monkeypatch.setitem(figure._BACKEND, "forced_host", False)
+
     monkeypatch.setenv("CST_DATA_MESH", "1")
     sharded = _render_results(panels)
     assert figure.LAST_DISPATCH["devices"] == 8

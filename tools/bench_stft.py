@@ -83,4 +83,9 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    code = main()
+    # Deterministic exit even when the background link probe is still
+    # blocked in a device transfer at teardown (see cli.clean_exit).
+    from configurable_spectrograms_tpu.cli import clean_exit
+
+    clean_exit(code or 0)
