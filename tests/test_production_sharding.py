@@ -140,3 +140,36 @@ def test_host_file_stats_matches_device(rng):
     host = host_file_stats(cube)
     np.testing.assert_array_equal(device["counts"], host["counts"])
     np.testing.assert_array_equal(device["hist"], host["hist"])
+
+
+def test_repeat_render_reuses_resident_cubes(rng, monkeypatch):
+    """A second render of the same panels (the raw/given figure pair, or a
+    repeat batch pass) must not re-upload any cube: every padded cube is
+    served from the device-resident cache."""
+    _require_devices(1)
+    monkeypatch.setitem(figure._BACKEND, "mode", "device")
+    monkeypatch.setitem(figure._BACKEND, "forced_host", False)
+    with figure._DEVICE_CUBE_LOCK:
+        figure._DEVICE_CUBE_CACHE.clear()
+        figure._DEVICE_CUBE_IDS.clear()
+        figure._DEVICE_CUBE_BYTES["total"] = 0
+
+    panels = _build_panels(rng, 4)
+    uploads = {"n": 0}
+    orig = figure._padded_device_cube
+
+    def counting(cube, Tp, Ap, Ep):
+        before = len(figure._DEVICE_CUBE_CACHE)
+        out = orig(cube, Tp, Ap, Ep)
+        if len(figure._DEVICE_CUBE_CACHE) > before:
+            uploads["n"] += 1
+        return out
+
+    monkeypatch.setattr(figure, "_padded_device_cube", counting)
+    first = _render_results(panels)
+    first_uploads = uploads["n"]
+    assert first_uploads == 4  # one per unique cube
+    second = _render_results(panels)
+    assert uploads["n"] == first_uploads  # zero new uploads on repeat
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a["rgba"], b["rgba"])
