@@ -61,10 +61,14 @@ _SHIPPED_CUSP_CSV = os.path.join(
 def load_filtered_orbits(csv_path: str = FILTERED_ORBITS_CSV_PATH) -> pd.DataFrame | None:
     """Cached load of the cusp-orbit index (tab-separated despite ``.csv``).
 
-    The default (CWD-relative, reference constants.py:28) falls back to the
-    repo-shipped dataset when absent.  Returns ``None`` (after logging) when
-    the file can't be read, so callers degrade to marker-free plots.
+    The default (CWD-relative, reference constants.py:28) is overridable
+    with ``CST_CUSP_CSV`` (the CLIs take no cusp-file flag, matching the
+    reference) and falls back to the repo-shipped dataset when absent.
+    Returns ``None`` (after logging) when the file can't be read, so
+    callers degrade to marker-free plots.
     """
+    if csv_path == FILTERED_ORBITS_CSV_PATH:
+        csv_path = os.environ.get("CST_CUSP_CSV") or csv_path
     if csv_path not in filtered_orbits_cache:
         try:
             filtered_orbits_cache[csv_path] = pd.read_csv(csv_path, sep="\t")
