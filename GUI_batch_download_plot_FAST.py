@@ -35,6 +35,37 @@ DEFAULT_SCALE_COMBOS = [
     ("log", "log", "inferno"),
 ]
 
+_COMBO_COLORMAPS = {(y, z): cmap for y, z, cmap in DEFAULT_SCALE_COMBOS}
+
+
+def parse_scale_combos(spec: str) -> list[tuple[str, str, str]]:
+    """Parse a user-facing scale-combo spec into ``(y, z, colormap)`` triples.
+
+    The reference Plot page exposes axis scales and colormap as widgets
+    (reference GUI_batch_download_plot_FAST.py:10-11,646-652); both
+    front-ends here take the textual equivalent: ``all`` (the four default
+    combos) or whitespace-separated ``y-z`` / ``y-z-colormap`` entries,
+    where an omitted colormap falls back to the combo's default.
+
+    >>> parse_scale_combos("all") == DEFAULT_SCALE_COMBOS
+    True
+    >>> parse_scale_combos("log-linear linear-log-turbo")
+    [('log', 'linear', 'plasma'), ('linear', 'log', 'turbo')]
+    """
+    spec = spec.strip()
+    if not spec or spec.lower() == "all":
+        return list(DEFAULT_SCALE_COMBOS)
+    combos = []
+    for token in spec.split():
+        parts = token.split("-")
+        if len(parts) not in (2, 3) or not all(parts):
+            raise ValueError(f"bad scale combo {token!r}: expected y-z or y-z-colormap")
+        y, z = parts[0], parts[1]
+        if y not in ("linear", "log") or z not in ("linear", "log"):
+            raise ValueError(f"bad scale combo {token!r}: scales must be linear|log")
+        combos.append((y, z, parts[2] if len(parts) == 3 else _COMBO_COLORMAPS[y, z]))
+    return combos
+
 
 # ---------------------------------------------------------------------------
 # Module-level process targets (spawn-picklable, as in the reference).
@@ -183,13 +214,14 @@ class ActionRunner:
 
     target: callable
     args: tuple = ()
+    kwargs: dict = field(default_factory=dict)
     on_finished: callable = lambda: None
     on_error: callable = lambda code: None
     _proc: multiprocessing.Process | None = field(default=None, init=False)
     _stopped: bool = field(default=False, init=False)
 
     def start(self) -> None:
-        self._proc = multiprocessing.Process(target=self.target, args=self.args)
+        self._proc = multiprocessing.Process(target=self.target, args=self.args, kwargs=self.kwargs)
         self._proc.start()
         threading.Thread(target=self._watch, daemon=True).start()
 
@@ -245,10 +277,15 @@ def run_tui() -> int:
             folder = _prompt("Data folder", "./FAST_data/")
             out = _prompt("Output folder", "./FAST_plots/")
             pct = _prompt("Max processing percentile (blank = raw only)", "99")
-            combos = DEFAULT_SCALE_COMBOS
+            try:
+                combos = parse_scale_combos(_prompt("Scale combos (all | y-z[-cmap] ...)", "all"))
+            except ValueError as exc:
+                print(f"  {exc}")
+                continue
+            cusp = _prompt("Cusp marker style (line | bracket | both)", "both")
             runner = ActionRunner(
                 plot_in_process,
-                (folder, out, combos, float(pct) if pct else None, "both", False),
+                (folder, out, combos, float(pct) if pct else None, cusp, False),
             )
             runner.start()
             print("Plotting... Ctrl-C to stop.")
@@ -263,9 +300,18 @@ def run_tui() -> int:
         elif choice == "3":
             mode = _prompt("Mode (pitch-angle | instrument-grid | files | date)", "instrument-grid")
             out = _prompt("Output PNG", "./single.png")
+            try:
+                (y_scale, z_scale, cmap), = parse_scale_combos(
+                    _prompt("Style y-z[-cmap]", "linear-linear")
+                )
+            except ValueError as exc:
+                print(f"  {exc}")
+                continue
+            cusp = _prompt("Cusp marker style (line | bracket | both)", "both")
+            style = dict(y_scale=y_scale, z_scale=z_scale, colormap=cmap, cusp_marker_style=cusp)
             if mode == "pitch-angle":
                 cdf = _prompt("CDF file", "")
-                runner = ActionRunner(single_in_process, (mode, out, None, None, cdf))
+                runner = ActionRunner(single_in_process, (mode, out), dict(cdf_file=cdf, **style))
             elif mode == "files":
                 print("Per-instrument CDF files (blank path to skip an instrument):")
                 files = {}
@@ -274,20 +320,20 @@ def run_tui() -> int:
                     if path:
                         files[inst] = path
                 runner = ActionRunner(
-                    single_in_process,
-                    (mode, out, None, None, None, "linear", "linear", "viridis", "both", files),
+                    single_in_process, (mode, out), dict(instrument_files=files, **style)
                 )
             elif mode == "date":
                 date = _prompt("Date (YYYY-MM-DD)", "2001-01-01")
                 folder = _prompt("Download folder", "./FAST_data/")
                 runner = ActionRunner(
-                    single_in_process,
-                    (mode, out, folder, None, None, "linear", "linear", "viridis", "both", None, date),
+                    single_in_process, (mode, out), dict(data_folder=folder, date=date, **style)
                 )
             else:
                 folder = _prompt("Data folder", "./FAST_data/")
                 orbit = int(_prompt("Orbit", "0"))
-                runner = ActionRunner(single_in_process, (mode, out, folder, orbit))
+                runner = ActionRunner(
+                    single_in_process, (mode, out), dict(data_folder=folder, orbit=orbit, **style)
+                )
             runner.start()
             _wait_interruptible(runner)
         else:
@@ -437,14 +483,22 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
     )
     from configurable_spectrograms_tpu.fast.constants import FAST_PLOTTING_PROGRESS_JSON
 
+    def _style_kwargs(v):
+        (y, z, cmap), = parse_scale_combos(v.get("Style y-z[-cmap]", "linear-linear"))
+        return dict(y_scale=y, z_scale=z, colormap=cmap,
+                    cusp_marker_style=v.get("Cusp style", "both"))
+
+    _STYLE_FIELDS = [("Style y-z[-cmap]", "linear-linear"), ("Cusp style", "both")]
+
     win.addTab(
         _page(
-            [("Data folder", "./FAST_data/"), ("Output folder", "./FAST_plots/"), ("Percentile", "99")],
+            [("Data folder", "./FAST_data/"), ("Output folder", "./FAST_plots/"),
+             ("Percentile", "99"), ("Scale combos", "all"), ("Cusp style", "both")],
             "Plot",
             lambda v: ActionRunner(
                 plot_in_process,
-                (v["Data folder"], v["Output folder"], DEFAULT_SCALE_COMBOS,
-                 float(v["Percentile"]) if v["Percentile"] else None, "both", False),
+                (v["Data folder"], v["Output folder"], parse_scale_combos(v["Scale combos"]),
+                 float(v["Percentile"]) if v["Percentile"] else None, v["Cusp style"], False),
             ),
             progress_path=FAST_PLOTTING_PROGRESS_JSON,
         ),
@@ -452,11 +506,13 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
     )
     win.addTab(
         _page(
-            [("Data folder", "./FAST_data/"), ("Orbit", "0"), ("Output PNG", "./single.png")],
+            [("Data folder", "./FAST_data/"), ("Orbit", "0"), ("Output PNG", "./single.png"),
+             *_STYLE_FIELDS],
             "Render",
             lambda v: ActionRunner(
                 single_in_process,
-                ("instrument-grid", v["Output PNG"], v["Data folder"], int(v["Orbit"])),
+                ("instrument-grid", v["Output PNG"]),
+                dict(data_folder=v["Data folder"], orbit=int(v["Orbit"]), **_style_kwargs(v)),
             ),
         ),
         "Single Day",
@@ -468,13 +524,14 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
         }
         return ActionRunner(
             single_in_process,
-            ("files", v["Output PNG"], None, None, None, "linear", "linear", "viridis", "both", files),
+            ("files", v["Output PNG"]),
+            dict(instrument_files=files, **_style_kwargs(v)),
         )
 
     win.addTab(
         _page(
             [("ees file", ""), ("eeb file", ""), ("ies file", ""), ("ieb file", ""),
-             ("Output PNG", "./single_files.png")],
+             ("Output PNG", "./single_files.png"), *_STYLE_FIELDS],
             "Render from files",
             _files_runner,
         ),
@@ -482,13 +539,25 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
     )
     win.addTab(
         _page(
+            [("CDF file", ""), ("Output PNG", "./single_pitch.png"), *_STYLE_FIELDS],
+            "Render pitch-angle grid",
+            lambda v: ActionRunner(
+                single_in_process,
+                ("pitch-angle", v["Output PNG"]),
+                dict(cdf_file=v["CDF file"], **_style_kwargs(v)),
+            ),
+        ),
+        "Single Day (pitch-angle)",
+    )
+    win.addTab(
+        _page(
             [("Date", "2001-01-01"), ("Download folder", "./FAST_data/"),
-             ("Output PNG", "./single_day.png")],
+             ("Output PNG", "./single_day.png"), *_STYLE_FIELDS],
             "Download + render",
             lambda v: ActionRunner(
                 single_in_process,
-                ("date", v["Output PNG"], v["Download folder"], None, None,
-                 "linear", "linear", "viridis", "both", None, v["Date"]),
+                ("date", v["Output PNG"]),
+                dict(data_folder=v["Download folder"], date=v["Date"], **_style_kwargs(v)),
             ),
         ),
         "Single Day (date)",

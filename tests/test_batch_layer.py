@@ -204,7 +204,8 @@ def test_tui_single_day_flow(tmp_path):
     )
     subprocess.run([sys.executable, "-c", setup], cwd=tmp_path, check=True,
                    env=_tui_env(repo), capture_output=True, timeout=300)
-    script = "3\ninstrument-grid\nout.png\ndata\n42\nq\n"
+    # mode, output, style (default), cusp style (default), folder, orbit
+    script = "3\ninstrument-grid\nout.png\n\n\ndata\n42\nq\n"
     proc = subprocess.run(
         [sys.executable, str(repo / "GUI_batch_download_plot_FAST.py"), "--tui"],
         input=script, text=True, cwd=tmp_path, env=_tui_env(repo),
@@ -251,6 +252,7 @@ def test_tui_single_day_files_source(tmp_path, synth_archive):
     paths = synth_archive["mapping"][100]
     script = (
         "3\nfiles\nout_files.png\n"
+        "log-log\nline\n"  # non-default style + cusp marker answers
         f"{paths['ees']}\n{paths['eeb']}\n\n\n"  # ees + eeb picked, ies/ieb skipped
         "q\n"
     )
@@ -291,6 +293,27 @@ def test_render_single_instrument_grid_from_files(tmp_path, synth_archive):
     )
     assert ok and out.exists()
     assert not single.render_single_instrument_grid_from_files({}, str(tmp_path / "no.png"))
+
+
+def test_parse_scale_combos():
+    """Front-end scale-combo spec: 'all', y-z defaults, explicit colormap,
+    and rejection of malformed tokens (reference Plot-page widget surface,
+    reference GUI_batch_download_plot_FAST.py:10-11)."""
+    import pytest
+
+    import GUI_batch_download_plot_FAST as gui
+
+    parse = gui.parse_scale_combos
+    assert parse("all") == gui.DEFAULT_SCALE_COMBOS
+    assert parse("  ") == gui.DEFAULT_SCALE_COMBOS
+    assert parse("log-log") == [("log", "log", "inferno")]
+    assert parse("linear-log-turbo log-linear") == [
+        ("linear", "log", "turbo"),
+        ("log", "linear", "plasma"),
+    ]
+    for bad in ("sqrt-log", "linear", "linear-log-", "log-cubic"):
+        with pytest.raises(ValueError):
+            parse(bad)
 
 
 def test_progress_tail_streams_updates(tmp_path):
