@@ -595,6 +595,12 @@ def _padded_device_cube(cube: np.ndarray, Tp: int, Ap: int, Ep: int):
     padded[:T, :A, :E] = cube
     arr = jax.device_put(padded)
     with _DEVICE_CUBE_LOCK:
+        # A concurrent thread may have uploaded the same key while we did;
+        # keep its entry (inserting again would double-count the bytes and
+        # duplicate the id-list key).
+        hit = _DEVICE_CUBE_CACHE.get(key)
+        if hit is not None:
+            return hit
         while _DEVICE_CUBE_BYTES["total"] + arr.nbytes > _device_cube_budget() and _DEVICE_CUBE_CACHE:
             old_key, old = next(iter(_DEVICE_CUBE_CACHE.items()))
             del _DEVICE_CUBE_CACHE[old_key]
