@@ -397,6 +397,7 @@ def _apply_os_theme(app) -> None:  # pragma: no cover - requires PySide6
 
 
 def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
+    from PySide6.QtCore import QObject, Signal
     from PySide6.QtWidgets import (
         QApplication,
         QFileDialog,
@@ -408,6 +409,19 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
         QVBoxLayout,
         QWidget,
     )
+
+    class _Bridge(QObject):
+        """Marshal worker-thread updates onto the GUI thread.
+
+        ActionRunner fires callbacks from its monitor thread and
+        ProgressTail from its polling thread; QWidget methods must only
+        run on the GUI thread, so both route through queued signals (the
+        reference's worker-signal pattern, reference
+        GUI_batch_download_plot_FAST.py:736-743).
+        """
+
+        status = Signal(str)
+        progress = Signal(str)
 
     app = QApplication(sys.argv)
     _apply_os_theme(app)
@@ -438,19 +452,26 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
             layout.addLayout(row)
         status = QLabel("")
         progress = QLabel("")
+        bridge = _Bridge(page)  # parented: lives as long as the page
+        bridge.status.connect(status.setText)
+        bridge.progress.connect(progress.setText)
         run_btn = QPushButton(run_label)
         stop_btn = QPushButton("Stop")
         tail_box: dict[str, ProgressTail | None] = {"tail": None}
 
         def start():
-            runner = make_runner({k: e.text() for k, e in edits.items()})
-            runner.on_finished = lambda: (status.setText("Finished."), _stop_tail())
-            runner.on_error = lambda code: (status.setText(f"Error (exit {code})."), _stop_tail())
+            try:
+                runner = make_runner({k: e.text() for k, e in edits.items()})
+            except (ValueError, KeyError) as exc:  # bad combo spec / number
+                status.setText(f"Invalid input: {exc}")
+                return
+            runner.on_finished = lambda: (bridge.status.emit("Finished."), _stop_tail())
+            runner.on_error = lambda code: (bridge.status.emit(f"Error (exit {code})."), _stop_tail())
             state["runner"] = runner
             runner.start()
             status.setText("Running...")
             if progress_path is not None:
-                tail_box["tail"] = ProgressTail(progress_path, progress.setText).start()
+                tail_box["tail"] = ProgressTail(progress_path, bridge.progress.emit).start()
 
         def _stop_tail():
             if tail_box["tail"] is not None:
@@ -484,7 +505,10 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
     from configurable_spectrograms_tpu.fast.constants import FAST_PLOTTING_PROGRESS_JSON
 
     def _style_kwargs(v):
-        (y, z, cmap), = parse_scale_combos(v.get("Style y-z[-cmap]", "linear-linear"))
+        combos = parse_scale_combos(v.get("Style y-z[-cmap]", "linear-linear"))
+        if len(combos) != 1:
+            raise ValueError("single-day style takes exactly one y-z[-cmap] combo")
+        y, z, cmap = combos[0]
         return dict(y_scale=y, z_scale=z, colormap=cmap,
                     cusp_marker_style=v.get("Cusp style", "both"))
 

@@ -266,7 +266,7 @@ def main() -> None:
         # Warmups (compile device programs / build caches) and single-stream
         # p50 latency, per backend, before any timed pass.
         latency = {"device": None, "host": None}
-        if device_ok and _BACKEND["mode"] == "auto":
+        if device_ok and _BACKEND["mode"] in ("auto", "device"):
             _progress("device warmup + latency (includes one-time compile)")
             latency["device"] = _ours_warmup_and_latency(render_one, jobs, dirs["ours_device"])
         prev_mode = _BACKEND["mode"]
@@ -285,7 +285,7 @@ def main() -> None:
         rates: dict[str, list[float]] = {"device": [], "host": [], "baseline": []}
         try:
             for i in range(PASSES):
-                if device_ok and _BACKEND["mode"] == "auto":
+                if device_ok and _BACKEND["mode"] in ("auto", "device"):
                     _progress(f"pass {i + 1}/{PASSES}: device backend")
                     rates["device"].append(_ours_pass(render_one, jobs, dirs["ours_device"]))
                     # A mid-pass auto-switch means the link degraded: the

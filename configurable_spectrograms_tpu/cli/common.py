@@ -52,7 +52,12 @@ def run_cli(main: Callable[[], int | None]) -> None:
         print("\n[INTERRUPT] Aborted by user.")
         code = 130
     except SystemExit as exc:  # argparse errors and explicit exits
-        code = exc.code if isinstance(exc.code, int) else (0 if exc.code is None else 1)
+        code = exc.code
+    # sys.exit("message") semantics: a non-int payload (from main's return
+    # or a SystemExit) prints to stderr and exits 1; None exits 0.
+    if code is not None and not isinstance(code, int):
+        print(code, file=sys.stderr)
+        code = 1
     try:
         flush_log_buffer(force=True)
     except Exception:

@@ -43,6 +43,10 @@ _LIB = _load()
 #: One decompressor handle per thread (they are not thread-safe to share).
 _local = threading.local()
 
+#: Largest output buffer the fast path will allocate eagerly.  Real FAST
+#: CDF records are tens of MB; anything bigger is a corrupt size field.
+_MAX_EAGER_ALLOC = 1 << 30
+
 
 def _handle():
     decomp = getattr(_local, "handle", None)
@@ -94,10 +98,19 @@ def gzip_decompress(data: bytes, expected_size: int | None = None) -> bytes:
     size = expected_size
     if size is None:
         size = struct.unpack_from("<I", data, len(data) - 4)[0]
+    if size > _MAX_EAGER_ALLOC:
+        # The trailer (or a caller-forwarded header field) is untrusted: a
+        # bit-flipped CDF can claim ~4 GiB and the eager zero-filled buffer
+        # below would try to honor it.  zlib streams incrementally and fails
+        # fast on corrupt data, so route absurd sizes there.
+        return gzip.decompress(data)
     decomp = _handle()
     if not decomp:
         return gzip.decompress(data)
-    out = ctypes.create_string_buffer(size)
+    try:
+        out = ctypes.create_string_buffer(size)
+    except MemoryError:
+        return gzip.decompress(data)
     actual = ctypes.c_size_t(0)
     rc = _LIB.libdeflate_gzip_decompress(
         decomp, data, len(data), out, size, ctypes.byref(actual)

@@ -70,11 +70,17 @@ def load_filtered_orbits(csv_path: str = FILTERED_ORBITS_CSV_PATH) -> pd.DataFra
     if csv_path == FILTERED_ORBITS_CSV_PATH:
         csv_path = os.environ.get("CST_CUSP_CSV") or csv_path
     if csv_path not in filtered_orbits_cache:
+        # ParserError subclasses ValueError, so (OSError, ValueError) covers
+        # missing, unreadable, and malformed files alike.
         try:
             filtered_orbits_cache[csv_path] = pd.read_csv(csv_path, sep="\t")
-        except OSError as exc:
+        except (OSError, ValueError) as exc:
             if csv_path == FILTERED_ORBITS_CSV_PATH and os.path.exists(_SHIPPED_CUSP_CSV):
-                filtered_orbits_cache[csv_path] = pd.read_csv(_SHIPPED_CUSP_CSV, sep="\t")
+                try:
+                    filtered_orbits_cache[csv_path] = pd.read_csv(_SHIPPED_CUSP_CSV, sep="\t")
+                except (OSError, ValueError) as exc2:
+                    log_error(f"Error loading CSV {_SHIPPED_CUSP_CSV}: {exc2}")
+                    return None
             else:
                 log_error(f"Error loading CSV {csv_path}: {exc}")
                 return None

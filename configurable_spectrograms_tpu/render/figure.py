@@ -974,8 +974,16 @@ def _acquire_canvas(h: int, w: int) -> np.ndarray:
 def _release_canvas(canvas: np.ndarray) -> None:
     key = (canvas.shape[0], canvas.shape[1])
     with _CANVAS_POOL_LOCK:
-        stack = _CANVAS_POOL.setdefault(key, [])
-        if len(stack) < _CANVAS_POOL_MAX_PER_SIZE and len(_CANVAS_POOL) <= _CANVAS_POOL_MAX_SIZES:
+        stack = _CANVAS_POOL.get(key)
+        if stack is None:
+            # Evict the least-recently-added size rather than refusing new
+            # sizes: a batch mixing grid kinds cycles through sizes, and a
+            # pool that stops recycling reinstates the per-figure 46 MB
+            # fresh-canvas page-fault cost it exists to avoid.
+            while len(_CANVAS_POOL) >= _CANVAS_POOL_MAX_SIZES:
+                del _CANVAS_POOL[next(iter(_CANVAS_POOL))]
+            stack = _CANVAS_POOL[key] = []
+        if len(stack) < _CANVAS_POOL_MAX_PER_SIZE:
             stack.append(canvas)
 
 

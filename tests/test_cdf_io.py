@@ -199,3 +199,27 @@ def test_reader_corruption_robustness(tmp_path, sample_vars, rng):
         mutated = bytearray(blob)
         mutated[pos] ^= 0xFF
         try_open(bytes(mutated), f"flip_{k}.cdf")
+
+
+def test_corrupt_trailer_size_rejected_without_giant_alloc():
+    """A bit-flipped gzip trailer claiming ~4 GiB must not make the fast
+    path eagerly allocate that buffer; it reroutes to zlib, which fails
+    fast on the length mismatch."""
+    import gzip
+    import struct
+    import time
+
+    import pytest
+
+    from configurable_spectrograms_tpu.data.cdf._inflate import gzip_decompress
+
+    payload = b"spectrogram" * 200
+    blob = bytearray(gzip.compress(payload, 6))
+    blob[-4:] = struct.pack("<I", 0xFFFFFFFF)  # corrupt ISIZE only
+    t0 = time.perf_counter()
+    with pytest.raises(OSError):  # BadGzipFile("Incorrect length...")
+        gzip_decompress(bytes(blob))
+    assert time.perf_counter() - t0 < 2.0
+    # An explicit absurd expected_size takes the same safe route.
+    with pytest.raises(OSError):
+        gzip_decompress(bytes(blob), 0xFFFFFFFF)

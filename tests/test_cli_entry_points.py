@@ -138,3 +138,36 @@ def test_batch_cli_runs_all_scale_combos(tmp_path, synth_archive, monkeypatch):
     # Resumable progress JSON and extrema cache in the working directory.
     assert (tmp_path / "batch_multi_plot_FAST_progress.json").exists()
     assert (tmp_path / "FAST_calculated_extrema.json").exists()
+
+
+def test_run_cli_prints_systemexit_message(tmp_path):
+    """sys.exit("message") semantics survive run_cli's os._exit path: the
+    message reaches stderr and the exit code maps to 1."""
+    import pathlib
+    import subprocess
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{repo}:{env.get('PYTHONPATH', '')}"
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import sys;"
+        "from configurable_spectrograms_tpu.cli.common import run_cli;"
+        "run_cli(lambda: sys.exit('boom: bad input'))"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=tmp_path, env=env, timeout=240,
+    )
+    assert proc.returncode == 1, (proc.returncode, proc.stderr)
+    assert "boom: bad input" in proc.stderr
+
+
+def test_load_filtered_orbits_malformed_csv_returns_none(tmp_path):
+    """Undecodable cusp files degrade to marker-free plots (None), never an
+    escaping exception (docstring contract used by the batch driver)."""
+    from configurable_spectrograms_tpu.data import cdf_utils
+
+    bad = tmp_path / "bad.csv"
+    bad.write_bytes(b"\xff\xfe\x00\x01\xffgarbage\xff\x00")
+    assert cdf_utils.load_filtered_orbits(str(bad)) is None

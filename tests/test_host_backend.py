@@ -234,3 +234,25 @@ def test_cached_collapse_cross_render_reuse(rng):
     del cube, m1, m2
     gc.collect()
     assert not hq._COLLAPSE_CACHE
+
+
+def test_canvas_pool_keeps_recycling_past_size_cap():
+    """Releasing a 5th distinct canvas size must evict an old size and keep
+    pooling, not permanently disable recycling (a batch mixing pitch grids,
+    instrument grids, and generic sets crosses the cap easily)."""
+    from configurable_spectrograms_tpu.render import figure as F
+
+    with F._CANVAS_POOL_LOCK:
+        saved = dict(F._CANVAS_POOL)
+        F._CANVAS_POOL.clear()
+    try:
+        for h in (11, 22, 33, 44, 55, 66):
+            F._release_canvas(np.full((h, 8, 4), 255, np.uint8))
+        assert len(F._CANVAS_POOL) <= F._CANVAS_POOL_MAX_SIZES
+        c = F._acquire_canvas(66, 8)  # newest size still pooled
+        F._release_canvas(c)
+        assert F._acquire_canvas(66, 8) is c
+    finally:
+        with F._CANVAS_POOL_LOCK:
+            F._CANVAS_POOL.clear()
+            F._CANVAS_POOL.update(saved)
