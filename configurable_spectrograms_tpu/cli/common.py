@@ -42,10 +42,6 @@ def run_cli(main: Callable[[], int | None]) -> None:
     bypassing multiprocessing atexit, reference
     GUI_batch_download_plot_FAST.py:2157-2159.)
     """
-    import os
-
-    from configurable_spectrograms_tpu.utils.logging import flush_log_buffer
-
     try:
         code = main()
     except KeyboardInterrupt:
@@ -58,13 +54,7 @@ def run_cli(main: Callable[[], int | None]) -> None:
     if code is not None and not isinstance(code, int):
         print(code, file=sys.stderr)
         code = 1
-    try:
-        flush_log_buffer(force=True)
-    except Exception:
-        pass
-    sys.stdout.flush()
-    sys.stderr.flush()
-    os._exit(int(code or 0))
+    clean_exit(int(code or 0))
 
 
 def clean_exit(code: int = 0) -> None:

@@ -47,5 +47,8 @@ OUTPUT_BASE_DIRECTORY = "./plots/"
 #: matching reference fast/process_orbit.py:110 and generic_batch.py:113.
 #: ``CST_FAST_SAVE_DPI`` overrides for smoke runs (e.g. the multi-chip
 #: dry run renders the full driver path at a small DPI).
-FAST_SAVE_DPI = int(os.environ.get("CST_FAST_SAVE_DPI", 200))
+try:
+    FAST_SAVE_DPI = int(os.environ.get("CST_FAST_SAVE_DPI", 200))
+except ValueError:  # malformed override must not kill every import
+    FAST_SAVE_DPI = 200
 GENERIC_SAVE_DPI = 150

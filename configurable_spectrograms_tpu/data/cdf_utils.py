@@ -71,11 +71,15 @@ def load_filtered_orbits(csv_path: str = FILTERED_ORBITS_CSV_PATH) -> pd.DataFra
         csv_path = os.environ.get("CST_CUSP_CSV") or csv_path
     if csv_path not in filtered_orbits_cache:
         # ParserError subclasses ValueError, so (OSError, ValueError) covers
-        # missing, unreadable, and malformed files alike.
+        # missing, unreadable, and malformed files alike.  The shipped
+        # dataset substitutes only when the default-path file is *absent*;
+        # a present-but-unreadable user file must degrade to marker-free
+        # plots with a log line, never silently swap datasets.
         try:
             filtered_orbits_cache[csv_path] = pd.read_csv(csv_path, sep="\t")
         except (OSError, ValueError) as exc:
-            if csv_path == FILTERED_ORBITS_CSV_PATH and os.path.exists(_SHIPPED_CUSP_CSV):
+            absent = isinstance(exc, FileNotFoundError)
+            if absent and csv_path == FILTERED_ORBITS_CSV_PATH and os.path.exists(_SHIPPED_CUSP_CSV):
                 try:
                     filtered_orbits_cache[csv_path] = pd.read_csv(_SHIPPED_CUSP_CSV, sep="\t")
                 except (OSError, ValueError) as exc2:

@@ -37,8 +37,10 @@ def _src_digest() -> str:
 def _lib_path() -> str:
     """Per-user cache location for the compiled library.
 
-    A pre-built ``native/libfastpng.so`` next to the source is honored;
-    otherwise the artifact lives under ``~/.cache`` (or
+    A pre-built ``native/libfastpng.so`` next to the source is honored
+    when it is at least as new as the source (make-style mtime check --
+    an artifact left by an older checkout must not shadow a rewritten
+    encoder); otherwise the artifact lives under ``~/.cache`` (or
     ``CST_NATIVE_CACHE_DIR``) so first-use compilation works on read-only
     installs and never writes into the package tree.  The cached name
     embeds a source digest, so editing the C++ invalidates stale builds
@@ -46,7 +48,12 @@ def _lib_path() -> str:
     """
     packaged = os.path.join(_NATIVE_DIR, "libfastpng.so")
     if os.path.exists(packaged):
-        return packaged
+        try:
+            fresh = not os.path.exists(_SRC) or os.path.getmtime(packaged) >= os.path.getmtime(_SRC)
+        except OSError:
+            fresh = True
+        if fresh:
+            return packaged
     cache_root = os.environ.get("CST_NATIVE_CACHE_DIR") or os.path.join(
         os.path.expanduser("~"), ".cache", "configurable_spectrograms_tpu"
     )

@@ -48,6 +48,7 @@ from configurable_spectrograms_tpu.render.tile import (
     pixel_columns,
     resample_indices,
 )
+from configurable_spectrograms_tpu.utils.resident_cache import ResidentCache
 
 TICK_LABEL_PT = 15.0
 AXIS_LABEL_PT = 18.0
@@ -260,7 +261,7 @@ _BACKEND = {
     "last_probe_ts": 0.0,
     "reprobe_inflight": False,
 }
-_BACKEND_LOCK = __import__("threading").Lock()
+_BACKEND_LOCK = threading.Lock()
 
 #: With the host backend forced in ``auto`` mode, a recovered link is
 #: re-probed this often (seconds).  The observed relay oscillates between
@@ -295,7 +296,6 @@ def _link_roundtrip_probe() -> dict:
     Pure transfers only -- no compilation -- so a slow first-jit on a
     healthy device never trips this.
     """
-    import threading
     import time as _time
 
     cold_done = threading.Event()
@@ -349,7 +349,6 @@ def probe_device_link() -> None:
             _BACKEND["probed"] = True
             return
         _BACKEND["probed"] = True
-    import threading
     import time as _time
 
     from configurable_spectrograms_tpu.utils.logging import log_error
@@ -410,7 +409,6 @@ def maybe_reprobe_device_link() -> None:
     calibration) is restored.  Renders in flight are never blocked --
     they continue host-side until a reprobe succeeds.
     """
-    import threading
     import time as _time
 
     with _BACKEND_LOCK:
@@ -555,17 +553,14 @@ LAST_DISPATCH: dict[str, int] = {"lanes": 0, "devices": 0}
 #: times (raw + given-extrema figure pairs, pitch grid + instrument grid,
 #: repeat passes), and on link-constrained setups the ~12.6 MB-per-cube
 #: H2D upload dominates the device path -- so padded cubes stay resident
-#: and repeat renders stack them on-device with zero host transfer.
-#: Keyed by (id(cube), padded shape); ``weakref.finalize`` on the source
-#: array evicts synchronously at collection, so a recycled ``id`` can
-#: never alias a stale entry.  Budgeted by CST_DEVICE_CUBE_CACHE_BYTES
-#: (default 1.5 GB, FIFO eviction); CST_DEVICE_CUBE_CACHE=0 disables.
-_DEVICE_CUBE_CACHE: dict[tuple, Any] = {}
-_DEVICE_CUBE_IDS: dict[int, list] = {}
-_DEVICE_CUBE_BYTES = {"total": 0}
-_DEVICE_CUBE_LOCK = threading.Lock()
-
-
+#: and repeat renders reuse them with zero host transfer.  Single cubes
+#: key by (id(cube), padded shape); whole dispatch stacks (including
+#: their mesh-replicated broadcast) key by the tuple of cube ids, so a
+#: repeat render of the same group re-ships nothing -- not even the
+#: on-device concatenate or the cross-device broadcast.  Owner-death
+#: eviction keeps a recycled id from aliasing a stale entry.  Budgeted by
+#: CST_DEVICE_CUBE_CACHE_BYTES (default 1.5 GB, FIFO eviction);
+#: CST_DEVICE_CUBE_CACHE=0 disables.
 def _device_cube_budget() -> int:
     try:
         return int(os.environ.get("CST_DEVICE_CUBE_CACHE_BYTES", 1_500_000_000))
@@ -573,12 +568,7 @@ def _device_cube_budget() -> int:
         return 1_500_000_000
 
 
-def _evict_cube_id(cube_id: int) -> None:
-    with _DEVICE_CUBE_LOCK:
-        for key in _DEVICE_CUBE_IDS.pop(cube_id, []):
-            arr = _DEVICE_CUBE_CACHE.pop(key, None)
-            if arr is not None:
-                _DEVICE_CUBE_BYTES["total"] -= arr.nbytes
+_DEVICE_CUBE_CACHE = ResidentCache(max_bytes=_device_cube_budget)
 
 
 def _padded_device_cube(cube: np.ndarray, Tp: int, Ap: int, Ep: int):
@@ -586,50 +576,27 @@ def _padded_device_cube(cube: np.ndarray, Tp: int, Ap: int, Ep: int):
     import jax
 
     key = (id(cube), Tp, Ap, Ep)
-    with _DEVICE_CUBE_LOCK:
-        hit = _DEVICE_CUBE_CACHE.get(key)
-        if hit is not None:
-            return hit
+    hit = _DEVICE_CUBE_CACHE.get(key)
+    if hit is not None:
+        return hit
     padded = np.full((Tp, Ap, Ep), np.nan, np.float32)
     T, A, E = cube.shape
     padded[:T, :A, :E] = cube
     arr = jax.device_put(padded)
-    with _DEVICE_CUBE_LOCK:
-        # A concurrent thread may have uploaded the same key while we did;
-        # keep its entry (inserting again would double-count the bytes and
-        # duplicate the id-list key).
-        hit = _DEVICE_CUBE_CACHE.get(key)
-        if hit is not None:
-            return hit
-        while _DEVICE_CUBE_BYTES["total"] + arr.nbytes > _device_cube_budget() and _DEVICE_CUBE_CACHE:
-            old_key, old = next(iter(_DEVICE_CUBE_CACHE.items()))
-            del _DEVICE_CUBE_CACHE[old_key]
-            _DEVICE_CUBE_BYTES["total"] -= old.nbytes
-            keys = _DEVICE_CUBE_IDS.get(old_key[0])
-            if keys is not None:
-                try:
-                    keys.remove(old_key)
-                except ValueError:
-                    pass
-        _DEVICE_CUBE_CACHE[key] = arr
-        _DEVICE_CUBE_BYTES["total"] += arr.nbytes
-        keys = _DEVICE_CUBE_IDS.get(id(cube))
-        if keys is None:
-            _DEVICE_CUBE_IDS[id(cube)] = [key]
-            weakref.finalize(cube, _evict_cube_id, id(cube))
-        else:
-            keys.append(key)
-    return arr
+    return _DEVICE_CUBE_CACHE.insert(key, arr, (cube,))
 
 
 def _stack_cubes(unique_cubes: list[np.ndarray], Tp: int, Ap: int, Ep: int, mesh):
     """The (n_unique, Tp, Ap, Ep) dispatch input, preferring resident cubes.
 
-    Cache hits stack on-device (an XLA concatenate -- no host transfer);
-    misses pay the same one-time pad + upload the uncached path would.
-    Under a mesh the stack is broadcast to the replicated sharding
-    explicitly, since committed single-device inputs cannot silently
-    reshard into a multi-device jit.
+    The assembled stack itself is cached keyed by the cube-id tuple (with
+    every cube as an owner), so a repeat dispatch of the same group -- the
+    raw/given figure pair, repeat batch passes -- reuses the finished
+    on-device array outright.  Under a mesh that cached stack already
+    carries the replicated sharding, so the per-dispatch cross-device
+    broadcast disappears too (committed single-device inputs cannot
+    silently reshard into a multi-device jit, hence the explicit put).
+    Misses pay the same one-time pad + upload the uncached path would.
     """
     if os.environ.get("CST_DEVICE_CUBE_CACHE", "1") == "0":
         cubes = np.full((len(unique_cubes), Tp, Ap, Ep), np.nan, np.float32)
@@ -640,12 +607,17 @@ def _stack_cubes(unique_cubes: list[np.ndarray], Tp: int, Ap: int, Ep: int, mesh
     import jax
     import jax.numpy as jnp
 
+    stack_key = ("stack", tuple(id(c) for c in unique_cubes), Tp, Ap, Ep,
+                 tuple(d.id for d in mesh.devices.flat) if mesh is not None else None)
+    hit = _DEVICE_CUBE_CACHE.get(stack_key)
+    if hit is not None:
+        return hit
     stacked = jnp.stack([_padded_device_cube(c, Tp, Ap, Ep) for c in unique_cubes])
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
         stacked = jax.device_put(stacked, NamedSharding(mesh, PartitionSpec()))
-    return stacked
+    return _DEVICE_CUBE_CACHE.insert(stack_key, stacked, tuple(unique_cubes))
 
 
 def _render_mesh():

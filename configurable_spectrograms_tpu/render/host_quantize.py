@@ -18,27 +18,16 @@ float32 numpy.  Two reasons it exists:
 
 from __future__ import annotations
 
-import threading
-import weakref
-
 import numpy as np
+
+from configurable_spectrograms_tpu.utils.resident_cache import ResidentCache
 
 #: Cross-render collapse cache: a batch renders each cube's category
 #: collapses many times (raw + given-extrema figure pairs, repeat passes)
 #: and the (T, E) matrices are small (~400 KB) next to the 12.6 MB cubes,
-#: so they stay resident keyed by (id(cube), mask bytes).  ``weakref.
-#: finalize`` on the source cube evicts synchronously at collection (a
-#: recycled id can never alias a stale entry); FIFO-capped.
-_COLLAPSE_CACHE: dict[tuple[int, bytes], np.ndarray] = {}
-_COLLAPSE_IDS: dict[int, list] = {}
-_COLLAPSE_LOCK = threading.Lock()
-_COLLAPSE_MAX_ENTRIES = 64
-
-
-def _evict_collapse_id(cube_id: int) -> None:
-    with _COLLAPSE_LOCK:
-        for key in _COLLAPSE_IDS.pop(cube_id, []):
-            _COLLAPSE_CACHE.pop(key, None)
+#: so they stay resident keyed by (id(cube), mask bytes); owner-death
+#: eviction keeps a recycled id from aliasing a stale entry.  FIFO-capped.
+_COLLAPSE_CACHE = ResidentCache(max_entries=64)
 
 
 def cached_collapse(cube: np.ndarray, pitch_mask: np.ndarray, clean_provider=None) -> np.ndarray:
@@ -50,29 +39,11 @@ def cached_collapse(cube: np.ndarray, pitch_mask: np.ndarray, clean_provider=Non
     Returned matrices are shared -- callers must not mutate them.
     """
     key = (id(cube), pitch_mask.tobytes())
-    with _COLLAPSE_LOCK:
-        hit = _COLLAPSE_CACHE.get(key)
+    hit = _COLLAPSE_CACHE.get(key)
     if hit is not None:
         return hit
     matrix = host_collapse(cube, pitch_mask, clean_provider() if clean_provider else None)
-    with _COLLAPSE_LOCK:
-        while len(_COLLAPSE_CACHE) >= _COLLAPSE_MAX_ENTRIES:
-            old_key = next(iter(_COLLAPSE_CACHE))
-            del _COLLAPSE_CACHE[old_key]
-            keys = _COLLAPSE_IDS.get(old_key[0])
-            if keys is not None:
-                try:
-                    keys.remove(old_key)
-                except ValueError:
-                    pass
-        _COLLAPSE_CACHE[key] = matrix
-        keys = _COLLAPSE_IDS.get(id(cube))
-        if keys is None:
-            _COLLAPSE_IDS[id(cube)] = [key]
-            weakref.finalize(cube, _evict_collapse_id, id(cube))
-        else:
-            keys.append(key)
-    return matrix
+    return _COLLAPSE_CACHE.insert(key, matrix, (cube,))
 
 
 def host_clean(cube: np.ndarray) -> np.ndarray:

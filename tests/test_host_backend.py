@@ -214,9 +214,7 @@ def test_cached_collapse_cross_render_reuse(rng):
 
     from configurable_spectrograms_tpu.render import host_quantize as hq
 
-    with hq._COLLAPSE_LOCK:
-        hq._COLLAPSE_CACHE.clear()
-        hq._COLLAPSE_IDS.clear()
+    hq._COLLAPSE_CACHE.clear()
 
     cube = (rng.random((64, 8, 16)) * 10).astype(np.float32)
     mask = np.zeros(8, bool)

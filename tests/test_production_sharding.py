@@ -149,10 +149,7 @@ def test_repeat_render_reuses_resident_cubes(rng, monkeypatch):
     _require_devices(1)
     monkeypatch.setitem(figure._BACKEND, "mode", "device")
     monkeypatch.setitem(figure._BACKEND, "forced_host", False)
-    with figure._DEVICE_CUBE_LOCK:
-        figure._DEVICE_CUBE_CACHE.clear()
-        figure._DEVICE_CUBE_IDS.clear()
-        figure._DEVICE_CUBE_BYTES["total"] = 0
+    figure._DEVICE_CUBE_CACHE.clear()
 
     panels = _build_panels(rng, 4)
     uploads = {"n": 0}

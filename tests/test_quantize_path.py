@@ -119,10 +119,7 @@ def test_device_cube_cache_reuse_and_eviction(monkeypatch):
 
     from configurable_spectrograms_tpu.render import figure as figure_mod
 
-    with figure_mod._DEVICE_CUBE_LOCK:
-        figure_mod._DEVICE_CUBE_CACHE.clear()
-        figure_mod._DEVICE_CUBE_IDS.clear()
-        figure_mod._DEVICE_CUBE_BYTES["total"] = 0
+    figure_mod._DEVICE_CUBE_CACHE.clear()
 
     cube = np.random.default_rng(0).random((32, 8, 16)).astype(np.float32)
     a1 = figure_mod._padded_device_cube(cube, 32, 8, 16)
@@ -133,13 +130,13 @@ def test_device_cube_cache_reuse_and_eviction(monkeypatch):
     assert a3 is not a1 and a3.shape == (64, 8, 16)
     np.testing.assert_array_equal(np.asarray(a1), np.where(np.isnan(cube), np.nan, cube))
 
-    total = figure_mod._DEVICE_CUBE_BYTES["total"]
+    total = figure_mod._DEVICE_CUBE_CACHE.total_bytes
     assert total == a1.nbytes + a3.nbytes
 
     # GC of the source evicts every geometry for that id.
     del cube
     gc.collect()
-    assert figure_mod._DEVICE_CUBE_BYTES["total"] == 0
+    assert figure_mod._DEVICE_CUBE_CACHE.total_bytes == 0
     assert not figure_mod._DEVICE_CUBE_CACHE
 
     # Budget eviction: cap below two entries, oldest leaves first.
@@ -148,6 +145,5 @@ def test_device_cube_cache_reuse_and_eviction(monkeypatch):
     c2 = np.ones((32, 8, 16), np.float32)
     figure_mod._padded_device_cube(c1, 32, 8, 16)
     figure_mod._padded_device_cube(c2, 32, 8, 16)
-    with figure_mod._DEVICE_CUBE_LOCK:
-        keys = [k[0] for k in figure_mod._DEVICE_CUBE_CACHE]
+    keys = [k[0] for k in figure_mod._DEVICE_CUBE_CACHE.keys()]
     assert keys == [id(c2)]  # c1 evicted FIFO

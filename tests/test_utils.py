@@ -100,3 +100,49 @@ def test_add_to_orbit_list():
     add_to_orbit_list(d, "errs", 3)
     add_to_orbit_list(d, "errs", 5)
     assert d["errs"] == [3, 5]
+
+
+def test_resident_cache_bounds_and_owner_eviction():
+    """Shared cache machinery: entry/byte bounds, oversized refusal,
+    owner-death eviction via the two-phase dead-owner drain."""
+    import gc
+
+    import numpy as np
+    import pytest
+
+    from configurable_spectrograms_tpu.utils.resident_cache import ResidentCache
+
+    with pytest.raises(ValueError):
+        ResidentCache()  # exactly one bound required
+    with pytest.raises(ValueError):
+        ResidentCache(max_entries=2, max_bytes=10)
+
+    # Entry-count FIFO.
+    c = ResidentCache(max_entries=2)
+    owners = [np.zeros(4) for _ in range(3)]
+    for i, o in enumerate(owners):
+        assert c.insert((id(o), i), np.full(2, i), (o,)) is not None
+    assert len(c) == 2 and c.get((id(owners[0]), 0)) is None  # oldest out
+
+    # insert returns the existing winner on a racing duplicate key.
+    o = owners[1]
+    first = c.get((id(o), 1))
+    assert c.insert((id(o), 1), np.full(2, 99), (o,)) is first
+
+    # Byte budget: oversized entries are returned uncached.
+    b = ResidentCache(max_bytes=100)
+    big = np.zeros(200, np.uint8)
+    assert b.insert(("big",), big, (big,)) is big
+    assert len(b) == 0 and b.total_bytes == 0
+    small = np.zeros(40, np.uint8)
+    b.insert((id(small), "a"), small, (small,))
+    b.insert((id(small), "b"), np.zeros(40, np.uint8), (small,))
+    assert b.total_bytes == 80
+    b.insert((id(owners[2]), "c"), np.zeros(40, np.uint8), (owners[2],))
+    assert b.total_bytes <= 100 and len(b) == 2  # FIFO under the budget
+
+    # Owner death evicts every key owned by that array.
+    del small
+    gc.collect()
+    assert [k[1] for k in b.keys()] == ["c"]
+    assert b.total_bytes == 40

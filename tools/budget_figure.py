@@ -105,7 +105,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    code = main()
-    sys.stdout.flush()
-    sys.stderr.flush()
-    os._exit(code)
+    from configurable_spectrograms_tpu.cli.common import clean_exit
+
+    clean_exit(main())

@@ -95,12 +95,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    # Hard exit: with a dead link the abandoned probe thread can abort the
-    # interpreter during teardown, clobbering the exit code (see
-    # cli/common.run_cli for the same pattern).
-    import os
+    from configurable_spectrograms_tpu.cli.common import clean_exit
 
-    code = main()
-    sys.stdout.flush()
-    sys.stderr.flush()
-    os._exit(code)
+    clean_exit(main())
