@@ -294,11 +294,11 @@ class CDF:
             _max_z, p = self._i4(p)
             _rfu_e, p = self._i4(p)
             name, p = self._name(p)
-            if scope == 1:  # global
+            if scope in (1, 3):  # global (3 = global-assumed, legacy pre-2.5 files)
                 entries = self._read_aedrs(agredr_head, n_gr)
                 vals = [v for _, v in sorted(entries.items())]
                 self._gattrs[name] = vals[0] if len(vals) == 1 else vals
-            else:  # variable scope: gr entries apply to r-vars, z to z-vars
+            else:  # variable scope (2/4): gr entries apply to r-vars, z to z-vars
                 for var_num, value in self._read_aedrs(azedr_head, n_z).items():
                     self._vattrs.setdefault(var_num, {})[name] = value
                 for var_num, value in self._read_aedrs(agredr_head, n_gr).items():
@@ -449,13 +449,35 @@ class CDF:
             arr: np.ndarray = out
         else:
             arr = out.astype(rec_dtype.newbyteorder("="), copy=False)
-        if var.data_type == 32:  # EPOCH16: trailing (2,) component dim
-            phys_dims = (*phys_dims, 2)
-        order = "C" if self._row_major else "F"
+        # EPOCH16 values are two consecutive doubles per element -- the
+        # component pair stays innermost regardless of majority.
+        comp = (2,) if var.data_type == 32 else ()
+
+        def _shape_records(flat: np.ndarray, lead: tuple[int, ...]) -> np.ndarray:
+            """Reshape *flat* to (*lead, *phys_dims, *comp) honoring majority.
+
+            Records are stored sequentially in the file; majority applies
+            only WITHIN a record (CDF spec) -- a whole-buffer Fortran
+            reshape would interleave the record axis across records.
+            """
+            if self._row_major or len(phys_dims) < 2:
+                return flat.reshape((*lead, *phys_dims, *comp))
+            nd = len(phys_dims)
+            shaped = flat.reshape((*lead, *phys_dims[::-1], *comp))
+            nlead = len(lead)
+            axes = (
+                *range(nlead),
+                *range(nlead + nd - 1, nlead - 1, -1),
+                *((nlead + nd,) if comp else ()),
+            )
+            return shaped.transpose(axes)
+
         if var.rec_vary:
-            arr = arr.reshape((n_rec, *phys_dims) if phys_dims else (n_rec,), order=order)
+            arr = _shape_records(arr, (n_rec,))
+        elif phys_dims or comp:
+            arr = _shape_records(arr, ())
         else:
-            arr = arr.reshape(phys_dims, order=order) if phys_dims else arr.reshape(())
+            arr = arr.reshape(())
         self._cache[name] = arr
         return arr
 

@@ -171,14 +171,19 @@ def write_cdf(
     prev_vdr: tuple[int, int] | None = None  # (chunk index, VDRnext body pos)
     per_var_gzip = compress == "gzip"
     for num, name in enumerate(names):
-        arr = np.ascontiguousarray(variables[name]) if row_major else np.asfortranarray(variables[name])
+        arr = np.asarray(variables[name])
         if arr.dtype.name not in _NP_TO_CDF:
             raise ValueError(f"variable {name!r}: unsupported dtype {arr.dtype}")
         n_rec = int(arr.shape[0]) if arr.ndim else 1
         dims = tuple(int(s) for s in arr.shape[1:])
-        payload = arr.astype(arr.dtype.newbyteorder("<"), copy=False).tobytes(
-            order="C" if row_major else "F"
-        )
+        le = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+        if row_major or len(dims) < 2:
+            payload = le.tobytes(order="C")
+        else:
+            # Records are stored sequentially; majority applies only WITHIN
+            # a record (CDF spec), so each record's block is emitted
+            # column-major while the record axis stays outermost.
+            payload = le.transpose(0, *range(arr.ndim - 1, 0, -1)).tobytes(order="C")
 
         vdr = bytearray()
         vdr_next_pos = len(vdr)

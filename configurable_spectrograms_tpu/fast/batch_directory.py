@@ -49,12 +49,14 @@ _INSTRUMENT_KEYS = ("ees", "eeb", "ies", "ieb")
 
 
 class _ProgressLedger:
-    """Read-modify-write progress bookkeeping with the reference's taxonomy.
+    """Cumulative progress bookkeeping with the reference's taxonomy.
 
-    Every completion re-reads the file, applies its updates, and writes
-    back every ``flush_batch_size`` completions (plus forced finals) --
-    the reference's exact persistence cadence, quirks included
-    (reference fast/batch_directory.py:248-334).
+    Completions fold into one in-memory state dict (seeded from disk once)
+    that is persisted every ``flush_batch_size`` completions plus forced
+    finals -- the reference's persistence cadence and key schema
+    (reference fast/batch_directory.py:248-334).  Accumulating in memory
+    (rather than re-reading the file per completion) means a throttled
+    write never discards the intermediate completions' updates.
     """
 
     def __init__(self, path: str | None, y_scale: str, z_scale: str, flush_batch_size: int):
@@ -65,7 +67,7 @@ class _ProgressLedger:
         self.y_scale, self.z_scale = y_scale, z_scale
         self.flush_every = max(1, flush_batch_size)
         self._since_flush = 0
-        self._fallback: dict[str, Any] = {}
+        self._state: dict[str, Any] | None = None
 
     def read(self) -> dict[str, Any]:
         if self.path is None:
@@ -74,14 +76,26 @@ class _ProgressLedger:
             with open(self.path) as f:
                 return json.load(f)
         except (OSError, json.JSONDecodeError):
-            return dict(self._fallback)
+            return {}
+
+    def state(self) -> dict[str, Any]:
+        """The cumulative in-memory progress state (disk-seeded once).
+
+        Updates fold into THIS dict, not a fresh per-completion disk read:
+        the throttled ``write`` persists only every ``flush_every``-th
+        call, so folding into re-read disk state would silently discard
+        the other completions' cursor/taxonomy updates.
+        """
+        if self._state is None:
+            loaded = self.read()
+            self._state = loaded if isinstance(loaded, dict) else {}
+        return self._state
 
     def load_resume_state(self, ignore: bool) -> tuple[int | None, set[int]]:
         """Return (last completed orbit, error orbit set) from disk."""
         if self.path is None or ignore:
             return None, set()
-        state = self.read()
-        self._fallback = state if isinstance(state, dict) else {}
+        state = self.state()
         return state.get(self.cursor_key), set(state.get(self.error_key, []))
 
     def write(self, state: dict[str, Any], force: bool = False) -> None:
@@ -98,10 +112,10 @@ class _ProgressLedger:
             log_exception("[FAIL] Could not write progress JSON", exc, level="error")
 
     def record(self, orbit: int, result: dict[str, Any]) -> None:
-        """Fold one orbit result into the on-disk taxonomy."""
+        """Fold one orbit result into the cumulative taxonomy."""
         if self.path is None:
             return
-        state = self.read()
+        state = self.state()
         state[self.cursor_key] = orbit
         state.setdefault(self.error_key, [])
         state.setdefault(self.orbit_timeout_key, [])
@@ -126,12 +140,7 @@ class _ProgressLedger:
         """Drop *orbit* from every ``*_timed_out`` list after a good retry."""
         if self.path is None:
             return
-        try:
-            with open(self.path) as f:
-                state = json.load(f)
-        except (OSError, json.JSONDecodeError) as exc:
-            log_exception("[WARN] Could not read progress JSON for retry cleanup", exc, level="message")
-            return
+        state = self.state()
         suffix = f"_{self.y_scale}_{self.z_scale}_timed_out"
         changed = False
         for key in [k for k in state if k.endswith(suffix)]:
@@ -140,11 +149,7 @@ class _ProgressLedger:
                 state[key] = [v for v in values if v != orbit]
                 changed = True
         if changed:
-            try:
-                with open(self.path, "w") as f:
-                    json.dump(state, f, indent=2)
-            except OSError as exc:
-                log_exception("[WARN] Could not write cleaned progress JSON", exc, level="message")
+            self.write(state, force=True)
 
 
 def _install_interrupt_escalation(shutdown_flag: dict) -> None:
@@ -287,7 +292,7 @@ def FAST_plot_spectrograms_directory(
             # Exceptions that escaped the worker get an extra unknown_* key
             # (reference fast/batch_directory.py:266-290).
             if progress_json_path is not None:
-                state = ledger.read()
+                state = ledger.state()
                 state[ledger.cursor_key] = orbit
                 add_to_orbit_list(state, ledger.error_key, orbit)
                 reason = classify_error_reason(str(exc))
@@ -344,7 +349,7 @@ def FAST_plot_spectrograms_directory(
             if bar is not None:
                 bar.close()
 
-        ledger.write(ledger.read(), force=True)
+        ledger.write(ledger.state(), force=True)
 
         if shutdown["flag"]:
             log_exception("[INTERRUPT] Shutdown requested; cancelling remaining futures.", level="message")
@@ -367,7 +372,7 @@ def FAST_plot_spectrograms_directory(
             except Exception:
                 pass
 
-    ledger.write(ledger.read(), force=True)
+    ledger.write(ledger.state(), force=True)
     flush_log_buffer(force=True)
 
     if retry_timeouts and not shutdown["flag"]:

@@ -122,8 +122,14 @@ def synthesize_linear_y_ticks(y_axis_min: float, y_axis_max: float) -> list[int]
     """
     y_max_int = int(y_axis_max)
     y_min_int = int(y_axis_min)
+    if y_max_int <= 0:
+        # Deliberate divergence: the reference's digit heuristic does
+        # int('-') and crashes the whole figure save for negative maxima
+        # (reference plotting.py:338-340, reachable only via generic
+        # datasets); render endpoint ticks instead.
+        return sorted({y_min_int, y_max_int})
     y_max_str = str(y_max_int)
-    if len(y_max_str.lstrip("-")) < 2:
+    if len(y_max_str) < 2:
         return [t for t in (y_min_int, y_max_int) if t <= y_max_int]
     y_max_digits = len(y_max_str)
     y_first_digit = int(y_max_str[0])

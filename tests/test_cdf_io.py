@@ -223,3 +223,27 @@ def test_corrupt_trailer_size_rejected_without_giant_alloc():
     # An explicit absurd expected_size takes the same safe route.
     with pytest.raises(OSError):
         gzip_decompress(bytes(blob), 0xFFFFFFFF)
+
+
+def test_column_major_records_not_interleaved(tmp_path):
+    """Majority applies WITHIN a record; records are stored sequentially
+    (CDF spec).  A whole-buffer Fortran reshape/tobytes would interleave
+    the record axis across records -- pin the physical layout and the
+    round trip for a multi-record multi-dim column-major variable."""
+    path = str(tmp_path / "cm.cdf")
+    # 2 records of (2, 3); values unique so byte sequences are unambiguous.
+    arr = np.arange(12, dtype=np.int32).reshape(2, 2, 3)
+    write_cdf(path, {"v": arr}, compress="none", row_major=False)
+
+    blob = open(path, "rb").read()
+    # Record r flattened column-major, records concatenated in order.
+    expected = b"".join(
+        arr[r].astype("<i4").flatten(order="F").tobytes() for r in range(2)
+    )
+    assert expected in blob, "per-record column-major payload not found"
+    wrong = arr.astype("<i4").tobytes(order="F")  # whole-array interleave
+    assert wrong not in blob
+
+    with CDF(path) as c:
+        assert c.cdf_info()["Majority"] == "Column_major"
+        np.testing.assert_array_equal(c.varget("v"), arr)

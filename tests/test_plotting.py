@@ -212,3 +212,14 @@ def test_stage_timer_and_trace():
     timer.log_summary()
     with device_trace(None):
         pass
+
+
+def test_negative_y_max_ticks_do_not_crash():
+    """Generic datasets may carry negative maxima; the reference's digit
+    heuristic crashes on int('-') there (reference plotting.py:338-340),
+    ours degrades to endpoint ticks (documented divergence)."""
+    from configurable_spectrograms_tpu.render.locators import synthesize_linear_y_ticks
+
+    assert synthesize_linear_y_ticks(-100, -40) == [-100, -40]
+    assert synthesize_linear_y_ticks(0, 0) == [0]
+    assert synthesize_linear_y_ticks(0, 4000) == [0, 1000, 2000, 3000, 4000]

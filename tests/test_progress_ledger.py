@@ -76,3 +76,18 @@ def test_render_loop_memory_stable(rng):
         render_once()
     growth = psutil.Process().memory_info().rss - rss0
     assert growth < 200e6, f"RSS grew by {growth/1e6:.0f}MB over 25 renders"
+
+
+def test_ledger_accumulates_between_flushes(tmp_path):
+    """Throttled writes must not lose the intermediate completions'
+    updates: all folds land in one cumulative state."""
+    path = str(tmp_path / "p.json")
+    ledger = _ProgressLedger(path, "linear", "linear", flush_batch_size=3)
+    ledger.record(1, {"status": "error", "errors": ["[FAIL] ees exploded"]})
+    ledger.record(2, {"status": "timeout", "timeout_type": "orbit"})
+    ledger.record(3, {"status": "ok"})  # third call flushes
+    state = json.load(open(path))
+    assert state["linear_linear_last_orbit"] == 3
+    assert state["linear_linear_error_plotting"] == [1]
+    assert state["ees_linear_linear_error-generic"] == [1]
+    assert state["orbit_linear_linear_timed_out"] == [2]
