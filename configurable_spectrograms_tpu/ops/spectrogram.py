@@ -97,8 +97,14 @@ def masked_nanpercentile(values: jax.Array, valid: jax.Array, q: jax.Array | flo
     lo = jnp.floor(pos).astype(jnp.int32)
     hi = jnp.ceil(pos).astype(jnp.int32)
     frac = pos - lo.astype(jnp.float32)
-    # frac == 0 short-circuits so +/-inf endpoints don't produce inf*0 NaNs.
-    v = jnp.where(frac == 0, s[lo], s[lo] * (1.0 - frac) + s[hi] * frac)
+    # numpy's _lerp, branch for branch: a + (b-a)*t below t=0.5 and
+    # b - (b-a)*(1-t) above -- NOT the symmetric a*(1-t) + b*t form, which
+    # differs in the last float32 ulp and can flip a colormap bin against
+    # the host backend's np.percentile (bit-parity requirement).
+    diff = s[hi] - s[lo]
+    v = jnp.where(frac >= 0.5, s[hi] - diff * (1.0 - frac), s[lo] + diff * frac)
+    # frac == 0 short-circuits so +/-inf endpoints don't produce inf-inf NaNs.
+    v = jnp.where(frac == 0, s[lo], v)
     return jnp.where(n > 0, v, jnp.nan)
 
 

@@ -456,6 +456,48 @@ def _readback(out_dev) -> np.ndarray:
     return np.asarray(out_dev)
 
 
+def _dispatch_timeout() -> float:
+    """Watchdog bound for one device dispatch or readback, seconds.
+
+    Generous by default: a cold link's first D2H has been observed taking
+    up to ~180 s and a first compile ~40 s.  ``CST_DEVICE_DISPATCH_TIMEOUT``
+    overrides.
+    """
+    try:
+        return float(os.environ.get("CST_DEVICE_DISPATCH_TIMEOUT", 300.0))
+    except ValueError:
+        return 300.0
+
+
+def _bounded_call(fn, timeout: float):
+    """Run *fn* on a watchdog thread; ``(True, value)`` or ``(False, None)``.
+
+    Every probe/reprobe in this module is time-bounded, but a link can die
+    BETWEEN the preflight and the actual render transfer -- and a hung
+    ``jax`` transfer blocks forever and cannot be cancelled.  Running it
+    on a daemon thread bounds the *wait*: on timeout the caller falls back
+    to the host backend and the stuck thread is abandoned (the same
+    containment the cold-start preflight uses).
+    """
+    box: dict[str, Any] = {}
+    done = threading.Event()
+
+    def run():
+        try:
+            box["value"] = fn()
+        except BaseException as exc:  # re-raised in the caller below
+            box["error"] = exc
+        finally:
+            done.set()
+
+    threading.Thread(target=run, daemon=True, name="device-dispatch").start()
+    if not done.wait(timeout):
+        return False, None
+    if "error" in box:
+        raise box["error"]
+    return True, box.get("value")
+
+
 def _host_backend_active() -> bool:
     mode = _BACKEND["mode"]
     return mode == "host" or (mode == "auto" and _BACKEND["forced_host"])
@@ -819,18 +861,43 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
 
         import jax
 
-        with active_stage("device_dispatch"):
-            out_dev = fn(
+        def _run_dispatch():
+            out = fn(
                 u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
                 zb_e_valids, zb_full, t_maps, cubes,
             )
-            jax.block_until_ready(out_dev)  # compute (and possible compile) done
-        LAST_DISPATCH["lanes"] = n_lanes
-        LAST_DISPATCH["devices"] = len(getattr(out_dev.sharding, "device_set", ())) or 1
-        t0 = _time.perf_counter()
-        with active_stage("device_readback"):
-            packed = _readback(out_dev)
-        xfer = _time.perf_counter() - t0
+            jax.block_until_ready(out)  # compute (and possible compile) done
+            return out
+
+        timeout = _dispatch_timeout()
+        with active_stage("device_dispatch"):
+            ok, out_dev = _bounded_call(_run_dispatch, timeout)
+        if ok:
+            LAST_DISPATCH["lanes"] = n_lanes
+            LAST_DISPATCH["devices"] = len(getattr(out_dev.sharding, "device_set", ())) or 1
+            t0 = _time.perf_counter()
+            with active_stage("device_readback"):
+                ok, packed = _bounded_call(lambda: _readback(out_dev), timeout)
+            xfer = _time.perf_counter() - t0
+        if not ok:
+            # The link died between the bounded preflight and this transfer.
+            # A hung jax transfer never returns, so without this bound the
+            # coalescer thread -- and every worker waiting on it -- would
+            # deadlock for the rest of the batch.
+            from configurable_spectrograms_tpu.utils.logging import log_error
+
+            if _BACKEND["mode"] == "device":  # explicit override: fail loudly
+                raise RuntimeError(
+                    f"device dispatch/readback exceeded {timeout:.0f}s "
+                    "(CST_DEVICE_DISPATCH_TIMEOUT) with CST_RENDER_BACKEND=device"
+                )
+            _BACKEND["forced_host"] = True
+            log_error(
+                f"[BACKEND] device dispatch/readback exceeded {timeout:.0f}s; "
+                "abandoning the transfer and finishing on the host backend"
+            )
+            _render_group_host(panels, idxs, tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct, results)
+            continue
         if (
             _BACKEND["mode"] == "auto"
             and not _BACKEND["forced_host"]
@@ -881,6 +948,12 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
         for j, i in enumerate(idxs):
             p = panels[i]
             n_kept_j, flip_j, y0_j, y1_j, vmin_j, vmax_j, empty_j = meta_host[j, :7]
+            if z_scale == "log" and not bool(empty_j) and vmin_j > vmax_j:
+                # Explicit log bounds whose safe-positive floor exceeds vmax:
+                # matplotlib's LogNorm raises at draw time in the reference
+                # (batch drivers record the orbit as a plotting error);
+                # rendering on would silently invert the color ramp.
+                raise ValueError("minvalue must be less than or equal to maxvalue")
             kept_pos_j = meta_host[j, 7:].astype(np.int32)
             rgba = resample_indices(
                 idx_host[j],

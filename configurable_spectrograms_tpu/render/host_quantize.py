@@ -155,6 +155,12 @@ def host_quantize(
 
     if z_scale == "log":
         vmin = max(vmin, safe_vmin, 1e-10)
+        if vmin > vmax:
+            # Matches the reference, where LogNorm raises at draw time when
+            # the safe-positive floor exceeds an explicit vmax (batch
+            # drivers record the orbit as a plotting error); rendering on
+            # would silently invert the color ramp.
+            raise ValueError("minvalue must be less than or equal to maxvalue")
         work = np.where(~np.isfinite(matrix) | (matrix <= 0), np.float32(vmin), matrix)
         span = np.float32(np.log10(vmax) - np.log10(vmin))
         norm = (np.log10(np.maximum(work, np.float32(1e-37))) - np.float32(np.log10(vmin))) / (

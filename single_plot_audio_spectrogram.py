@@ -8,7 +8,6 @@ FFT (and optional mel projection) on device, and renders through
 """
 
 import argparse
-import sys
 import wave
 from pathlib import Path
 
@@ -106,8 +105,10 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    try:
-        sys.exit(main())
-    except KeyboardInterrupt:
-        print("\n[INTERRUPT] Aborted by user.")
-        sys.exit(130)
+    # run_cli provides the shared 130-on-interrupt behavior AND the
+    # flush+hard-exit teardown: on a cold/dead device link the probe's
+    # daemon thread stays blocked in a transfer, and plain interpreter
+    # teardown beneath it can abort after a successful save.
+    from configurable_spectrograms_tpu.cli.common import run_cli
+
+    run_cli(main)

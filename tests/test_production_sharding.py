@@ -170,3 +170,59 @@ def test_repeat_render_reuses_resident_cubes(rng, monkeypatch):
     assert uploads["n"] == first_uploads  # zero new uploads on repeat
     for a, b in zip(first, second):
         np.testing.assert_array_equal(a["rgba"], b["rgba"])
+
+
+def test_hung_dispatch_falls_back_to_host(rng, monkeypatch):
+    """A link that dies between the preflight and the render transfer must
+    not deadlock the process: the bounded dispatch abandons the hung
+    readback, flips to the host backend, and the figures still render."""
+    import time
+
+    _require_devices(1)
+    monkeypatch.setitem(figure._BACKEND, "mode", "auto")
+    monkeypatch.setitem(figure._BACKEND, "forced_host", False)
+    monkeypatch.setenv("CST_DEVICE_DISPATCH_TIMEOUT", "1")
+
+    def hung_readback(out_dev):
+        time.sleep(600)
+
+    monkeypatch.setattr(figure, "_readback", hung_readback)
+    panels = _build_panels(rng, 3)
+    t0 = time.monotonic()
+    results = _render_results(panels)
+    assert time.monotonic() - t0 < 60
+    assert figure._BACKEND["forced_host"] is True
+    assert len(results) == 3 and all(r["rgba"].shape[2] == 4 for r in results)
+
+
+def test_forced_device_hung_dispatch_raises(rng, monkeypatch):
+    """With CST_RENDER_BACKEND=device an abandoned transfer surfaces as an
+    error instead of a silent backend switch."""
+    import time
+
+    _require_devices(1)
+    monkeypatch.setitem(figure._BACKEND, "mode", "device")
+    monkeypatch.setitem(figure._BACKEND, "forced_host", False)
+    monkeypatch.setenv("CST_DEVICE_DISPATCH_TIMEOUT", "1")
+    monkeypatch.setattr(figure, "_readback", lambda out_dev: time.sleep(600))
+    import pytest
+
+    with pytest.raises(RuntimeError, match="CST_DEVICE_DISPATCH_TIMEOUT"):
+        _render_results(_build_panels(rng, 2))
+
+
+def test_inverted_log_bounds_raise_both_backends(rng, monkeypatch):
+    """Explicit log bounds whose safe-positive floor exceeds vmax raise the
+    reference's LogNorm draw-time error on both backends instead of
+    silently inverting the color ramp."""
+    import pytest
+
+    for mode in ("device", "host"):
+        monkeypatch.setitem(figure._BACKEND, "mode", mode)
+        monkeypatch.setitem(figure._BACKEND, "forced_host", False)
+        panels = _build_panels(rng, 1)
+        panels[0].cube = np.full_like(panels[0].cube, 500.0)  # min positive 500
+        panels[0].z_min = 1.0
+        panels[0].z_max = 80.0  # < safe floor -> inverted
+        with pytest.raises(ValueError, match="minvalue"):
+            _render_results(panels)
