@@ -250,10 +250,13 @@ def load_fast_cdf_dataset(
         entry_bytes = sum(a.nbytes for a in result.values())
         global _dataset_cache_bytes
         with _dataset_cache_lock:
-            while _dataset_cache and _dataset_cache_bytes + entry_bytes > _DATASET_CACHE_MAX_BYTES:
-                evicted = _dataset_cache.pop(next(iter(_dataset_cache)))
-                _dataset_cache_bytes -= sum(a.nbytes for a in evicted.values())
+            # Eligibility first: an entry that cannot be inserted anyway
+            # (oversized, or a racing thread already cached it) must not
+            # evict everyone else's resident datasets trying to make room.
             if entry_bytes <= _DATASET_CACHE_MAX_BYTES and cache_key not in _dataset_cache:
+                while _dataset_cache and _dataset_cache_bytes + entry_bytes > _DATASET_CACHE_MAX_BYTES:
+                    evicted = _dataset_cache.pop(next(iter(_dataset_cache)))
+                    _dataset_cache_bytes -= sum(a.nbytes for a in evicted.values())
                 _dataset_cache[cache_key] = result
                 _dataset_cache_bytes += entry_bytes
     return result

@@ -92,7 +92,11 @@ def synth_fast_cdf(
     compress: str = "gzip",
 ) -> str:
     """Write one synthetic FAST instrument CDF to *path*."""
-    rng = np.random.default_rng(seed if seed is not None else orbit * 131 + hash(instrument) % 1000)
+    # sum(ord) rather than hash(): str hashing is randomized per process,
+    # which would make default-seed fixtures non-reproducible across runs.
+    rng = np.random.default_rng(
+        seed if seed is not None else orbit * 131 + sum(instrument.encode()) % 1000
+    )
     if t0 is None:
         t0 = 946684800.0 + orbit * ORBIT_PERIOD_SECONDS
     arrays = synth_instrument_arrays(rng, n_time=n_time, n_angle=n_angle, n_energy=n_energy, t0=t0)
@@ -150,9 +154,14 @@ def synth_fast_archive(
                 n_angle=n_angle,
                 n_energy=n_energy,
                 t0=t0,
-                seed=seed * 100003 + orbit * 131 + DEFAULT_INSTRUMENT_ORDER.index(inst)
-                if inst in DEFAULT_INSTRUMENT_ORDER
-                else seed,
+                # Instruments beyond the default four (e.g. esv) mix the
+                # orbit and name in too -- a bare `seed` fallback wrote
+                # bit-identical cubes for every orbit of such instruments.
+                seed=seed * 100003 + orbit * 131 + (
+                    DEFAULT_INSTRUMENT_ORDER.index(inst)
+                    if inst in DEFAULT_INSTRUMENT_ORDER
+                    else len(DEFAULT_INSTRUMENT_ORDER) + sum(inst.encode()) % 997
+                ),
                 compress=compress,
             )
             paths[inst] = path

@@ -985,10 +985,7 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
 
         if _timing.ACTIVE is not None:
             dt = _time.perf_counter() - _resample_t0
-            _timing.ACTIVE.totals["host_resample"] = (
-                _timing.ACTIVE.totals.get("host_resample", 0.0) + dt
-            )
-            _timing.ACTIVE.counts["host_resample"] = _timing.ACTIVE.counts.get("host_resample", 0) + 1
+            _timing.ACTIVE.add("host_resample", dt)
     return results  # type: ignore[return-value]
 
 

@@ -11,6 +11,7 @@ batch run can drop an XPlane trace viewable in TensorBoard/XProf.
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -31,6 +32,10 @@ class StageTimer:
     name: str
     totals: dict[str, float] = field(default_factory=dict)
     counts: dict[str, int] = field(default_factory=dict)
+    #: Instrumented stages run in batch worker threads; unlocked
+    #: read-modify-writes would silently drop increments under contention,
+    #: corrupting the very numbers the budget tool measures.
+    lock: threading.Lock = field(default_factory=threading.Lock)
 
     @contextlib.contextmanager
     def stage(self, stage_name: str):
@@ -39,6 +44,10 @@ class StageTimer:
             yield
         finally:
             dt = time.perf_counter() - t0
+            self.add(stage_name, dt)
+
+    def add(self, stage_name: str, dt: float) -> None:
+        with self.lock:
             self.totals[stage_name] = self.totals.get(stage_name, 0.0) + dt
             self.counts[stage_name] = self.counts.get(stage_name, 0) + 1
 

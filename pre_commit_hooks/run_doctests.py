@@ -58,7 +58,9 @@ def run_file(path: Path) -> tuple[int, int]:
 
 
 def main(argv: list[str]) -> int:
-    paths = [Path(a) for a in argv] if argv else iter_default_files()
+    # resolve() so relative CLI paths survive the relative_to(REPO_ROOT)
+    # status print below.
+    paths = [Path(a).resolve() for a in argv] if argv else iter_default_files()
     total_failed = total_run = 0
     for path in paths:
         if path.suffix != ".py":

@@ -158,3 +158,41 @@ def test_real_cusp_indices_dataset():
     assert get_timestamps_for_orbit(df, 13477, "eeb", times) == []
     # Unknown orbit -> no markers.
     assert get_timestamps_for_orbit(df, 1, "ees", times) == []
+
+
+def test_oversized_dataset_load_leaves_cache_intact(tmp_path, monkeypatch):
+    """A file bigger than the whole cache budget is served uncached and
+    must NOT evict other workers' resident datasets making room for an
+    insertion that can never happen."""
+    from configurable_spectrograms_tpu.data import cdf_utils
+    from configurable_spectrograms_tpu.data.synthetic import synth_fast_cdf
+
+    monkeypatch.setattr(cdf_utils, "_DATASET_CACHE_MAX_BYTES", 300_000)
+    monkeypatch.setattr(cdf_utils, "_dataset_cache", {})
+    monkeypatch.setattr(cdf_utils, "_dataset_cache_bytes", 0)
+    small = str(tmp_path / "small.cdf")
+    big = str(tmp_path / "big.cdf")
+    synth_fast_cdf(small, 1, "ees", n_time=16, n_angle=4, n_energy=8)
+    synth_fast_cdf(big, 2, "ees", n_time=2048, n_angle=32, n_energy=48)
+    cdf_utils.load_fast_cdf_dataset(small)
+    n_before = len(cdf_utils._dataset_cache)
+    assert n_before == 1
+    cdf_utils.load_fast_cdf_dataset(big)
+    assert len(cdf_utils._dataset_cache) == n_before
+
+
+def test_synth_nondefault_instrument_varies_per_orbit(tmp_path):
+    """esv (beyond the default four) must get distinct data per orbit and
+    a hash()-free default seed (reproducible across processes)."""
+    import numpy as np
+
+    from configurable_spectrograms_tpu.data.cdf_utils import load_fast_cdf_dataset
+    from configurable_spectrograms_tpu.data.synthetic import synth_fast_archive
+
+    m = synth_fast_archive(
+        str(tmp_path), [100, 101], instruments=("ees", "esv"),
+        n_time=32, n_angle=8, n_energy=16,
+    )
+    a = load_fast_cdf_dataset(m[100]["esv"])["data"]
+    b = load_fast_cdf_dataset(m[101]["esv"])["data"]
+    assert not np.array_equal(a, b)
