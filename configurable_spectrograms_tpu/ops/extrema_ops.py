@@ -8,10 +8,17 @@ file reduces on device to two fixed-size summaries:
 * per-energy-bin positive-finite counts (E,), feeding the 99%%-cumulative
   energy-coverage rule, exactly as the reference computes it;
 * a 4096-bin log10 histogram of positive-finite collapsed values, from
-  which any percentile is answered with bounded relative error
-  (bin width = 24 decades / 4096 = 0.0059 dex, i.e. < 1.4%% relative),
-  instead of an exact pool.  The reference then applies ``math.ceil`` to
-  the result, absorbing most of that error.
+  which any percentile is answered by the containing bin's UPPER edge
+  instead of an exact pool.  Accuracy: the returned value is within one
+  bin (24 decades / 4096 = 0.0059 dex, < 1.4%% relative) of the upper
+  straddling *sample*; on dense pools (real FAST folders pool millions
+  of positives) that is the whole error.  On sparse pools, where
+  ``np.nanpercentile`` interpolates between two distant samples, the
+  upper-edge rule errs above the interpolated value by up to the
+  samples' gap -- deliberately conservative: a too-high z_max only
+  compresses the color ramp, while a too-low one would clip it.  The
+  reference then applies ``math.ceil`` to the result, absorbing most of
+  the dense-pool error.
 
 These summaries are tiny, mergeable by addition, and therefore shard
 cleanly: :mod:`configurable_spectrograms_tpu.parallel.extrema` psums them
