@@ -254,8 +254,30 @@ def main() -> None:
 
         _progress("probing device link (decisive; cold first-D2H can take minutes)")
         probe_device_link()
-        device_ok = not _host_backend_active()
-        _progress(f"device link {'healthy' if device_ok else 'down -> host only'}")
+        # A bandwidth-pre-selected host backend means the link is ALIVE but
+        # slow; the device path is still measurable (and worth recording) by
+        # forcing device mode for the device passes only.
+        bandwidth_limited = _BACKEND.get("why_host") == "bandwidth"
+        device_ok = not _host_backend_active() or bandwidth_limited
+        _progress(
+            "device link "
+            + ("slow (bandwidth-limited) -> measuring both" if bandwidth_limited
+               else ("healthy" if device_ok else "down -> host only"))
+        )
+
+        import contextlib
+
+        @contextlib.contextmanager
+        def _device_mode():
+            if not bandwidth_limited:
+                yield
+                return
+            prev = (_BACKEND["mode"], _BACKEND["forced_host"])
+            _BACKEND["mode"], _BACKEND["forced_host"] = "device", False
+            try:
+                yield
+            finally:
+                _BACKEND["mode"], _BACKEND["forced_host"] = prev
 
         render_one, jobs = _ours_setup(archive)
         dirs = {}
@@ -268,7 +290,8 @@ def main() -> None:
         latency = {"device": None, "host": None}
         if device_ok and _BACKEND["mode"] in ("auto", "device"):
             _progress("device warmup + latency (includes one-time compile)")
-            latency["device"] = _ours_warmup_and_latency(render_one, jobs, dirs["ours_device"])
+            with _device_mode():
+                latency["device"] = _ours_warmup_and_latency(render_one, jobs, dirs["ours_device"])
         prev_mode = _BACKEND["mode"]
         _BACKEND["mode"] = "host"
         _progress("host warmup + latency")
@@ -287,11 +310,17 @@ def main() -> None:
             for i in range(PASSES):
                 if device_ok and _BACKEND["mode"] in ("auto", "device"):
                     _progress(f"pass {i + 1}/{PASSES}: device backend")
-                    rates["device"].append(_ours_pass(render_one, jobs, dirs["ours_device"]))
+                    try:
+                        with _device_mode():
+                            rates["device"].append(_ours_pass(render_one, jobs, dirs["ours_device"]))
+                    except RuntimeError as exc:  # forced-device dispatch watchdog
+                        _progress(f"device pass failed ({exc}); dropping device numbers")
+                        rates["device"] = []
+                        device_ok = False
                     # A mid-pass auto-switch means the link degraded: the
                     # numbers mix device- and host-rendered figures and
                     # understate both backends.  Discard device entirely.
-                    if _BACKEND["forced_host"]:
+                    if _BACKEND["forced_host"] and not bandwidth_limited:
                         _progress("link degraded mid-pass; discarding device numbers")
                         rates["device"] = []
                         device_ok = False

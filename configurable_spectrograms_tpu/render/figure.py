@@ -260,6 +260,10 @@ _BACKEND = {
     "probed": False,
     "last_probe_ts": 0.0,
     "reprobe_inflight": False,
+    #: Why the host backend is forced: None, "dead" (no round trip), or
+    #: "bandwidth" (link alive but too slow for cube uploads -- bench can
+    #: still measure the device path explicitly).
+    "why_host": None,
 }
 _BACKEND_LOCK = threading.Lock()
 
@@ -286,6 +290,18 @@ _PROBE_TIMEOUT_SEC = float(os.environ.get("CST_LINK_PROBE_TIMEOUT", 5.0))
 #: Batch tools that prefer a decisive answer (bench.py) raise this.
 _PROBE_SYNC_WAIT_SEC = float(os.environ.get("CST_LINK_PROBE_SYNC_WAIT", 5.0))
 
+#: Phase 3 of the probe measures effective link bandwidth with a real
+#: payload: a 256-byte round trip says nothing about throughput, and a
+#: crippled 1-2 MB/s relay that answers pings would otherwise spend
+#: minutes uploading the first render's cubes before the per-panel
+#: calibration could flip (measured: 140 s vs 18 s for the same batch).
+#: Below this effective MB/s the host backend is pre-selected outright;
+#: the periodic reprobe revisits.  Direct-attached devices measure
+#: hundreds of MB/s and never trip this.
+_PRESELECT_MBPS = float(os.environ.get("CST_LINK_PRESELECT_MBPS", 20.0))
+_PROBE_BW_TIMEOUT_SEC = float(os.environ.get("CST_LINK_PROBE_BW_TIMEOUT", 30.0))
+_PROBE_BW_BYTES = 2_000_000
+
 
 def _link_roundtrip_probe() -> dict:
     """Run the two-phase probe in a daemon thread; returns an outcome dict.
@@ -300,6 +316,7 @@ def _link_roundtrip_probe() -> dict:
 
     cold_done = threading.Event()
     steady_done = threading.Event()
+    bw_done = threading.Event()
     outcome: dict = {}
 
     def _roundtrip():
@@ -315,10 +332,21 @@ def _link_roundtrip_probe() -> dict:
             np.asarray(dev2)
             outcome["steady_dt"] = _time.perf_counter() - t0
             steady_done.set()
+            # Phase 3: effective bandwidth.  The D2H readback depends on
+            # the H2D having landed (block_until_ready is NOT a sync point
+            # through the relay -- acks precede execution), so one timed
+            # put+read covers both directions.
+            payload = np.zeros(_PROBE_BW_BYTES, np.uint8)
+            t0 = _time.perf_counter()
+            np.asarray(jax.device_put(payload))
+            dt = _time.perf_counter() - t0
+            outcome["mbps"] = 2 * _PROBE_BW_BYTES / max(dt, 1e-9) / 1e6
+            bw_done.set()
         except Exception as exc:  # pragma: no cover - device init failure
             outcome["err"] = str(exc)
             cold_done.set()
             steady_done.set()
+            bw_done.set()
 
     threading.Thread(target=_roundtrip, daemon=True, name="link-probe").start()
     if not cold_done.wait(timeout=_PROBE_COLD_TIMEOUT_SEC):
@@ -328,9 +356,60 @@ def _link_roundtrip_probe() -> dict:
             "ok": False,
             "why": f"steady-state round trip over {_PROBE_TIMEOUT_SEC:.0f}s",
         }
+    if not bw_done.wait(timeout=_PROBE_BW_TIMEOUT_SEC):
+        # Link answers pings but can't move the payload within the budget:
+        # alive, but slower than anything the pre-selection would accept.
+        return {"ok": True, "steady_dt": outcome.get("steady_dt", 0.0),
+                "mbps": 2 * _PROBE_BW_BYTES / _PROBE_BW_TIMEOUT_SEC / 1e6}
     if "err" in outcome:
         return {"ok": False, "why": outcome["err"]}
-    return {"ok": True, "steady_dt": outcome.get("steady_dt", 0.0)}
+    return {"ok": True, "steady_dt": outcome.get("steady_dt", 0.0),
+            "mbps": outcome.get("mbps")}
+
+
+def _apply_probe_outcome(outcome: dict, context: str) -> None:
+    """Fold one probe outcome into the backend state (all probe paths).
+
+    A dead link forces the host backend (``why_host="dead"``); a live
+    link slower than ``_PRESELECT_MBPS`` pre-selects it
+    (``why_host="bandwidth"`` -- tools that explicitly want the device
+    path can still force it); a healthy measurement restores the device
+    backend and re-arms the one-shot calibration.  A missing ``mbps``
+    (older/partial probes, tests) counts as healthy.
+    """
+    import time as _time
+
+    from configurable_spectrograms_tpu.utils.logging import log_error
+
+    mbps = outcome.get("mbps")
+    slow = outcome.get("ok") and mbps is not None and mbps < _PRESELECT_MBPS
+    with _BACKEND_LOCK:
+        _BACKEND["last_probe_ts"] = _time.monotonic()
+        if _BACKEND["mode"] != "auto":
+            return
+        if not outcome.get("ok"):
+            _BACKEND["forced_host"] = True
+            _BACKEND["why_host"] = "dead"
+        elif slow:
+            _BACKEND["forced_host"] = True
+            _BACKEND["why_host"] = "bandwidth"
+        else:
+            promote = _BACKEND["forced_host"]
+            _BACKEND["forced_host"] = False
+            _BACKEND["why_host"] = None
+            if promote:
+                _BACKEND["calibrated"] = False  # re-calibrate on the live link
+    if not outcome.get("ok"):
+        log_error(
+            f"[BACKEND] device link {context}: failed ({outcome.get('why')}); "
+            "using the host rasterization backend"
+        )
+    elif slow:
+        log_error(
+            f"[BACKEND] device link {context}: alive but ~{mbps:.1f} MB/s "
+            f"effective (< {_PRESELECT_MBPS:.0f} MB/s); pre-selecting the host "
+            "backend so renders never crawl through cube uploads"
+        )
 
 
 def probe_device_link() -> None:
@@ -362,17 +441,12 @@ def probe_device_link() -> None:
 
     threading.Thread(target=_probe, daemon=True, name="link-probe-outer").start()
     if done.wait(timeout=_PROBE_SYNC_WAIT_SEC):
-        _BACKEND["last_probe_ts"] = _time.monotonic()
-        if not outcome.get("ok"):
-            _BACKEND["forced_host"] = True
-            log_error(
-                f"[BACKEND] device link preflight failed ({outcome.get('why')}); "
-                f"using the host rasterization backend for this process"
-            )
+        _apply_probe_outcome(outcome, "preflight")
         return
 
     with _BACKEND_LOCK:
         _BACKEND["forced_host"] = True
+        _BACKEND["why_host"] = "dead"
         _BACKEND["last_probe_ts"] = _time.monotonic()
     log_error(
         f"[BACKEND] device link gave no round trip within "
@@ -383,19 +457,9 @@ def probe_device_link() -> None:
     def _promote():
         # _link_roundtrip_probe bounds its own phases, so this always ends.
         done.wait()
-        with _BACKEND_LOCK:
-            _BACKEND["last_probe_ts"] = _time.monotonic()
-            promote = outcome.get("ok") and _BACKEND["mode"] == "auto"
-            if promote:
-                _BACKEND["forced_host"] = False
-                _BACKEND["calibrated"] = False  # re-calibrate on the live link
-        if promote:
+        _apply_probe_outcome(outcome, "warm-start probe")
+        if outcome.get("ok") and not _BACKEND["forced_host"]:
             log_error("[BACKEND] device link warmed up; promoting to device rasterization")
-        else:
-            log_error(
-                f"[BACKEND] device link probe failed ({outcome.get('why')}); "
-                f"staying on the host backend (periodic reprobe continues)"
-            )
 
     threading.Thread(target=_promote, daemon=True, name="link-promote").start()
 
@@ -426,14 +490,12 @@ def maybe_reprobe_device_link() -> None:
         # The transfer runs in an inner thread (inside the probe helper) so
         # a still-dead link cannot pin the reprobe machinery: on timeout the
         # inner thread is abandoned and the next interval tries again.
-        ok = _link_roundtrip_probe()["ok"]
+        outcome = _link_roundtrip_probe()
+        _apply_probe_outcome(outcome, "reprobe")
         with _BACKEND_LOCK:
-            _BACKEND["last_probe_ts"] = _time.monotonic()
             _BACKEND["reprobe_inflight"] = False
-            if ok:
-                _BACKEND["forced_host"] = False
-                _BACKEND["calibrated"] = False  # re-calibrate on the fresh link
-        if ok:
+            recovered = outcome.get("ok") and not _BACKEND["forced_host"]
+        if recovered:
             from configurable_spectrograms_tpu.utils.logging import log_error
 
             log_error("[BACKEND] device link recovered; resuming device rasterization")

@@ -254,3 +254,50 @@ def test_canvas_pool_keeps_recycling_past_size_cap():
         with F._CANVAS_POOL_LOCK:
             F._CANVAS_POOL.clear()
             F._CANVAS_POOL.update(saved)
+
+
+def test_bandwidth_preselection(monkeypatch):
+    """A link that answers pings but measures below the pre-selection
+    bandwidth is pre-forced to the host backend (why_host='bandwidth');
+    a fast measurement restores the device backend."""
+    from configurable_spectrograms_tpu.render import figure
+
+    monkeypatch.setitem(figure._BACKEND, "mode", "auto")
+    monkeypatch.setitem(figure._BACKEND, "forced_host", False)
+    monkeypatch.setitem(figure._BACKEND, "why_host", None)
+    monkeypatch.setitem(figure._BACKEND, "probed", False)
+    monkeypatch.setattr(
+        figure, "_link_roundtrip_probe", lambda: {"ok": True, "mbps": 2.0}
+    )
+    figure.probe_device_link()
+    assert figure._BACKEND["forced_host"] is True
+    assert figure._BACKEND["why_host"] == "bandwidth"
+
+    # Recovery via reprobe with a healthy bandwidth measurement.
+    monkeypatch.setitem(figure._BACKEND, "last_probe_ts", 0.0)
+    monkeypatch.setitem(figure._BACKEND, "reprobe_inflight", False)
+    monkeypatch.setattr(figure, "_REPROBE_INTERVAL_SEC", 0.0)
+    monkeypatch.setattr(
+        figure, "_link_roundtrip_probe", lambda: {"ok": True, "mbps": 800.0}
+    )
+    import time
+
+    figure.maybe_reprobe_device_link()
+    deadline = time.monotonic() + 30
+    while figure._BACKEND["forced_host"] and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert figure._BACKEND["forced_host"] is False
+    assert figure._BACKEND["why_host"] is None
+
+
+def test_probe_without_bandwidth_counts_as_healthy(monkeypatch):
+    """Outcomes lacking an mbps field (partial probes) must not pre-select."""
+    from configurable_spectrograms_tpu.render import figure
+
+    monkeypatch.setitem(figure._BACKEND, "mode", "auto")
+    monkeypatch.setitem(figure._BACKEND, "forced_host", False)
+    monkeypatch.setitem(figure._BACKEND, "why_host", None)
+    monkeypatch.setitem(figure._BACKEND, "probed", False)
+    monkeypatch.setattr(figure, "_link_roundtrip_probe", lambda: {"ok": True})
+    figure.probe_device_link()
+    assert figure._BACKEND["forced_host"] is False
