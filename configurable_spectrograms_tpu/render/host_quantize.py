@@ -29,6 +29,13 @@ from configurable_spectrograms_tpu.utils.resident_cache import ResidentCache
 #: eviction keeps a recycled id from aliasing a stale entry.  FIFO-capped.
 _COLLAPSE_CACHE = ResidentCache(max_entries=64)
 
+#: Percentile color-bound cache.  The pool extraction + sort is ~70% of a
+#: panel's quantize cost, and identical pools recur constantly: a pitch
+#: grid's full and zoom panels share full-time bounds, and the four scale
+#: combos of a batch share them too (the pool does not depend on the
+#: z scale).  Keyed by the selection signature with the matrix as owner.
+_BOUNDS_CACHE = ResidentCache(max_entries=256)
+
 
 def cached_collapse(cube: np.ndarray, pitch_mask: np.ndarray, clean_provider=None) -> np.ndarray:
     """:func:`host_collapse` with a cross-render resident-result cache.
@@ -135,18 +142,36 @@ def host_quantize(
 
     zmin_arg, zmax_arg = z_bounds
     if zmin_arg is None or zmax_arg is None:
-        pool = matrix[zb_sel & ~np.isnan(matrix)]
-        # Two scalar percentile calls on one shared pool: scalar-q
-        # np.percentile interpolates in the input dtype (float32) while
-        # array-q promotes to float64, so combining the calls would change
-        # vmin/vmax in the last ulp and break bit-exactness with the
-        # reference (caught by tests/test_reference_parity.py).
-        vmin = float(zmin_arg) if zmin_arg is not None else (
-            float(np.percentile(pool, low_pct)) if pool.size else np.nan
+        rows_key = (
+            "full" if (zb_e_valid is not None and zb_full_time) else (int(t_start), int(t_count))
         )
-        vmax = float(zmax_arg) if zmax_arg is not None else (
-            float(np.percentile(pool, high_pct)) if pool.size else np.nan
+        bounds_key = (
+            id(matrix),
+            rows_key,
+            (zb_e_valid if zb_e_valid is not None else e_valid).tobytes(),
+            zb_e_valid is None,
+            float(low_pct),
+            float(high_pct),
+            None if zmin_arg is None else float(zmin_arg),
+            None if zmax_arg is None else float(zmax_arg),
         )
+        hit = _BOUNDS_CACHE.get(bounds_key)
+        if hit is not None:
+            vmin, vmax = hit
+        else:
+            pool = matrix[zb_sel & ~np.isnan(matrix)]
+            # Two scalar percentile calls on one shared pool: scalar-q
+            # np.percentile interpolates in the input dtype (float32) while
+            # array-q promotes to float64, so combining the calls would change
+            # vmin/vmax in the last ulp and break bit-exactness with the
+            # reference (caught by tests/test_reference_parity.py).
+            vmin = float(zmin_arg) if zmin_arg is not None else (
+                float(np.percentile(pool, low_pct)) if pool.size else np.nan
+            )
+            vmax = float(zmax_arg) if zmax_arg is not None else (
+                float(np.percentile(pool, high_pct)) if pool.size else np.nan
+            )
+            _BOUNDS_CACHE.insert(bounds_key, (vmin, vmax), (matrix,))
     else:
         vmin, vmax = float(zmin_arg), float(zmax_arg)
 

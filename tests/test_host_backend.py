@@ -301,3 +301,36 @@ def test_probe_without_bandwidth_counts_as_healthy(monkeypatch):
     monkeypatch.setattr(figure, "_link_roundtrip_probe", lambda: {"ok": True})
     figure.probe_device_link()
     assert figure._BACKEND["forced_host"] is False
+
+
+def test_percentile_bounds_cache_shared_across_panels(rng):
+    """Full and zoom panels (and different z scales) sharing one matrix and
+    selection compute the percentile pool once; results are identical to
+    the uncached computation and explicit-bound variants keep distinct
+    keys."""
+    from configurable_spectrograms_tpu.render import host_quantize as hq
+
+    hq._BOUNDS_CACHE.clear()
+    m = (rng.random((256, 16)) * 900).astype(np.float32)
+    m[rng.random(m.shape) < 0.03] = np.nan
+    energy = np.geomspace(20000, 5, 16).astype(np.float32)
+    e_valid = (energy >= 0) & (energy <= 4000)
+
+    full = hq.host_quantize(m, energy, e_valid, 0, 256, (None, None), "linear", "linear",
+                            1.0, 99.0, zb_e_valid=e_valid, zb_full_time=True)
+    n1 = len(hq._BOUNDS_CACHE)
+    zoom = hq.host_quantize(m, energy, e_valid, 100, 40, (None, None), "linear", "log",
+                            1.0, 99.0, zb_e_valid=e_valid, zb_full_time=True)
+    assert len(hq._BOUNDS_CACHE) == n1  # pure hit: same full-time pool
+    assert (zoom["vmin"], zoom["vmax"]) == (full["vmin"], full["vmax"])
+    pool = m[~np.isnan(m) & e_valid[None, :]]
+    assert full["vmin"] == float(np.percentile(pool, 1.0))
+    assert full["vmax"] == float(np.percentile(pool, 99.0))
+
+    # A different explicit zmin over the same matrix must not alias.
+    q5 = hq.host_quantize(m, energy, e_valid, 0, 256, (5.0, None), "linear", "linear",
+                          1.0, 99.0, zb_e_valid=e_valid, zb_full_time=True)
+    q7 = hq.host_quantize(m, energy, e_valid, 0, 256, (7.0, None), "linear", "linear",
+                          1.0, 99.0, zb_e_valid=e_valid, zb_full_time=True)
+    assert (q5["vmin"], q7["vmin"]) == (5.0, 7.0)
+    assert q5["vmax"] == q7["vmax"] == full["vmax"]
