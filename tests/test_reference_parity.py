@@ -53,3 +53,20 @@ def test_api_parity_audit_no_missing_symbols():
     assert missing == 0, [r for r in rows if "MISSING" in r.get("status", "")]
     deltas = [r for r in rows if r["status"].startswith("param delta")]
     assert not deltas, deltas
+
+
+def test_api_reference_doc_is_fresh():
+    """docs/api_reference.md matches the code's current public surface
+    (regenerate with `python tools/gen_api_reference.py`)."""
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    try:
+        import gen_api_reference
+    finally:
+        sys.path.pop(0)
+    expected = gen_api_reference.generate()
+    actual = (repo / "docs" / "api_reference.md").read_text()
+    assert actual == expected, "docs/api_reference.md is stale; rerun tools/gen_api_reference.py"
