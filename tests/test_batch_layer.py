@@ -334,3 +334,22 @@ def test_progress_tail_streams_updates(tmp_path):
     tail.stop()
     assert any("log_log @ orbit 4100" in s for s in seen), seen
     assert any("orbit 4101" in s and "2 completed" in s for s in seen), seen
+
+
+def test_tui_rejects_bad_combo_spec(tmp_path):
+    """An invalid scale-combo answer reports the error and returns to the
+    menu instead of crashing the front-end."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    script = "2\ndata\nplots\n\nsqrt-log\nq\n"  # bad combo -> back to menu
+    proc = subprocess.run(
+        [sys.executable, str(repo / "GUI_batch_download_plot_FAST.py"), "--tui"],
+        input=script, text=True, cwd=tmp_path, env=_tui_env(repo),
+        capture_output=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "bad scale combo" in proc.stdout
+    assert not (tmp_path / "plots").exists()

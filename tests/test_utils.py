@@ -146,3 +146,37 @@ def test_resident_cache_bounds_and_owner_eviction():
     gc.collect()
     assert [k[1] for k in b.keys()] == ["c"]
     assert b.total_bytes == 40
+
+
+def test_resident_cache_concurrent_inserts_and_owner_death():
+    """Stress the two-phase owner eviction: many threads inserting while
+    owners die; the ledger and key lists stay exact and nothing deadlocks."""
+    import gc
+    import threading
+
+    import numpy as np
+
+    from configurable_spectrograms_tpu.utils.resident_cache import ResidentCache
+
+    cache = ResidentCache(max_bytes=200_000)
+    errs = []
+
+    def worker(tid):
+        try:
+            for i in range(60):
+                owner = np.zeros(500, np.uint8)
+                cache.insert((id(owner), tid, i), np.full(100, tid, np.uint8), (owner,))
+                # owner dies immediately -> finalizer enqueues eviction
+                del owner
+                if i % 20 == 0:
+                    gc.collect()
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(8)]
+    [t.start() for t in threads]
+    [t.join(timeout=60) for t in threads]
+    assert not errs
+    gc.collect()
+    assert cache.total_bytes == sum(v.nbytes for v in cache.values())
+    assert len(cache) == 0  # every owner died -> every entry evicted
