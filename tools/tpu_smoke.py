@@ -44,8 +44,11 @@ def main() -> int:
                 times=np.arange(T, dtype=np.float64),
                 window=TimeWindow(0, T, (0.0, float(T - 1)), (0.0, float(T - 1))),
                 y_min=0.0, y_max=4000.0,
+                # Explicit bounds must bracket the collapsed data: a z_max
+                # below the matrix's positive floor now raises the
+                # reference's LogNorm draw-time error by design.
                 z_min=None if k % 2 else 1.0,
-                z_max=None if k % 2 else 800.0,
+                z_max=None if k % 2 else 40000.0,
                 y_scale="log" if k % 2 else "linear",
                 z_scale="log",
                 colormap="inferno",
