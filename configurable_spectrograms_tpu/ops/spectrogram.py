@@ -326,9 +326,17 @@ def _analyze_matrix(
             lo = jnp.floor(pos).astype(jnp.int32)
             hi = jnp.ceil(pos).astype(jnp.int32)
             frac = pos - lo.astype(jnp.float32)
+            # numpy's _lerp branch for branch (see masked_nanpercentile):
+            # the symmetric lo*(1-t)+hi*t form differs from np.percentile
+            # in the last float32 ulp and can flip a colormap bin against
+            # the host backend.
+            diff = sorted_vals[hi] - sorted_vals[lo]
             v = jnp.where(
-                frac == 0, sorted_vals[lo], sorted_vals[lo] * (1.0 - frac) + sorted_vals[hi] * frac
+                frac >= 0.5,
+                sorted_vals[hi] - diff * (1.0 - frac),
+                sorted_vals[lo] + diff * frac,
             )
+            v = jnp.where(frac == 0, sorted_vals[lo], v)
             return jnp.where(n_ok > 0, v, jnp.nan)
 
         vmin = jnp.where(jnp.isnan(zmin_arg), _pct(spec.low_percentile), zmin_arg).astype(jnp.float32)

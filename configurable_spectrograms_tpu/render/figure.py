@@ -628,10 +628,17 @@ def _render_group_host(panels: list[PanelData], idxs: list[int], tile_h: int, ti
             zb_full = True
         else:
             zb_e_valid, zb_full = None, False
-        q = host_quantize(
-            matrix, p.energy, e_valid, p.window.t_start, p.window.t_count,
-            (p.z_min, p.z_max), y_scale, z_scale, lo_pct, hi_pct, zb_e_valid, zb_full,
-        )
+        try:
+            q = host_quantize(
+                matrix, p.energy, e_valid, p.window.t_start, p.window.t_count,
+                (p.z_min, p.z_max), y_scale, z_scale, lo_pct, hi_pct, zb_e_valid, zb_full,
+            )
+        except ValueError as exc:
+            # Per-panel analysis error (inverted log bounds): recorded and
+            # raised by the owning figure's composite, not here -- a raise
+            # inside a pooled group would fail every coalesced figure.
+            results[i] = {"error": str(exc)}
+            continue
         rgba = resample_indices(
             q["idx"], q["kept_pos"], q["n_kept"], q["flip"], q["y0"], q["y1"],
             p.window.t_start, p.window.t_count, make_x_map(p.window, tile_w),
@@ -1014,8 +1021,12 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
                 # Explicit log bounds whose safe-positive floor exceeds vmax:
                 # matplotlib's LogNorm raises at draw time in the reference
                 # (batch drivers record the orbit as a plotting error);
-                # rendering on would silently invert the color ramp.
-                raise ValueError("minvalue must be less than or equal to maxvalue")
+                # rendering on would silently invert the color ramp.  The
+                # error is recorded per panel and raised when the OWNING
+                # figure composites, so pooled dispatches keep serving the
+                # other figures.
+                results[i] = {"error": "minvalue must be less than or equal to maxvalue"}
+                continue
             kept_pos_j = meta_host[j, 7:].astype(np.int32)
             rgba = resample_indices(
                 idx_host[j],
@@ -1146,6 +1157,14 @@ class _Layout:
         # SAME memory: ``frombuffer`` shares the RGBA buffer with numpy, so
         # neither compositing nor the later PNG encode copies the canvas
         # (save_image reads ``_np_canvas``; the native encoder drops alpha).
+        # Per-panel analysis errors (e.g. inverted log bounds) surface HERE,
+        # at figure granularity: raising inside the pooled dispatch would
+        # fail every concurrently-coalesced figure, permanently recording
+        # innocent orbits as plotting errors (the reference errors only the
+        # offending orbit).
+        for ax in self.fig.axes:
+            if ax.result is not None and ax.result.get("error"):
+                raise ValueError(ax.result["error"])
         canvas = _acquire_canvas(self.H, self.W)
         for ax in self.fig.axes:
             self._blit_tiles(canvas, ax)

@@ -211,18 +211,35 @@ def test_forced_device_hung_dispatch_raises(rng, monkeypatch):
         _render_results(_build_panels(rng, 2))
 
 
-def test_inverted_log_bounds_raise_both_backends(rng, monkeypatch):
-    """Explicit log bounds whose safe-positive floor exceeds vmax raise the
-    reference's LogNorm draw-time error on both backends instead of
-    silently inverting the color ramp."""
+def test_inverted_log_bounds_error_scoped_to_owning_figure(rng, monkeypatch):
+    """Explicit log bounds whose safe-positive floor exceeds vmax surface
+    the reference's LogNorm draw-time error -- but only for the OWNING
+    figure: panels pooled into the same dispatch keep rendering (a raise
+    inside the pooled call would fail every coalesced figure and record
+    innocent orbits as plotting errors forever)."""
     import pytest
 
     for mode in ("device", "host"):
         monkeypatch.setitem(figure._BACKEND, "mode", mode)
         monkeypatch.setitem(figure._BACKEND, "forced_host", False)
-        panels = _build_panels(rng, 1)
-        panels[0].cube = np.full_like(panels[0].cube, 500.0)  # min positive 500
-        panels[0].z_min = 1.0
-        panels[0].z_max = 80.0  # < safe floor -> inverted
+        panels = _build_panels(rng, 3)
+        panels[1].cube = np.full_like(panels[1].cube, 500.0)  # min positive 500
+        panels[1].z_min = 1.0
+        panels[1].z_max = 80.0  # < safe floor -> inverted
+        results = _render_results(panels)
+        assert results[1].get("error") and "minvalue" in results[1]["error"]
+        for j in (0, 2):  # pooled neighbors unaffected
+            assert "error" not in results[j] and results[j]["rgba"].shape[2] == 4
+
+        # The owning figure's composite raises; a clean figure sharing the
+        # same render pass does not.
+        from configurable_spectrograms_tpu.render.plotting import (
+            generic_plot_multirow_optional_zoom,
+        )
+
+        bad_cube = np.full((64, 6, 12), 500.0, np.float32)
+        ds = [{"x": np.arange(64.0), "y": np.geomspace(4000, 10, 12),
+               "data": bad_cube, "label": "bad", "vmin": 1.0, "vmax": 80.0}]
+        fig, _ = generic_plot_multirow_optional_zoom(ds, z_scale="log", show=False)
         with pytest.raises(ValueError, match="minvalue"):
-            _render_results(panels)
+            fig.render(dpi=40)
