@@ -247,3 +247,19 @@ def test_column_major_records_not_interleaved(tmp_path):
     with CDF(path) as c:
         assert c.cdf_info()["Majority"] == "Column_major"
         np.testing.assert_array_equal(c.varget("v"), arr)
+
+
+def test_column_major_three_axis_records(tmp_path):
+    """The per-record majority transform generalizes to 3-D records."""
+    path = str(tmp_path / "cm3.cdf")
+    arr = np.arange(2 * 2 * 3 * 4, dtype=np.float32).reshape(2, 2, 3, 4)
+    write_cdf(path, {"v": arr}, compress="gzip", row_major=False)
+    blob_expected = b"".join(
+        arr[r].astype("<f4").flatten(order="F").tobytes() for r in range(2)
+    )
+    with CDF(path) as c:
+        np.testing.assert_array_equal(c.varget("v"), arr)
+    # Uncompressed variant pins the physical payload too.
+    path2 = str(tmp_path / "cm3u.cdf")
+    write_cdf(path2, {"v": arr}, compress="none", row_major=False)
+    assert blob_expected in open(path2, "rb").read()
