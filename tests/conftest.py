@@ -24,8 +24,12 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture
 def rng():
+    """Function-scoped so every test draws the SAME deterministic stream
+    regardless of which other tests ran first -- a session-scoped
+    generator made test inputs depend on selection/ordering, so failures
+    could vanish when a test was run in isolation."""
     return np.random.default_rng(1234)
 
 

@@ -161,10 +161,12 @@ def test_libdeflate_inflate_matches_gzip(rng):
     payload = bytes(range(256)) * 100
     z = gzip.compress(payload, 6)
     assert gzip_decompress(z, 10) == payload
-    # Corrupt streams still raise like gzip.decompress.
+    # Corrupt streams still raise like gzip.decompress (OSError covers
+    # BadGzipFile; a bare Exception would also accept e.g. a TypeError
+    # from broken argument handling).
     import pytest as _pytest
 
-    with _pytest.raises(Exception):
+    with _pytest.raises(OSError):
         gzip_decompress(b"\x1f\x8b" + b"garbagegarbagegarbage")
 
 

@@ -8,7 +8,8 @@ from configurable_spectrograms_tpu.render.plotting import make_spectrogram
 
 
 @pytest.fixture(scope="module")
-def panel_inputs(rng):
+def panel_inputs():
+    rng = np.random.default_rng(1234)  # own stream: module scope outlives the rng fixture
     T, A, E = 80, 8, 16
     cube = (rng.random((T, A, E)) * 100).astype(np.float32)
     energy = np.linspace(50, 3000, E).astype(np.float32)
@@ -68,8 +69,11 @@ def test_colorbar_gradient_present(panel_inputs):
     t, energy, cube = panel_inputs
     fig = SpectroFigure(figsize=(8, 3))
     ax = fig.add_subplot(1, 1, 1)
-    make_spectrogram(t, energy, cube, axis_object=ax, colormap="viridis",
-                     z_axis_min=0.0, z_axis_max=100.0)
+    # Uniform mid-range data: the data TILE renders as one color (index
+    # ~128), so the LUT endpoint colors below can only come from the
+    # colorbar strip -- deleting the colorbar must fail this test.
+    make_spectrogram(t, energy, np.full_like(cube, 50.0), axis_object=ax,
+                     colormap="viridis", z_axis_min=0.0, z_axis_max=100.0)
     img = _render(fig)
     from configurable_spectrograms_tpu.ops import colormap_lut
 
@@ -78,6 +82,8 @@ def test_colorbar_gradient_present(panel_inputs):
     lo = np.all(np.abs(img.astype(int) - lut[4, :3].astype(int)) <= 2, axis=-1)
     hi = np.all(np.abs(img.astype(int) - lut[250, :3].astype(int)) <= 2, axis=-1)
     assert lo.any() and hi.any()
+    mid = np.all(np.abs(img.astype(int) - lut[128, :3].astype(int)) <= 2, axis=-1)
+    assert mid.any()  # the tile itself rendered
 
 
 def test_single_sample_window(panel_inputs):

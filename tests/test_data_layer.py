@@ -177,7 +177,11 @@ def test_oversized_dataset_load_leaves_cache_intact(tmp_path, monkeypatch):
     cdf_utils.load_fast_cdf_dataset(small)
     n_before = len(cdf_utils._dataset_cache)
     assert n_before == 1
+    small_key = next(iter(cdf_utils._dataset_cache))
     cdf_utils.load_fast_cdf_dataset(big)
+    # The SMALL entry must survive (length alone would also pass if the
+    # oversized load evicted it and inserted itself).
+    assert small_key in cdf_utils._dataset_cache
     assert len(cdf_utils._dataset_cache) == n_before
 
 

@@ -17,4 +17,10 @@ def test_doctest_harness_passes():
         timeout=600,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
-    assert "0 failed" in proc.stdout.splitlines()[-1]
+    # Exact-match the failure count ('0 failed' as a substring would also
+    # accept '10 failed').
+    import re
+
+    m = re.search(r"total: (\d+) tests, (\d+) failed", proc.stdout.splitlines()[-1])
+    assert m, proc.stdout
+    assert int(m.group(2)) == 0 and int(m.group(1)) > 0

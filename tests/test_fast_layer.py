@@ -179,13 +179,16 @@ def test_process_single_orbit_skip_existing(archive, tmp_path):
         instrument_timeout_seconds=300,
     )
     paths = {"ees": archive["mapping"][500]["ees"]}
-    FAST_process_single_orbit(500, paths, **common)
+    first = FAST_process_single_orbit(500, paths, **common)
+    assert first["status"] == "ok", first
     mtimes = {}
     for root, _d, fs in os.walk(out_base):
         for f in fs:
             p = os.path.join(root, f)
             mtimes[p] = os.path.getmtime(p)
-    FAST_process_single_orbit(500, paths, override_plots=False, **common)
+    assert mtimes, "first run produced no files; the skip loop would be vacuous"
+    second = FAST_process_single_orbit(500, paths, override_plots=False, **common)
+    assert second["status"] == "ok", second
     for p, m in mtimes.items():
         assert os.path.getmtime(p) == m  # untouched
 

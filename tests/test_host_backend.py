@@ -42,9 +42,20 @@ def test_host_quantize_matches_oracle(rng, y_scale, z_scale):
     )
     lut = colormap_lut("viridis")
     lut_ext = np.concatenate([lut, np.array([[255, 255, 255, 255]], np.uint8)])
-    expected = lut_ext[np.where(exp_idx < 0, 256, exp_idx)]
+    exp_safe = np.where(exp_idx < 0, 256, exp_idx)
+    expected = lut_ext[exp_safe]
     mism = np.any(got != expected, axis=-1)
     assert mism.mean() < 0.02, f"host-vs-oracle mismatch {mism.mean():.4f}"
+    if mism.any():
+        # Every mismatching pixel must be within 1 LUT index of the oracle
+        # (the fraction bound alone would accept a whole wrongly-colored
+        # boundary row).
+        got_idx = np.full(mism.shape, -9, np.int32)
+        for cand in range(257):
+            got_idx[np.all(got == lut_ext[cand], axis=-1)] = cand
+        assert np.all(np.abs(got_idx[mism] - exp_safe[mism]) <= 1), (
+            f"{mism.sum()} pixels differ by more than 1 LUT index"
+        )
     np.testing.assert_allclose(q["vmin"], vmin, rtol=1e-4)
     np.testing.assert_allclose(q["vmax"], vmax, rtol=1e-4)
 

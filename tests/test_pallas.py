@@ -9,10 +9,6 @@ import jax.numpy as jnp  # noqa: E402
 from configurable_spectrograms_tpu.ops.spectrogram import collapse_cube  # noqa: E402
 
 
-def _pallas_available() -> bool:
-    return jax.devices()[0].platform in ("tpu",)
-
-
 @pytest.mark.parametrize("tv", [512, 300, 0])
 def test_collapse_cube_pallas_matches_jnp(rng, tv):
     from configurable_spectrograms_tpu.ops.pallas_kernels import collapse_cube_pallas

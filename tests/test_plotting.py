@@ -121,6 +121,11 @@ def test_multirow_zoom_decision(arrays):
     center = float(t[40])
     fig3, _ = generic_plot_multirow_optional_zoom(ds3, vertical_lines=[center], zoom_duration_minutes=1.0)
     assert fig3.ncols == 1
+    # Positive control: the same single marker over NON-NaN data must
+    # produce the zoom column (otherwise the no-zoom case above could
+    # pass because single-marker zoom is broken entirely).
+    fig4, _ = generic_plot_multirow_optional_zoom(ds, vertical_lines=[center], zoom_duration_minutes=1.0)
+    assert fig4.ncols == 2
 
 
 def test_multirow_two_marker_window_expansion(arrays):
@@ -132,10 +137,10 @@ def test_multirow_two_marker_window_expansion(arrays):
         vertical_lines=marks,
         zoom_duration_minutes=0.5,
     )
-    if fig.ncols == 2:
-        zoom_ax = fig.axes[1]
-        span = zoom_ax.panel.window.xlim[1] - zoom_ax.panel.window.xlim[0]
-        np.testing.assert_allclose(span, (marks[1] - marks[0]) * 1.5, rtol=1e-6)
+    assert fig.ncols == 2  # markers sit well inside the data: zoom must render
+    zoom_ax = fig.axes[1]
+    span = zoom_ax.panel.window.xlim[1] - zoom_ax.panel.window.xlim[0]
+    np.testing.assert_allclose(span, (marks[1] - marks[0]) * 1.5, rtol=1e-6)
 
 
 def test_multirow_row_labels_and_footer(tmp_path, arrays):
