@@ -149,9 +149,35 @@ def batched_file_stats(cubes: list[np.ndarray]) -> list[dict[str, np.ndarray]]:
         T, A, E = c.shape
         batch[i, :T, :A, :E] = c
         t_valids[i] = T
-    out = _batched_stats_fn(mesh is not None)(jnp.asarray(batch), jnp.asarray(t_valids))
-    counts = np.asarray(out["counts"])
-    hist = np.asarray(out["hist"])
+    from configurable_spectrograms_tpu.render.figure import (
+        _BACKEND,
+        _bounded_call,
+        _dispatch_timeout,
+    )
+
+    def _dispatch():
+        out = _batched_stats_fn(mesh is not None)(jnp.asarray(batch), jnp.asarray(t_valids))
+        return np.asarray(out["counts"]), np.asarray(out["hist"])
+
+    # Same hazard as the render path: a link dying between the preflight
+    # and this transfer hangs forever without a bound, deadlocking the
+    # whole extrema pre-pass.
+    ok, value = _bounded_call(_dispatch, _dispatch_timeout())
+    if not ok:
+        from configurable_spectrograms_tpu.utils.logging import log_error
+
+        if _BACKEND["mode"] == "device":
+            raise RuntimeError(
+                "extrema dispatch/readback exceeded CST_DEVICE_DISPATCH_TIMEOUT "
+                "with CST_RENDER_BACKEND=device"
+            )
+        _BACKEND["forced_host"] = True
+        log_error(
+            "[BACKEND] extrema dispatch/readback timed out; abandoning the "
+            "transfer and finishing the scan on the host backend"
+        )
+        return [host_file_stats(np.asarray(c, np.float32)) for c in cubes]
+    counts, hist = value
     return [
         {"counts": counts[i, : cubes[i].shape[2]], "hist": hist[i]} for i in range(n)
     ]

@@ -243,3 +243,37 @@ def test_inverted_log_bounds_error_scoped_to_owning_figure(rng, monkeypatch):
         fig, _ = generic_plot_multirow_optional_zoom(ds, z_scale="log", show=False)
         with pytest.raises(ValueError, match="minvalue"):
             fig.render(dpi=40)
+
+
+def test_hung_extrema_dispatch_falls_back_to_host(rng, monkeypatch):
+    """The extrema pre-pass has the same mid-batch link hazard as renders:
+    a hung dispatch must fall back to the numpy stats, not deadlock."""
+    import time
+
+    from configurable_spectrograms_tpu.ops import extrema_ops
+
+    _require_devices(1)
+    monkeypatch.setitem(figure._BACKEND, "mode", "auto")
+    monkeypatch.setitem(figure._BACKEND, "forced_host", False)
+    monkeypatch.setitem(figure._BACKEND, "probed", True)
+    monkeypatch.setenv("CST_DEVICE_DISPATCH_TIMEOUT", "1")
+
+    real_fn = extrema_ops._batched_stats_fn
+
+    def hung_fn(sharded):
+        def run(batch, t_valids):
+            time.sleep(600)
+
+        return run
+
+    monkeypatch.setattr(extrema_ops, "_batched_stats_fn", hung_fn)
+    cube = (rng.random((40, 4, 8)) * 100).astype(np.float32)
+    t0 = time.monotonic()
+    stats = extrema_ops.batched_file_stats([cube])
+    assert time.monotonic() - t0 < 60
+    assert figure._BACKEND["forced_host"] is True
+    # Results came from the host fallback and match it exactly.
+    host = extrema_ops.host_file_stats(cube)
+    np.testing.assert_array_equal(stats[0]["counts"], host["counts"])
+    np.testing.assert_array_equal(stats[0]["hist"], host["hist"])
+    monkeypatch.setattr(extrema_ops, "_batched_stats_fn", real_fn)
