@@ -138,6 +138,23 @@ def mel_spectrogram(
     return jnp.dot(mag, jnp.asarray(weights), preferred_element_type=jnp.float32)
 
 
+def host_stft_magnitude(
+    x: np.ndarray, frame_length: int = 1024, hop_length: int = 256, power: float = 2.0
+) -> np.ndarray:
+    """Numpy mirror of :func:`stft_magnitude` (``method="fft"`` math).
+
+    The resilience fallback for dead/degraded device links -- same
+    framing, periodic Hann window, and rFFT semantics.
+    """
+    x = np.asarray(x, np.float32)
+    n = x.shape[0]
+    num_frames = max(0, 1 + (n - frame_length) // hop_length)
+    starts = np.arange(num_frames) * hop_length
+    frames = x[starts[:, None] + np.arange(frame_length)[None, :]]
+    mag = np.abs(np.fft.rfft(frames * hann_window(frame_length), axis=-1)).astype(np.float32)
+    return mag if power == 1.0 else np.power(mag, np.float32(power))
+
+
 def audio_spectrogram_dataset(
     signal: np.ndarray,
     sample_rate: int,
@@ -153,17 +170,34 @@ def audio_spectrogram_dataset(
     The (frames, freq) device spectrogram becomes a (time, 1, freq) cube so
     it flows through the standard pipeline; ``x`` is frame-center seconds
     (``x_is_unix=False`` at plot time), ``y`` is Hz (FFT bins) or mel
-    center frequencies.
+    center frequencies.  Shares the render backend's link state: on a
+    dead/degraded link the STFT computes in numpy (an unbounded device
+    readback here would hang the CLI the same way an unbounded render
+    transfer would).
     """
-    x = jnp.asarray(np.asarray(signal, np.float32))
+    from configurable_spectrograms_tpu.render.figure import (
+        _host_backend_active,
+        probe_device_link,
+    )
+
+    probe_device_link()
     if n_mels is not None:
-        spec = mel_spectrogram(x, sample_rate, frame_length, hop_length, n_mels, power, method)
         _, centers = mel_filterbank(n_mels, frame_length, float(sample_rate))
         freqs = centers
     else:
-        spec = stft_magnitude(x, frame_length, hop_length, power, method)
         freqs = np.linspace(0.0, sample_rate / 2.0, frame_length // 2 + 1).astype(np.float32)
-    spec_np = np.asarray(spec)
+    if _host_backend_active():
+        spec_np = host_stft_magnitude(signal, frame_length, hop_length, power)
+        if n_mels is not None:
+            weights, _ = mel_filterbank(n_mels, frame_length, float(sample_rate))
+            spec_np = spec_np @ weights
+    else:
+        x = jnp.asarray(np.asarray(signal, np.float32))
+        if n_mels is not None:
+            spec = mel_spectrogram(x, sample_rate, frame_length, hop_length, n_mels, power, method)
+        else:
+            spec = stft_magnitude(x, frame_length, hop_length, power, method)
+        spec_np = np.asarray(spec)
     frames = spec_np.shape[0]
     times = (np.arange(frames) * hop_length + frame_length / 2) / float(sample_rate)
     return {

@@ -140,3 +140,42 @@ def test_mel_spectrogram_method_passthrough():
     b = np.asarray(mel_spectrogram(sig, 16000, 256, 64, n_mels=32, method="matmul"))
     scale = np.abs(a).max()
     np.testing.assert_allclose(a, b, atol=5e-4 * scale, rtol=1e-3)
+
+
+def test_host_stft_matches_device(rng):
+    """The numpy STFT fallback mirrors the device fft path within float32
+    tolerance, for both raw-bin and mel datasets."""
+    from configurable_spectrograms_tpu.ops.stft import (
+        host_stft_magnitude,
+        mel_filterbank,
+        stft_magnitude,
+    )
+
+    sig = rng.normal(size=8000).astype(np.float32)
+    dev = np.asarray(stft_magnitude(sig, 512, 128, 2.0, "fft"))
+    host = host_stft_magnitude(sig, 512, 128, 2.0)
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(host, dev, rtol=2e-4, atol=1e-3)
+    weights, _ = mel_filterbank(24, 512, 8000.0)
+    np.testing.assert_allclose(host @ weights, dev @ weights, rtol=2e-4, atol=1e-3)
+
+
+def test_audio_dataset_host_fallback(rng, monkeypatch):
+    """A forced-host backend routes the audio dataset through the numpy
+    STFT (no device dispatch that could hang on a dead link)."""
+    from configurable_spectrograms_tpu.ops import stft as stft_mod
+    from configurable_spectrograms_tpu.render import figure
+
+    monkeypatch.setitem(figure._BACKEND, "mode", "host")
+    calls = {"n": 0}
+    orig = stft_mod.host_stft_magnitude
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(stft_mod, "host_stft_magnitude", counting)
+    sig = rng.normal(size=4000).astype(np.float32)
+    ds = stft_mod.audio_spectrogram_dataset(sig, 8000, frame_length=256, hop_length=128, n_mels=16)
+    assert calls["n"] == 1
+    assert ds["data"].shape[2] == 16 and ds["data"].shape[1] == 1
