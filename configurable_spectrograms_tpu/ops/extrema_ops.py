@@ -161,7 +161,10 @@ def batched_file_stats(cubes: list[np.ndarray]) -> list[dict[str, np.ndarray]]:
 
     # Same hazard as the render path: a link dying between the preflight
     # and this transfer hangs forever without a bound, deadlocking the
-    # whole extrema pre-pass.
+    # whole extrema pre-pass.  On expiry the abandoned thread pins this
+    # chunk's padded batch for the process lifetime -- a bounded one-time
+    # cost, since callers chunk to <= flush_batch_size orbits
+    # (fast/extrema.py:202-203).
     ok, value = _bounded_call(_dispatch, _dispatch_timeout())
     if not ok:
         from configurable_spectrograms_tpu.utils.logging import log_error

@@ -176,28 +176,52 @@ def audio_spectrogram_dataset(
     transfer would).
     """
     from configurable_spectrograms_tpu.render.figure import (
+        _bounded_call,
+        _dispatch_timeout,
         _host_backend_active,
         probe_device_link,
     )
 
+    if method not in ("fft", "matmul"):
+        # Validate up front so a typo fails identically on both backends
+        # (the host fallback always computes fft math).
+        raise ValueError(f"unknown stft method {method!r} (expected 'fft' or 'matmul')")
     probe_device_link()
+    weights = None
     if n_mels is not None:
-        _, centers = mel_filterbank(n_mels, frame_length, float(sample_rate))
+        weights, centers = mel_filterbank(n_mels, frame_length, float(sample_rate))
         freqs = centers
     else:
         freqs = np.linspace(0.0, sample_rate / 2.0, frame_length // 2 + 1).astype(np.float32)
+
+    def _host():
+        spec = host_stft_magnitude(signal, frame_length, hop_length, power)
+        return spec @ weights if weights is not None else spec
+
     if _host_backend_active():
-        spec_np = host_stft_magnitude(signal, frame_length, hop_length, power)
-        if n_mels is not None:
-            weights, _ = mel_filterbank(n_mels, frame_length, float(sample_rate))
-            spec_np = spec_np @ weights
+        spec_np = _host()
     else:
-        x = jnp.asarray(np.asarray(signal, np.float32))
-        if n_mels is not None:
-            spec = mel_spectrogram(x, sample_rate, frame_length, hop_length, n_mels, power, method)
-        else:
-            spec = stft_magnitude(x, frame_length, hop_length, power, method)
-        spec_np = np.asarray(spec)
+
+        def _device():
+            x = jnp.asarray(np.asarray(signal, np.float32))
+            if n_mels is not None:
+                spec = mel_spectrogram(x, sample_rate, frame_length, hop_length, n_mels, power, method)
+            else:
+                spec = stft_magnitude(x, frame_length, hop_length, power, method)
+            return np.asarray(spec)
+
+        # Same mid-run hazard as render/extrema transfers: the preflight is
+        # one-shot, so a link dying later would hang the readback forever
+        # without this bound.
+        ok, spec_np = _bounded_call(_device, _dispatch_timeout())
+        if not ok:
+            from configurable_spectrograms_tpu.utils.logging import log_error
+
+            log_error(
+                "[BACKEND] audio STFT dispatch/readback timed out; computing "
+                "on the host instead"
+            )
+            spec_np = _host()
     frames = spec_np.shape[0]
     times = (np.arange(frames) * hop_length + frame_length / 2) / float(sample_rate)
     return {

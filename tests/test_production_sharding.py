@@ -258,8 +258,6 @@ def test_hung_extrema_dispatch_falls_back_to_host(rng, monkeypatch):
     monkeypatch.setitem(figure._BACKEND, "probed", True)
     monkeypatch.setenv("CST_DEVICE_DISPATCH_TIMEOUT", "1")
 
-    real_fn = extrema_ops._batched_stats_fn
-
     def hung_fn(sharded):
         def run(batch, t_valids):
             time.sleep(600)
@@ -276,4 +274,3 @@ def test_hung_extrema_dispatch_falls_back_to_host(rng, monkeypatch):
     host = extrema_ops.host_file_stats(cube)
     np.testing.assert_array_equal(stats[0]["counts"], host["counts"])
     np.testing.assert_array_equal(stats[0]["hist"], host["hist"])
-    monkeypatch.setattr(extrema_ops, "_batched_stats_fn", real_fn)

@@ -179,3 +179,34 @@ def test_audio_dataset_host_fallback(rng, monkeypatch):
     ds = stft_mod.audio_spectrogram_dataset(sig, 8000, frame_length=256, hop_length=128, n_mels=16)
     assert calls["n"] == 1
     assert ds["data"].shape[2] == 16 and ds["data"].shape[1] == 1
+
+
+def test_audio_dataset_rejects_bad_method_on_both_backends(rng, monkeypatch):
+    from configurable_spectrograms_tpu.ops import stft as stft_mod
+    from configurable_spectrograms_tpu.render import figure
+
+    sig = rng.normal(size=1000).astype(np.float32)
+    for mode in ("host", "device"):
+        monkeypatch.setitem(figure._BACKEND, "mode", mode)
+        with pytest.raises(ValueError, match="unknown stft method"):
+            stft_mod.audio_spectrogram_dataset(sig, 8000, method="bogus")
+
+
+def test_audio_dataset_hung_device_falls_back(rng, monkeypatch):
+    """A device STFT that hangs mid-run falls back to the numpy path."""
+    import time
+
+    from configurable_spectrograms_tpu.ops import stft as stft_mod
+    from configurable_spectrograms_tpu.render import figure
+
+    monkeypatch.setitem(figure._BACKEND, "mode", "device")
+    monkeypatch.setitem(figure._BACKEND, "forced_host", False)
+    monkeypatch.setitem(figure._BACKEND, "probed", True)
+    monkeypatch.setenv("CST_DEVICE_DISPATCH_TIMEOUT", "1")
+    monkeypatch.setattr(stft_mod, "stft_magnitude", lambda *a, **k: time.sleep(600))
+    sig = rng.normal(size=2000).astype(np.float32)
+    t0 = time.monotonic()
+    ds = stft_mod.audio_spectrogram_dataset(sig, 8000, frame_length=256, hop_length=128)
+    assert time.monotonic() - t0 < 60
+    expected = stft_mod.host_stft_magnitude(sig, 256, 128, 2.0)
+    np.testing.assert_array_equal(ds["data"][:, 0, :], expected)
