@@ -343,6 +343,11 @@ def main() -> None:
         candidates = {k: v for k, v in results.items() if v is not None}
         best_backend = max(candidates, key=lambda k: candidates[k][0])
         value, p50 = candidates[best_backend]
+        # The baseline on this shared 1-core box swings 2-3x between runs,
+        # so a single median ratio is not auditable: emit every per-pass
+        # rate, the baseline spread, and the WORST-case ratio (best value
+        # over the fastest observed baseline pass) so a reader can bound
+        # the claim without trusting the median (VERDICT round-2 item 5).
         print(
             json.dumps(
                 {
@@ -350,12 +355,23 @@ def main() -> None:
                     "value": round(value, 2),
                     "unit": "panels/sec",
                     "vs_baseline": round(value / baseline, 2),
+                    "vs_baseline_worst_case": round(value / max(rates["baseline"]), 2),
                     "p50_figure_latency_sec": round(p50, 3),
+                    "p50_figure_latency_sec_device": round(latency["device"], 3) if latency["device"] else None,
+                    "p50_figure_latency_sec_host": round(latency["host"], 3) if latency["host"] else None,
                     "baseline_panels_per_sec": round(baseline, 2),
+                    "baseline_spread": {
+                        "min": round(min(rates["baseline"]), 3),
+                        "median": round(baseline, 3),
+                        "max": round(max(rates["baseline"]), 3),
+                    },
                     "baseline_mode": f"matplotlib Agg x{BASELINE_WORKERS}-process pool, median of {PASSES}",
                     "backend": best_backend,
                     "device_panels_per_sec": round(results["device"][0], 2) if results["device"] else None,
                     "host_panels_per_sec": round(results["host"][0], 2) if results["host"] else None,
+                    "passes": {
+                        k: [round(r, 2) for r in v] for k, v in rates.items()
+                    },
                 }
             )
         )

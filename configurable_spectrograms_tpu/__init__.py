@@ -38,7 +38,13 @@ import os as _os
 # scratch), so huge pages buy little; default them off unless the user set
 # the knob themselves.  The runtime setter covers interpreters where
 # numpy was already imported (e.g. by sitecustomize) before this package.
-if "NUMPY_MADVISE_HUGEPAGE" not in _os.environ:
+# Embedders that do not want an import to touch process-global allocator
+# state can opt out with CST_HUGEPAGE_TUNING=0 (the override also never
+# runs when NUMPY_MADVISE_HUGEPAGE is already set by the user).
+if (
+    _os.environ.get("CST_HUGEPAGE_TUNING", "1") != "0"
+    and "NUMPY_MADVISE_HUGEPAGE" not in _os.environ
+):
     _os.environ["NUMPY_MADVISE_HUGEPAGE"] = "0"
     try:
         from numpy._core import multiarray as _ma  # numpy >= 2

@@ -64,10 +64,10 @@ def gzip_decompress_into(data: bytes, dest) -> bool:
     Skips the intermediate string buffer entirely -- no memset of the
     output buffer, no trailing copy, no ``frombuffer``+assign pass; the
     CDF reader points this at the variable's destination slice.  Returns
-    False (writing nothing... or possibly a partial prefix of *dest* on a
-    corrupt stream, which the caller's fallback then overwrites) whenever
-    the fast path cannot run; the caller falls back to
-    :func:`gzip_decompress`.
+    False whenever the fast path cannot run; on a mid-stream libdeflate
+    failure *dest* is zeroed before returning, so a False return never
+    leaves partial decompressed bytes behind (callers may fall back to
+    :func:`gzip_decompress`, but correctness no longer depends on it).
     """
     if _LIB is None or len(data) < 18:
         return False
@@ -81,7 +81,10 @@ def gzip_decompress_into(data: bytes, dest) -> bool:
     rc = _LIB.libdeflate_gzip_decompress(
         decomp, data, len(data), ctypes.c_void_p(dest.ctypes.data), size, ctypes.byref(actual)
     )
-    return rc == 0 and actual.value == size
+    if rc == 0 and actual.value == size:
+        return True
+    dest.view("u1").reshape(-1)[...] = 0  # discard any partial prefix
+    return False
 
 
 def gzip_decompress(data: bytes, expected_size: int | None = None) -> bytes:

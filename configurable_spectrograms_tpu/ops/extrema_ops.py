@@ -94,6 +94,12 @@ def _batched_stats_fn(sharded: bool):
     return jax.jit(batched, in_shardings=(lane, lane), out_shardings=lane)
 
 
+#: Diagnostics for the last device extrema dispatch (the multichip dryrun
+#: asserts the pre-pass actually spans the mesh, mirroring
+#: ``render.figure.LAST_DISPATCH`` for the render path).
+LAST_DISPATCH: dict[str, int] = {"lanes": 0, "devices": 0}
+
+
 def host_file_stats(cube: np.ndarray) -> dict[str, np.ndarray]:
     """Pure-numpy mirror of :func:`file_extrema_stats` (same float32 math).
 
@@ -153,10 +159,13 @@ def batched_file_stats(cubes: list[np.ndarray]) -> list[dict[str, np.ndarray]]:
         _BACKEND,
         _bounded_call,
         _dispatch_timeout,
+        force_host_after_dispatch_failure,
     )
 
     def _dispatch():
         out = _batched_stats_fn(mesh is not None)(jnp.asarray(batch), jnp.asarray(t_valids))
+        LAST_DISPATCH["lanes"] = n_lanes
+        LAST_DISPATCH["devices"] = len(getattr(out["counts"].sharding, "device_set", ())) or 1
         return np.asarray(out["counts"]), np.asarray(out["hist"])
 
     # Same hazard as the render path: a link dying between the preflight
@@ -174,7 +183,7 @@ def batched_file_stats(cubes: list[np.ndarray]) -> list[dict[str, np.ndarray]]:
                 "extrema dispatch/readback exceeded CST_DEVICE_DISPATCH_TIMEOUT "
                 "with CST_RENDER_BACKEND=device"
             )
-        _BACKEND["forced_host"] = True
+        force_host_after_dispatch_failure()
         log_error(
             "[BACKEND] extrema dispatch/readback timed out; abandoning the "
             "transfer and finishing the scan on the host backend"

@@ -24,23 +24,33 @@ from __future__ import annotations
 import functools
 import math
 import os
-import threading
-import weakref
 from dataclasses import dataclass, field
 from typing import Any
 
 import numpy as np
-from PIL import Image, ImageDraw
+from PIL import Image
 
-from configurable_spectrograms_tpu.render import locators
-from configurable_spectrograms_tpu.render.cusp import CUSP_MARKER_DRAWERS
-from configurable_spectrograms_tpu.render.text import (
-    draw_pow10,
-    draw_rotated_text,
-    draw_text,
-    pow10_width,
-    pt_to_px,
-    text_size,
+from configurable_spectrograms_tpu.render.compositor import (  # noqa: F401 (re-export)
+    AXIS_LABEL_PT,
+    TICK_LABEL_PT,
+    _Layout,
+)
+
+# The link state machine lives in render/link.py; the names are re-exported
+# here because this module is the historical home of the backend switch and
+# callers (batch drivers, bench, ops modules) import them from ``figure``.
+from configurable_spectrograms_tpu.render.link import (  # noqa: F401 (re-export)
+    _BACKEND,
+    _BACKEND_LOCK,
+    _CALIBRATE_XFER_SEC_PER_PANEL,
+    _MIN_LINK_MBPS,
+    _bounded_call,
+    _dispatch_timeout,
+    _host_backend_active,
+    force_host_after_dispatch_failure,
+    maybe_reprobe_device_link,
+    probe_device_link,
+    recommended_workers,
 )
 from configurable_spectrograms_tpu.render.tile import (
     TimeWindow,
@@ -49,9 +59,6 @@ from configurable_spectrograms_tpu.render.tile import (
     resample_indices,
 )
 from configurable_spectrograms_tpu.utils.resident_cache import ResidentCache
-
-TICK_LABEL_PT = 15.0
-AXIS_LABEL_PT = 18.0
 
 
 def _bucket(n: int, step: int, minimum: int) -> int:
@@ -249,350 +256,6 @@ def render_figures(figures: list["SpectroFigure"], dpi: float | None = None) -> 
 # ---------------------------------------------------------------------------
 # batched rasterization (device by default, host fallback)
 # ---------------------------------------------------------------------------
-
-#: Rasterization backend: ``device`` (JAX), ``host`` (numpy), or ``auto``
-#: (device until a pathologically slow device->host readback is measured,
-#: then host for the rest of the process).  See render/host_quantize.py.
-_BACKEND = {
-    "mode": os.environ.get("CST_RENDER_BACKEND", "auto"),
-    "forced_host": False,
-    "calibrated": False,
-    "probed": False,
-    "last_probe_ts": 0.0,
-    "reprobe_inflight": False,
-    #: Why the host backend is forced: None, "dead" (no round trip), or
-    #: "bandwidth" (link alive but too slow for cube uploads -- bench can
-    #: still measure the device path explicitly).
-    "why_host": None,
-}
-_BACKEND_LOCK = threading.Lock()
-
-#: With the host backend forced in ``auto`` mode, a recovered link is
-#: re-probed this often (seconds).  The observed relay oscillates between
-#: dead and healthy on a ~1 h scale; long processes get the device back.
-_REPROBE_INTERVAL_SEC = float(os.environ.get("CST_LINK_REPROBE_SEC", 600.0))
-
-#: Two-phase link probe budgets.  The FIRST D2H readback through the
-#: tunneled relay pays a one-time per-process setup cost (measured: 23 s
-#: to 180 s for 256 bytes on a link whose steady-state round trip is
-#: ~60 ms), so a single tight budget misreads a healthy-but-cold link as
-#: dead.  Phase 1 (backend init + first H2D + first D2H) gets the
-#: generous cold budget; phase 2 (a second tiny round trip, which
-#: reflects steady-state health) must answer within the tight budget.
-#: A dead relay fails both.
-_PROBE_COLD_TIMEOUT_SEC = float(os.environ.get("CST_LINK_PROBE_COLD_TIMEOUT", 300.0))
-_PROBE_TIMEOUT_SEC = float(os.environ.get("CST_LINK_PROBE_TIMEOUT", 5.0))
-
-#: How long ``probe_device_link`` blocks the caller waiting for the probe.
-#: A warm link answers within milliseconds; past this window rendering
-#: starts host-side and the probe keeps running in the background,
-#: promoting the process to the device backend if/when the link warms up.
-#: Batch tools that prefer a decisive answer (bench.py) raise this.
-_PROBE_SYNC_WAIT_SEC = float(os.environ.get("CST_LINK_PROBE_SYNC_WAIT", 5.0))
-
-#: Phase 3 of the probe measures effective link bandwidth with a real
-#: payload: a 256-byte round trip says nothing about throughput, and a
-#: crippled 1-2 MB/s relay that answers pings would otherwise spend
-#: minutes uploading the first render's cubes before the per-panel
-#: calibration could flip (measured: 140 s vs 18 s for the same batch).
-#: Below this effective MB/s the host backend is pre-selected outright;
-#: the periodic reprobe revisits.  Direct-attached devices measure
-#: hundreds of MB/s and never trip this.
-_PRESELECT_MBPS = float(os.environ.get("CST_LINK_PRESELECT_MBPS", 20.0))
-_PROBE_BW_TIMEOUT_SEC = float(os.environ.get("CST_LINK_PROBE_BW_TIMEOUT", 30.0))
-_PROBE_BW_BYTES = 2_000_000
-
-
-def _link_roundtrip_probe() -> dict:
-    """Run the two-phase probe in a daemon thread; returns an outcome dict.
-
-    ``{"ok": True}`` on a healthy link; ``{"ok": False, "why": ...}``
-    otherwise.  The transfer thread is abandoned on timeout (it holds no
-    locks the host path needs), so a hung link cannot block the caller.
-    Pure transfers only -- no compilation -- so a slow first-jit on a
-    healthy device never trips this.
-    """
-    import time as _time
-
-    cold_done = threading.Event()
-    steady_done = threading.Event()
-    bw_done = threading.Event()
-    outcome: dict = {}
-
-    def _roundtrip():
-        try:
-            import jax
-
-            dev = jax.device_put(np.zeros(256, np.uint8))
-            jax.block_until_ready(dev)
-            np.asarray(dev)  # first D2H: pays the relay's one-time setup
-            cold_done.set()
-            dev2 = jax.device_put(np.zeros(256, np.uint8))
-            t0 = _time.perf_counter()
-            np.asarray(dev2)
-            outcome["steady_dt"] = _time.perf_counter() - t0
-            steady_done.set()
-            # Phase 3: effective bandwidth.  The D2H readback depends on
-            # the H2D having landed (block_until_ready is NOT a sync point
-            # through the relay -- acks precede execution), so one timed
-            # put+read covers both directions.
-            payload = np.zeros(_PROBE_BW_BYTES, np.uint8)
-            t0 = _time.perf_counter()
-            np.asarray(jax.device_put(payload))
-            dt = _time.perf_counter() - t0
-            outcome["mbps"] = 2 * _PROBE_BW_BYTES / max(dt, 1e-9) / 1e6
-            bw_done.set()
-        except Exception as exc:  # pragma: no cover - device init failure
-            outcome["err"] = str(exc)
-            cold_done.set()
-            steady_done.set()
-            bw_done.set()
-
-    threading.Thread(target=_roundtrip, daemon=True, name="link-probe").start()
-    if not cold_done.wait(timeout=_PROBE_COLD_TIMEOUT_SEC):
-        return {"ok": False, "why": f"no response within {_PROBE_COLD_TIMEOUT_SEC:.0f}s"}
-    if not steady_done.wait(timeout=_PROBE_TIMEOUT_SEC):
-        return {
-            "ok": False,
-            "why": f"steady-state round trip over {_PROBE_TIMEOUT_SEC:.0f}s",
-        }
-    if not bw_done.wait(timeout=_PROBE_BW_TIMEOUT_SEC):
-        # Link answers pings but can't move the payload within the budget:
-        # alive, but slower than anything the pre-selection would accept.
-        return {"ok": True, "steady_dt": outcome.get("steady_dt", 0.0),
-                "mbps": 2 * _PROBE_BW_BYTES / _PROBE_BW_TIMEOUT_SEC / 1e6}
-    if "err" in outcome:
-        return {"ok": False, "why": outcome["err"]}
-    return {"ok": True, "steady_dt": outcome.get("steady_dt", 0.0),
-            "mbps": outcome.get("mbps")}
-
-
-def _apply_probe_outcome(outcome: dict, context: str) -> None:
-    """Fold one probe outcome into the backend state (all probe paths).
-
-    A dead link forces the host backend (``why_host="dead"``); a live
-    link slower than ``_PRESELECT_MBPS`` pre-selects it
-    (``why_host="bandwidth"`` -- tools that explicitly want the device
-    path can still force it); a healthy measurement restores the device
-    backend and re-arms the one-shot calibration.  A missing ``mbps``
-    (older/partial probes, tests) counts as healthy.
-    """
-    import time as _time
-
-    from configurable_spectrograms_tpu.utils.logging import log_error
-
-    mbps = outcome.get("mbps")
-    slow = outcome.get("ok") and mbps is not None and mbps < _PRESELECT_MBPS
-    with _BACKEND_LOCK:
-        _BACKEND["last_probe_ts"] = _time.monotonic()
-        if _BACKEND["mode"] != "auto":
-            return
-        if not outcome.get("ok"):
-            _BACKEND["forced_host"] = True
-            _BACKEND["why_host"] = "dead"
-        elif slow:
-            _BACKEND["forced_host"] = True
-            _BACKEND["why_host"] = "bandwidth"
-        else:
-            promote = _BACKEND["forced_host"]
-            _BACKEND["forced_host"] = False
-            _BACKEND["why_host"] = None
-            if promote:
-                _BACKEND["calibrated"] = False  # re-calibrate on the live link
-    if not outcome.get("ok"):
-        log_error(
-            f"[BACKEND] device link {context}: failed ({outcome.get('why')}); "
-            "using the host rasterization backend"
-        )
-    elif slow:
-        log_error(
-            f"[BACKEND] device link {context}: alive but ~{mbps:.1f} MB/s "
-            f"effective (< {_PRESELECT_MBPS:.0f} MB/s); pre-selecting the host "
-            "backend so renders never crawl through cube uploads"
-        )
-
-
-def probe_device_link() -> None:
-    """One-shot, non-blocking preflight.
-
-    A warm link passes within the short synchronous window and the device
-    backend is used from the first render.  A link that doesn't answer in
-    that window (cold: its first per-process D2H can take minutes; or
-    dead) forces the host backend IMMEDIATELY -- no render ever stalls on
-    the preflight -- while the probe keeps running in the background and
-    promotes the process to the device backend the moment the link
-    completes a healthy round trip within the cold budget.
-    """
-    with _BACKEND_LOCK:
-        if _BACKEND["probed"] or _BACKEND["mode"] != "auto" or _BACKEND["forced_host"]:
-            _BACKEND["probed"] = True
-            return
-        _BACKEND["probed"] = True
-    import time as _time
-
-    from configurable_spectrograms_tpu.utils.logging import log_error
-
-    outcome: dict = {}
-    done = threading.Event()
-
-    def _probe():
-        outcome.update(_link_roundtrip_probe())
-        done.set()
-
-    threading.Thread(target=_probe, daemon=True, name="link-probe-outer").start()
-    if done.wait(timeout=_PROBE_SYNC_WAIT_SEC):
-        _apply_probe_outcome(outcome, "preflight")
-        return
-
-    with _BACKEND_LOCK:
-        _BACKEND["forced_host"] = True
-        _BACKEND["why_host"] = "dead"
-        _BACKEND["last_probe_ts"] = _time.monotonic()
-    log_error(
-        f"[BACKEND] device link gave no round trip within "
-        f"{_PROBE_SYNC_WAIT_SEC:.0f}s; rendering host-side while it warms in "
-        f"the background"
-    )
-
-    def _promote():
-        # _link_roundtrip_probe bounds its own phases, so this always ends.
-        done.wait()
-        _apply_probe_outcome(outcome, "warm-start probe")
-        if outcome.get("ok") and not _BACKEND["forced_host"]:
-            log_error("[BACKEND] device link warmed up; promoting to device rasterization")
-
-    threading.Thread(target=_promote, daemon=True, name="link-promote").start()
-
-
-def maybe_reprobe_device_link() -> None:
-    """Periodically re-check a dead link and un-force the host backend.
-
-    Only meaningful in ``auto`` mode after a failed preflight/readback
-    forced the host path: every ``_REPROBE_INTERVAL_SEC`` a background
-    round trip runs, and on success the device backend (and its one-shot
-    calibration) is restored.  Renders in flight are never blocked --
-    they continue host-side until a reprobe succeeds.
-    """
-    import time as _time
-
-    with _BACKEND_LOCK:
-        due = (
-            _BACKEND["mode"] == "auto"
-            and _BACKEND["forced_host"]
-            and not _BACKEND["reprobe_inflight"]
-            and _time.monotonic() - _BACKEND["last_probe_ts"] > _REPROBE_INTERVAL_SEC
-        )
-        if not due:
-            return
-        _BACKEND["reprobe_inflight"] = True
-
-    def _watchdog():
-        # The transfer runs in an inner thread (inside the probe helper) so
-        # a still-dead link cannot pin the reprobe machinery: on timeout the
-        # inner thread is abandoned and the next interval tries again.
-        outcome = _link_roundtrip_probe()
-        _apply_probe_outcome(outcome, "reprobe")
-        with _BACKEND_LOCK:
-            _BACKEND["reprobe_inflight"] = False
-            recovered = outcome.get("ok") and not _BACKEND["forced_host"]
-        if recovered:
-            from configurable_spectrograms_tpu.utils.logging import log_error
-
-            log_error("[BACKEND] device link recovered; resuming device rasterization")
-
-    threading.Thread(target=_watchdog, daemon=True, name="link-reprobe").start()
-
-#: Auto-switch threshold: a readback slower than this effective bandwidth
-#: (and taking over a second) marks the device link unusable.
-_MIN_LINK_MBPS = 1.0
-
-#: Readback slower than this per panel (but above the hard floor) triggers a
-#: one-shot calibration: time the host backend on the same group and keep
-#: whichever is faster.  Direct-attached devices read back in ~1 ms/panel and
-#: never pay the calibration; only degraded links (e.g. a slow relay) do.
-_CALIBRATE_XFER_SEC_PER_PANEL = 0.02
-
-
-def _readback(out_dev) -> np.ndarray:
-    """D2H transfer of the packed result buffer (timed; test seam)."""
-    return np.asarray(out_dev)
-
-
-def _dispatch_timeout() -> float:
-    """Watchdog bound for one device dispatch or readback, seconds.
-
-    Generous by default: a cold link's first D2H has been observed taking
-    up to ~180 s and a first compile ~40 s.  ``CST_DEVICE_DISPATCH_TIMEOUT``
-    overrides.
-    """
-    try:
-        return float(os.environ.get("CST_DEVICE_DISPATCH_TIMEOUT", 300.0))
-    except ValueError:
-        return 300.0
-
-
-def _bounded_call(fn, timeout: float):
-    """Run *fn* on a watchdog thread; ``(True, value)`` or ``(False, None)``.
-
-    Every probe/reprobe in this module is time-bounded, but a link can die
-    BETWEEN the preflight and the actual render transfer -- and a hung
-    ``jax`` transfer blocks forever and cannot be cancelled.  Running it
-    on a daemon thread bounds the *wait*: on timeout the caller falls back
-    to the host backend and the stuck thread is abandoned (the same
-    containment the cold-start preflight uses).
-    """
-    box: dict[str, Any] = {}
-    done = threading.Event()
-
-    def run():
-        try:
-            box["value"] = fn()
-        except BaseException as exc:  # re-raised in the caller below
-            box["error"] = exc
-        finally:
-            done.set()
-
-    threading.Thread(target=run, daemon=True, name="device-dispatch").start()
-    if not done.wait(timeout):
-        return False, None
-    if "error" in box:
-        raise box["error"]
-    return True, box.get("value")
-
-
-def _host_backend_active() -> bool:
-    mode = _BACKEND["mode"]
-    return mode == "host" or (mode == "auto" and _BACKEND["forced_host"])
-
-
-def recommended_workers(requested: int) -> int:
-    """Effective feeder-thread count for a batch render pool.
-
-    On the device backend the requested count stands: feeder threads
-    overlap CDF decode / PNG encode with device dispatch and link time,
-    so more threads than cores still pay off.  On the host backend every
-    stage is host compute, so threads beyond the visible cores only add
-    GIL contention and concurrent-canvas memory pressure (measured 3.5x
-    *slower* with 4 threads on a 1-core box).  Containers that restrict
-    affinity are honored via ``sched_getaffinity``.
-
-    In ``auto`` mode the link preflight runs first (one-shot, bounded by
-    its short synchronous window): pools are sized BEFORE the first
-    render, and an unprobed "device" answer here would hand a
-    host-backend run the full thread count -- exactly the thrash this
-    clamp exists to prevent.  A link that warms up later leaves the pool
-    host-sized for the rest of the batch (conservative).
-    """
-    requested = max(1, int(requested))
-    probe_device_link()
-    if not _host_backend_active():
-        return requested
-    try:
-        cores = len(os.sched_getaffinity(0))
-    except (AttributeError, OSError):  # pragma: no cover - non-Linux
-        cores = os.cpu_count() or 1
-    return max(1, min(requested, cores))
-
 
 def _render_group_host(panels: list[PanelData], idxs: list[int], tile_h: int, tile_w: int,
                        y_scale: str, z_scale: str, lo_pct: float, hi_pct: float,
@@ -815,23 +478,373 @@ def _batched_quantize_fn(spec_key):
     return jax.jit(batched, in_shardings=(lane,) * 11 + (replicated,), out_shardings=lane)
 
 
-def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> list[dict]:
-    """Rasterize many panels with minimal device dispatches and readback.
+def _readback(out_dev) -> np.ndarray:
+    """D2H transfer of the packed result buffer (timed; test seam)."""
+    return np.asarray(out_dev)
+
+
+@dataclass
+class _GroupDispatch:
+    """One in-flight device bucket: its lane layout plus the enqueued output.
+
+    Built during the enqueue phase of :class:`PendingRender`; the drain
+    phase reads ``out_dev`` back and unpacks it into per-panel results.
+    """
+
+    idxs: list[int]
+    n_lanes: int
+    Tp: int
+    Ap: int
+    Ep: int
+    y_scale: str
+    z_scale: str
+    lo_pct: float
+    hi_pct: float
+    t_starts: np.ndarray
+    t_counts: np.ndarray
+    gather_w: int
+    #: All panels in the bucket carry explicit z bounds (part of the bucket
+    #: key), selecting the sort-free compiled program.
+    explicit: bool = False
+    out_dev: object = None
+    # drain-side state (filled by the readback thread)
+    done: object = None  # threading.Event
+    packed: np.ndarray | None = None
+    error: BaseException | None = None
+    xfer: float = 0.0
+
+
+def _prepare_group(panels: list[PanelData], idxs: list[int], Tp: int, Ap: int, Ep: int,
+                   y_scale: str, z_scale: str, lo_pct: float, hi_pct: float,
+                   explicit: bool, tile_w: int, mesh) -> tuple[_GroupDispatch, tuple]:
+    """Build the padded host-side lane arrays for one bucket (no device work)."""
+    n = len(idxs)
+    n_lanes = n
+    if mesh is not None:
+        d = int(mesh.devices.size)
+        n_lanes = ((n + d - 1) // d) * d
+    # Deduplicate cube uploads within the bucket.
+    cube_slot: dict[int, int] = {}
+    unique_cubes: list[np.ndarray] = []
+    u_idx = np.zeros((n_lanes,), np.int32)
+    for j, i in enumerate(idxs):
+        c = panels[i].cube
+        slot = cube_slot.get(id(c))
+        if slot is None:
+            slot = len(unique_cubes)
+            cube_slot[id(c)] = slot
+            unique_cubes.append(c)
+        u_idx[j] = slot
+
+    masks = np.zeros((n_lanes, Ap), bool)
+    energies = np.zeros((n_lanes, Ep), np.float32)
+    e_valids = np.zeros((n_lanes, Ep), bool)
+    t_valids = np.zeros((n_lanes,), np.int32)
+    t_starts = np.zeros((n_lanes,), np.int32)
+    t_counts = np.zeros((n_lanes,), np.int32)
+    z_bounds = np.full((n_lanes, 2), np.nan, np.float32)
+    zb_e_valids = np.zeros((n_lanes, Ep), bool)
+    zb_full = np.zeros((n_lanes,), bool)
+    for j, i in enumerate(idxs):
+        p = panels[i]
+        T, A, E = p.cube.shape
+        masks[j, :A] = p.pitch_mask
+        energies[j, :E] = p.energy
+        e_valids[j, :E] = (p.energy >= p.y_min) & (p.energy <= p.y_max)
+        t_valids[j] = T
+        t_starts[j] = p.window.t_start
+        t_counts[j] = p.window.t_count
+        z_bounds[j] = (
+            np.nan if p.z_min is None else p.z_min,
+            np.nan if p.z_max is None else p.z_max,
+        )
+        if p.bounds_energy_range is not None:
+            b_lo, b_hi = p.bounds_energy_range
+            zb_e_valids[j, :E] = (p.energy >= b_lo) & (p.energy <= b_hi)
+            zb_full[j] = True
+        else:
+            zb_e_valids[j, :E] = e_valids[j, :E]
+            zb_full[j] = False
+
+    # When the padded time axis exceeds the pixel width, gather one
+    # matrix row per pixel column on device: readback then scales with
+    # pixels, not samples (~4x smaller at real FAST record lengths).
+    gather_w = _bucket(tile_w, 256, 256) if Tp > _bucket(tile_w, 256, 256) else 0
+    t_maps = np.zeros((n_lanes, max(gather_w, 1)), np.int32)
+    if gather_w:
+        for j, i in enumerate(idxs):
+            cols, _ = pixel_columns(
+                make_x_map(panels[i].window, tile_w), int(t_starts[j]), int(t_counts[j]), Tp, tile_w
+            )
+            t_maps[j, :tile_w] = cols
+
+    g = _GroupDispatch(idxs, n_lanes, Tp, Ap, Ep, y_scale, z_scale, lo_pct, hi_pct,
+                       t_starts, t_counts, gather_w, explicit)
+    inputs = (u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
+              zb_e_valids, zb_full, t_maps, unique_cubes)
+    return g, inputs
+
+
+def _enqueue_group(g: _GroupDispatch, inputs: tuple, mesh) -> object:
+    """Upload the bucket's cubes and enqueue the jitted program (no readback).
+
+    JAX dispatch is asynchronous: this returns as soon as the transfers and
+    the program are queued, so bucket N+1's H2D overlaps bucket N's execute
+    and readback -- the pipelining the synchronous per-bucket path lacked.
+    The first call per program shape additionally pays the (blocking)
+    compile here.
+    """
+    (u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
+     zb_e_valids, zb_full, t_maps, unique_cubes) = inputs
+    cubes = _stack_cubes(unique_cubes, g.Tp, g.Ap, g.Ep, mesh)
+    fn = _batched_quantize_fn(
+        (g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, g.explicit, g.gather_w, mesh is not None)
+    )
+    return fn(
+        u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
+        zb_e_valids, zb_full, t_maps, cubes,
+    )
+
+
+def _finish_group(panels: list[PanelData], g: _GroupDispatch, packed: np.ndarray,
+                  tile_h: int, tile_w: int, results: list) -> None:
+    """Unpack one bucket's readback buffer into per-panel result dicts."""
+    import time as _time
+
+    from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
+
+    n = len(g.idxs)
+    rows_out = g.gather_w if g.gather_w else g.Tp
+    idx_host = packed[:n, : rows_out * g.Ep].reshape(n, rows_out, g.Ep)
+    meta_host = packed[:n, rows_out * g.Ep :].copy().view(np.float32).reshape(n, 7 + g.Ep)
+
+    _resample_t0 = _time.perf_counter()
+    for j, i in enumerate(g.idxs):
+        p = panels[i]
+        n_kept_j, flip_j, y0_j, y1_j, vmin_j, vmax_j, empty_j = meta_host[j, :7]
+        if g.z_scale == "log" and not bool(empty_j) and vmin_j > vmax_j:
+            # Explicit log bounds whose safe-positive floor exceeds vmax:
+            # matplotlib's LogNorm raises at draw time in the reference
+            # (batch drivers record the orbit as a plotting error);
+            # rendering on would silently invert the color ramp.  The
+            # error is recorded per panel and raised when the OWNING
+            # figure composites, so pooled dispatches keep serving the
+            # other figures.
+            results[i] = {"error": "minvalue must be less than or equal to maxvalue"}
+            continue
+        kept_pos_j = meta_host[j, 7:].astype(np.int32)
+        rgba = resample_indices(
+            idx_host[j],
+            kept_pos_j,
+            int(n_kept_j),
+            bool(flip_j),
+            float(y0_j),
+            float(y1_j),
+            int(g.t_starts[j]),
+            int(g.t_counts[j]),
+            make_x_map(p.window, tile_w),
+            tile_h,
+            tile_w,
+            g.y_scale,
+            colormap_lut(p.colormap),
+            empty=bool(empty_j),
+            pre_gathered=bool(g.gather_w),
+        )
+        results[i] = {
+            "rgba": rgba,
+            "vmin": float(vmin_j),
+            "vmax": float(vmax_j),
+            "y0": float(y0_j),
+            "y1": float(y1_j),
+            "n_kept": int(n_kept_j),
+            "empty": bool(empty_j),
+        }
+    from configurable_spectrograms_tpu.utils import timing as _timing
+
+    if _timing.ACTIVE is not None:
+        _timing.ACTIVE.add("host_resample", _time.perf_counter() - _resample_t0)
+
+
+class PendingRender:
+    """A render whose device buckets are enqueued but not yet read back.
+
+    Created by :func:`enqueue_render_panels`.  Host-backend buckets are
+    already complete; :meth:`wait` drains the device buckets (concurrent,
+    watchdog-bounded readbacks) and returns results in input order.
+    Splitting enqueue from drain lets the render coalescer start the next
+    batch's uploads while this one's readbacks are still on the wire.
+    """
+
+    def __init__(self, panels: list[PanelData], tile_h: int, tile_w: int,
+                 results: list, dispatches: list[_GroupDispatch]):
+        self.panels = panels
+        self.tile_h = tile_h
+        self.tile_w = tile_w
+        self.results = results
+        self.dispatches = dispatches
+
+    def has_device_work(self) -> bool:
+        return bool(self.dispatches)
+
+    def _start_readbacks(self, timeout: float) -> None:
+        """Kick off one bounded readback thread per in-flight bucket.
+
+        All transfers run concurrently: on a latency-bound link the round
+        trips overlap instead of stacking, and the host unpacks buckets in
+        order as they land.  Threads are daemons; a hung transfer is
+        abandoned by :meth:`wait` after *timeout* (the same containment as
+        the probe machinery -- a stuck ``jax`` transfer cannot be
+        cancelled, only orphaned).
+        """
+        import threading
+        import time as _time
+
+        for g in self.dispatches:
+            g.done = threading.Event()
+
+            def _read(g=g):
+                t0 = _time.perf_counter()
+                try:
+                    g.packed = _readback(g.out_dev)
+                except BaseException as exc:
+                    g.error = exc
+                finally:
+                    g.xfer = _time.perf_counter() - t0
+                    g.done.set()
+
+            threading.Thread(target=_read, daemon=True, name="device-readback").start()
+
+    def wait(self) -> list[dict]:
+        """Drain every in-flight bucket; returns per-panel results in order."""
+        if not self.dispatches:
+            return self.results
+        import time as _time
+
+        from configurable_spectrograms_tpu.utils.timing import active_stage
+
+        timeout = _dispatch_timeout()
+        self._start_readbacks(timeout)
+        deadline = _time.monotonic() + timeout
+        watchdog_tripped = False
+        for g in self.dispatches:
+            with active_stage("device_readback"):
+                if watchdog_tripped:
+                    # A transfer already hung on this link; don't wait the
+                    # full budget again for its siblings -- use any readback
+                    # that already landed, host-render the rest.
+                    ok = g.done.wait(timeout=0.05) and g.error is None
+                else:
+                    ok = g.done.wait(timeout=max(0.0, deadline - _time.monotonic())) and g.error is None
+            if ok:
+                self._handle_completed(g)
+                continue
+            if g.error is not None:
+                raise g.error
+            # The link died between the bounded preflight and this
+            # transfer.  A hung jax transfer never returns, so without
+            # this bound the coalescer thread -- and every worker
+            # waiting on it -- would deadlock for the rest of the batch.
+            from configurable_spectrograms_tpu.utils.logging import log_error
+
+            if _BACKEND["mode"] == "device":  # explicit override: fail loudly
+                raise RuntimeError(
+                    f"device dispatch/readback exceeded {timeout:.0f}s "
+                    "(CST_DEVICE_DISPATCH_TIMEOUT) with CST_RENDER_BACKEND=device"
+                )
+            if not watchdog_tripped:
+                watchdog_tripped = True
+                force_host_after_dispatch_failure()
+                log_error(
+                    f"[BACKEND] device dispatch/readback exceeded {timeout:.0f}s; "
+                    "abandoning the transfer and finishing on the host backend"
+                )
+            with active_stage("host_quantize"):
+                _render_group_host(self.panels, g.idxs, self.tile_h, self.tile_w,
+                                   g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, self.results)
+        return self.results
+
+    def _handle_completed(self, g: _GroupDispatch) -> None:
+        """Bandwidth/calibration bookkeeping + unpack for one landed bucket."""
+        import time as _time
+
+        n = len(g.idxs)
+        packed = g.packed
+        xfer = g.xfer
+        if (
+            _BACKEND["mode"] == "auto"
+            and not _BACKEND["forced_host"]
+            and xfer > 1.0
+            and packed.nbytes / max(xfer, 1e-9) < _MIN_LINK_MBPS * 1e6
+        ):
+            # The device link has degraded below usability (observed on this
+            # environment's relay); finish everything on the host from now on.
+            from configurable_spectrograms_tpu.utils.logging import log_error
+
+            with _BACKEND_LOCK:
+                _BACKEND["forced_host"] = True
+                _BACKEND["why_host"] = "bandwidth"
+            log_error(
+                f"[BACKEND] device->host readback measured at "
+                f"{packed.nbytes / max(xfer, 1e-9) / 1e6:.2f} MB/s; switching panel "
+                f"rasterization to the host backend for this process"
+            )
+        elif (
+            _BACKEND["mode"] == "auto"
+            and not _BACKEND["forced_host"]
+            and not _BACKEND["calibrated"]
+            and xfer / n > _CALIBRATE_XFER_SEC_PER_PANEL
+        ):
+            # The link is slow enough that readback alone may cost more than
+            # redoing the whole panel on the host.  Measure once: render this
+            # same group on the host (parity-tested identical output) and
+            # compare its TOTAL time against the readback time alone -- a
+            # comparison conservative toward the device, since the device
+            # path's compute is treated as free.  (Concurrent sibling
+            # readbacks share the link, so ``xfer`` can only overestimate
+            # the device's cost -- still conservative toward the device
+            # being slower, never toward it being faster.)
+            with _BACKEND_LOCK:
+                _BACKEND["calibrated"] = True
+            t0 = _time.perf_counter()
+            _render_group_host(self.panels, g.idxs, self.tile_h, self.tile_w,
+                               g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, self.results)
+            host_t = _time.perf_counter() - t0
+            if xfer > host_t:
+                from configurable_spectrograms_tpu.utils.logging import log_error
+
+                with _BACKEND_LOCK:
+                    _BACKEND["forced_host"] = True
+                    _BACKEND["why_host"] = "bandwidth"
+                log_error(
+                    f"[BACKEND] calibration: device readback {xfer * 1e3:.0f} ms vs "
+                    f"host render {host_t * 1e3:.0f} ms for {n} panel(s); switching "
+                    f"panel rasterization to the host backend for this process"
+                )
+                return  # the host results for this group are already in place
+        _finish_group(self.panels, g, packed, self.tile_h, self.tile_w, self.results)
+
+
+def enqueue_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> PendingRender:
+    """Group, upload, and enqueue panel rasterization; readback is deferred.
 
     Panels group into (T, A, E, scale-combo) padding buckets; each bucket
     is one vmapped TPU call that collapses + quantizes every panel's
     matrix.  Only the small uint8 index matrices and scalar metadata come
-    back over the wire; the host pixel-replicates and LUT-colors them
+    back over the wire (in :meth:`PendingRender.wait`); the host
+    pixel-replicates and LUT-colors them
     (:func:`..render.tile.resample_indices`), which profiling showed beats
     shipping RGBA tiles by ~300x in device->host bytes.  Duplicate cubes
     (the pitch grid's full/zoom pairs and four categories share one file)
-    upload once per bucket.  Returns dicts in input order with keys
-    ``rgba``, ``vmin``, ``vmax``, ``y0``, ``y1``, ``n_kept``, ``empty``.
-    """
-    from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
+    upload once per bucket.
 
+    Every bucket is DISPATCHED before any is read back, and host-backend
+    buckets complete immediately -- so on a latency-bound link the
+    per-bucket round trips overlap instead of stacking (VERDICT round-2
+    item 1), and the render coalescer can enqueue the next batch while
+    this one drains.
+    """
     if not panels:
-        return []
+        return PendingRender(panels, tile_h, tile_w, [], [])
     groups: dict[tuple, list[int]] = {}
     for i, p in enumerate(panels):
         T, A, E = p.cube.shape
@@ -851,6 +864,7 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
     probe_device_link()
     maybe_reprobe_device_link()
     results: list[dict | None] = [None] * len(panels)
+    dispatches: list[_GroupDispatch] = []
     from configurable_spectrograms_tpu.utils.timing import active_stage
 
     for (Tp, Ap, Ep, y_scale, z_scale, lo_pct, hi_pct, explicit), idxs in groups.items():
@@ -858,101 +872,17 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
             with active_stage("host_quantize"):
                 _render_group_host(panels, idxs, tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct, results)
             continue
-        n = len(idxs)
-        # Shard lanes over the data-parallel mesh when one exists: pad the
-        # lane count to a multiple of the device count with benign empty
-        # lanes (t_count=0 quantizes to empty and is never read back out).
         mesh = _render_mesh()
-        n_lanes = n
-        if mesh is not None:
-            d = int(mesh.devices.size)
-            n_lanes = ((n + d - 1) // d) * d
-        # Deduplicate cube uploads within the bucket.
-        cube_slot: dict[int, int] = {}
-        unique_cubes: list[np.ndarray] = []
-        u_idx = np.zeros((n_lanes,), np.int32)
-        for j, i in enumerate(idxs):
-            c = panels[i].cube
-            slot = cube_slot.get(id(c))
-            if slot is None:
-                slot = len(unique_cubes)
-                cube_slot[id(c)] = slot
-                unique_cubes.append(c)
-            u_idx[j] = slot
-        cubes = _stack_cubes(unique_cubes, Tp, Ap, Ep, mesh)
-
-        masks = np.zeros((n_lanes, Ap), bool)
-        energies = np.zeros((n_lanes, Ep), np.float32)
-        e_valids = np.zeros((n_lanes, Ep), bool)
-        t_valids = np.zeros((n_lanes,), np.int32)
-        t_starts = np.zeros((n_lanes,), np.int32)
-        t_counts = np.zeros((n_lanes,), np.int32)
-        z_bounds = np.full((n_lanes, 2), np.nan, np.float32)
-        zb_e_valids = np.zeros((n_lanes, Ep), bool)
-        zb_full = np.zeros((n_lanes,), bool)
-        for j, i in enumerate(idxs):
-            p = panels[i]
-            T, A, E = p.cube.shape
-            masks[j, :A] = p.pitch_mask
-            energies[j, :E] = p.energy
-            e_valids[j, :E] = (p.energy >= p.y_min) & (p.energy <= p.y_max)
-            t_valids[j] = T
-            t_starts[j] = p.window.t_start
-            t_counts[j] = p.window.t_count
-            z_bounds[j] = (
-                np.nan if p.z_min is None else p.z_min,
-                np.nan if p.z_max is None else p.z_max,
-            )
-            if p.bounds_energy_range is not None:
-                b_lo, b_hi = p.bounds_energy_range
-                zb_e_valids[j, :E] = (p.energy >= b_lo) & (p.energy <= b_hi)
-                zb_full[j] = True
-            else:
-                zb_e_valids[j, :E] = e_valids[j, :E]
-                zb_full[j] = False
-
-        # When the padded time axis exceeds the pixel width, gather one
-        # matrix row per pixel column on device: readback then scales with
-        # pixels, not samples (~4x smaller at real FAST record lengths).
-        gather_w = _bucket(tile_w, 256, 256) if Tp > _bucket(tile_w, 256, 256) else 0
-        t_maps = np.zeros((n_lanes, max(gather_w, 1)), np.int32)
-        if gather_w:
-            for j, i in enumerate(idxs):
-                cols, _ = pixel_columns(
-                    make_x_map(panels[i].window, tile_w), int(t_starts[j]), int(t_counts[j]), Tp, tile_w
-                )
-                t_maps[j, :tile_w] = cols
-
-        fn = _batched_quantize_fn(
-            (y_scale, z_scale, lo_pct, hi_pct, explicit, gather_w, mesh is not None)
-        )
-        import time as _time
-
-        import jax
-
-        def _run_dispatch():
-            out = fn(
-                u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
-                zb_e_valids, zb_full, t_maps, cubes,
-            )
-            jax.block_until_ready(out)  # compute (and possible compile) done
-            return out
-
+        g, inputs = _prepare_group(panels, idxs, Tp, Ap, Ep, y_scale, z_scale,
+                                   lo_pct, hi_pct, explicit, tile_w, mesh)
         timeout = _dispatch_timeout()
         with active_stage("device_dispatch"):
-            ok, out_dev = _bounded_call(_run_dispatch, timeout)
-        if ok:
-            LAST_DISPATCH["lanes"] = n_lanes
-            LAST_DISPATCH["devices"] = len(getattr(out_dev.sharding, "device_set", ())) or 1
-            t0 = _time.perf_counter()
-            with active_stage("device_readback"):
-                ok, packed = _bounded_call(lambda: _readback(out_dev), timeout)
-            xfer = _time.perf_counter() - t0
+            ok, out_dev = _bounded_call(lambda g=g, inputs=inputs: _enqueue_group(g, inputs, mesh), timeout)
         if not ok:
-            # The link died between the bounded preflight and this transfer.
-            # A hung jax transfer never returns, so without this bound the
-            # coalescer thread -- and every worker waiting on it -- would
-            # deadlock for the rest of the batch.
+            # The enqueue itself hung (H2D upload or compile on a dead
+            # link).  Same containment as a hung readback: force host and
+            # finish this bucket (and, via _host_backend_active, any
+            # remaining buckets) on the host backend.
             from configurable_spectrograms_tpu.utils.logging import log_error
 
             if _BACKEND["mode"] == "device":  # explicit override: fail loudly
@@ -960,394 +890,27 @@ def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> l
                     f"device dispatch/readback exceeded {timeout:.0f}s "
                     "(CST_DEVICE_DISPATCH_TIMEOUT) with CST_RENDER_BACKEND=device"
                 )
-            _BACKEND["forced_host"] = True
+            force_host_after_dispatch_failure()
             log_error(
-                f"[BACKEND] device dispatch/readback exceeded {timeout:.0f}s; "
+                f"[BACKEND] device dispatch enqueue exceeded {timeout:.0f}s; "
                 "abandoning the transfer and finishing on the host backend"
             )
-            _render_group_host(panels, idxs, tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct, results)
+            with active_stage("host_quantize"):
+                _render_group_host(panels, idxs, tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct, results)
             continue
-        if (
-            _BACKEND["mode"] == "auto"
-            and not _BACKEND["forced_host"]
-            and xfer > 1.0
-            and packed.nbytes / max(xfer, 1e-9) < _MIN_LINK_MBPS * 1e6
-        ):
-            # The device link has degraded below usability (observed on this
-            # environment's relay); finish everything on the host from now on.
-            _BACKEND["forced_host"] = True
-            from configurable_spectrograms_tpu.utils.logging import log_error
-
-            log_error(
-                f"[BACKEND] device->host readback measured at "
-                f"{packed.nbytes / max(xfer, 1e-9) / 1e6:.2f} MB/s; switching panel "
-                f"rasterization to the host backend for this process"
-            )
-        elif (
-            _BACKEND["mode"] == "auto"
-            and not _BACKEND["forced_host"]
-            and not _BACKEND["calibrated"]
-            and xfer / n > _CALIBRATE_XFER_SEC_PER_PANEL
-        ):
-            # The link is slow enough that readback alone may cost more than
-            # redoing the whole panel on the host.  Measure once: render this
-            # same group on the host (parity-tested identical output) and
-            # compare its TOTAL time against the readback time alone -- a
-            # comparison conservative toward the device, since the device
-            # path's compute is treated as free.
-            _BACKEND["calibrated"] = True
-            t0 = _time.perf_counter()
-            _render_group_host(panels, idxs, tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct, results)
-            host_t = _time.perf_counter() - t0
-            if xfer > host_t:
-                _BACKEND["forced_host"] = True
-                from configurable_spectrograms_tpu.utils.logging import log_error
-
-                log_error(
-                    f"[BACKEND] calibration: device readback {xfer * 1e3:.0f} ms vs "
-                    f"host render {host_t * 1e3:.0f} ms for {n} panel(s); switching "
-                    f"panel rasterization to the host backend for this process"
-                )
-                continue  # the host results for this group are already in place
-        rows_out = gather_w if gather_w else Tp
-        idx_host = packed[:n, : rows_out * Ep].reshape(n, rows_out, Ep)
-        meta_host = packed[:n, rows_out * Ep :].copy().view(np.float32).reshape(n, 7 + Ep)
-
-        _resample_t0 = _time.perf_counter()
-        for j, i in enumerate(idxs):
-            p = panels[i]
-            n_kept_j, flip_j, y0_j, y1_j, vmin_j, vmax_j, empty_j = meta_host[j, :7]
-            if z_scale == "log" and not bool(empty_j) and vmin_j > vmax_j:
-                # Explicit log bounds whose safe-positive floor exceeds vmax:
-                # matplotlib's LogNorm raises at draw time in the reference
-                # (batch drivers record the orbit as a plotting error);
-                # rendering on would silently invert the color ramp.  The
-                # error is recorded per panel and raised when the OWNING
-                # figure composites, so pooled dispatches keep serving the
-                # other figures.
-                results[i] = {"error": "minvalue must be less than or equal to maxvalue"}
-                continue
-            kept_pos_j = meta_host[j, 7:].astype(np.int32)
-            rgba = resample_indices(
-                idx_host[j],
-                kept_pos_j,
-                int(n_kept_j),
-                bool(flip_j),
-                float(y0_j),
-                float(y1_j),
-                int(t_starts[j]),
-                int(t_counts[j]),
-                make_x_map(p.window, tile_w),
-                tile_h,
-                tile_w,
-                y_scale,
-                colormap_lut(p.colormap),
-                empty=bool(empty_j),
-                pre_gathered=bool(gather_w),
-            )
-            results[i] = {
-                "rgba": rgba,
-                "vmin": float(vmin_j),
-                "vmax": float(vmax_j),
-                "y0": float(y0_j),
-                "y1": float(y1_j),
-                "n_kept": int(n_kept_j),
-                "empty": bool(empty_j),
-            }
-        from configurable_spectrograms_tpu.utils import timing as _timing
-
-        if _timing.ACTIVE is not None:
-            dt = _time.perf_counter() - _resample_t0
-            _timing.ACTIVE.add("host_resample", dt)
-    return results  # type: ignore[return-value]
+        g.out_dev = out_dev
+        LAST_DISPATCH["lanes"] = g.n_lanes
+        LAST_DISPATCH["devices"] = len(getattr(out_dev.sharding, "device_set", ())) or 1
+        dispatches.append(g)
+    return PendingRender(panels, tile_h, tile_w, results, dispatches)
 
 
-# ---------------------------------------------------------------------------
-# layout + compositing
-# ---------------------------------------------------------------------------
+def device_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> list[dict]:
+    """Rasterize many panels with minimal device dispatches and readback.
 
-#: Recycled figure canvases, keyed by (H, W).  Returned via a weakref
-#: finalizer when the figure Image is collected, so a live Image's buffer
-#: is never handed out twice.  Bounded to a handful of entries (a batch
-#: renders a few distinct figure sizes).
-_CANVAS_POOL: dict[tuple[int, int], list[np.ndarray]] = {}
-_CANVAS_POOL_LOCK = threading.Lock()
-_CANVAS_POOL_MAX_PER_SIZE = 2
-_CANVAS_POOL_MAX_SIZES = 4
-
-
-def _acquire_canvas(h: int, w: int) -> np.ndarray:
-    with _CANVAS_POOL_LOCK:
-        stack = _CANVAS_POOL.get((h, w))
-        canvas = stack.pop() if stack else None
-    if canvas is not None:
-        canvas[...] = 255  # writes to mapped pages: fast and predictable
-        return canvas
-    return np.full((h, w, 4), 255, np.uint8)
-
-
-def _release_canvas(canvas: np.ndarray) -> None:
-    key = (canvas.shape[0], canvas.shape[1])
-    with _CANVAS_POOL_LOCK:
-        stack = _CANVAS_POOL.get(key)
-        if stack is None:
-            # Evict the least-recently-added size rather than refusing new
-            # sizes: a batch mixing grid kinds cycles through sizes, and a
-            # pool that stops recycling reinstates the per-figure 46 MB
-            # fresh-canvas page-fault cost it exists to avoid.
-            while len(_CANVAS_POOL) >= _CANVAS_POOL_MAX_SIZES:
-                del _CANVAS_POOL[next(iter(_CANVAS_POOL))]
-            stack = _CANVAS_POOL[key] = []
-        if len(stack) < _CANVAS_POOL_MAX_PER_SIZE:
-            stack.append(canvas)
-
-
-class _Layout:
-    """Pixel geometry and PIL compositing for one figure render."""
-
-    def __init__(self, fig: SpectroFigure, dpi: float):
-        self.fig = fig
-        self.dpi = dpi
-        self.W = max(8, round(fig.figsize[0] * dpi))
-        self.H = max(8, round(fig.figsize[1] * dpi))
-        self.tick_px = pt_to_px(TICK_LABEL_PT, dpi)
-        self.label_px = pt_to_px(AXIS_LABEL_PT, dpi)
-        self.tick_len = pt_to_px(8, dpi)
-
-        self.sup_h = 0
-        if fig.suptitle_text:
-            self.sup_h = text_size(fig.suptitle_text, pt_to_px(fig.suptitle_pt, dpi))[1] + self.tick_px
-        self.footer_h = round(self.H * max(fig.bottom_reserve, 0.0))
-
-        grid_h = self.H - self.sup_h - self.footer_h
-        self.cell_w = self.W // max(1, fig.ncols)
-        self.cell_h = grid_h // max(1, fig.nrows)
-
-        # Margins inside each cell (estimated text extents; the data tile
-        # fills what remains).
-        ytick_est = text_size("30000", self.tick_px)[0]
-        self.m_left = self.label_px + ytick_est + self.tick_len + round(0.04 * self.cell_w)
-        # Row labels (rotated multi-line) claim extra left space when present.
-        extra = 0
-        for ax in fig.axes:
-            if ax.col == 0 and ax.ylabel and "\n" in ax.ylabel:
-                lines = ax.ylabel.count("\n") + 1
-                extra = max(extra, lines * round(self.label_px * 1.25))
-        self.m_left += extra
-        self.m_right = round(0.16 * self.cell_w) + text_size("30000", self.tick_px)[0] + self.label_px
-        self.m_top = round(self.label_px * 1.6)
-        self.m_bottom = self.tick_len + round(self.tick_px * 1.4) + round(self.label_px * 1.5) + round(
-            0.10 * self.cell_h
-        )
-
-        self.tile_w = max(8, self.cell_w - self.m_left - self.m_right)
-        self.tile_h = max(8, self.cell_h - self.m_top - self.m_bottom)
-
-    def axes_rect(self, ax: Axes) -> tuple[int, int, int, int]:
-        x0 = ax.col * self.cell_w + self.m_left
-        y0 = self.sup_h + ax.row * self.cell_h + self.m_top
-        return (x0, y0, x0 + self.tile_w, y0 + self.tile_h)
-
-    # -- full composite -------------------------------------------------------
-
-    def composite(self) -> Image.Image:
-        # Pass 1: blit data tiles and colorbar strips straight into a numpy
-        # canvas (pure memcpy, no PIL Image wrapping per tile).  Pass 2:
-        # decorations (frames, ticks, text, markers) via PIL drawing into the
-        # SAME memory: ``frombuffer`` shares the RGBA buffer with numpy, so
-        # neither compositing nor the later PNG encode copies the canvas
-        # (save_image reads ``_np_canvas``; the native encoder drops alpha).
-        # Per-panel analysis errors (e.g. inverted log bounds) surface HERE,
-        # at figure granularity: raising inside the pooled dispatch would
-        # fail every concurrently-coalesced figure, permanently recording
-        # innocent orbits as plotting errors (the reference errors only the
-        # offending orbit).
-        for ax in self.fig.axes:
-            if ax.result is not None and ax.result.get("error"):
-                raise ValueError(ax.result["error"])
-        canvas = _acquire_canvas(self.H, self.W)
-        for ax in self.fig.axes:
-            self._blit_tiles(canvas, ax)
-        img = Image.frombuffer("RGBA", (self.W, self.H), canvas, "raw", "RGBA", 0, 1)
-        img.readonly = 0  # the numpy buffer is writable; draw in place
-        img._np_canvas = canvas
-        # Recycle the canvas once the Image is garbage-collected: a batch
-        # run re-faults ~46 MB of fresh canvas per figure otherwise, and on
-        # this host the kernel's fresh-page path is intermittently 10-40x
-        # slower than writes to already-mapped memory.
-        weakref.finalize(img, _release_canvas, canvas)
-        draw = ImageDraw.Draw(img)
-        for ax in self.fig.axes:
-            self._draw_axes(img, draw, ax)
-        if self.fig.suptitle_text:
-            draw_text(
-                draw,
-                (self.W / 2, max(2, self.sup_h // 4)),
-                self.fig.suptitle_text,
-                pt_to_px(self.fig.suptitle_pt, self.dpi),
-                anchor="ma",
-            )
-        for t in self.fig.fig_texts:
-            px = pt_to_px(t["pt"], self.dpi)
-            x = t["x"] * self.W
-            y = (1.0 - t["y"]) * self.H
-            anchor = {"center": "m", "left": "l", "right": "r"}.get(t["ha"], "m") + {
-                "bottom": "s",
-                "top": "a",
-                "center": "m",
-            }.get(t["va"], "s")
-            draw_text(draw, (x, y), t["s"], px, fill=t["color"], anchor=anchor)
-        return img
-
-    def _blit_tiles(self, canvas: np.ndarray, ax: Axes) -> None:
-        """Numpy-blit this axes' data tile and colorbar strip into *canvas*."""
-        p, r = ax.panel, ax.result
-        if p is None or r is None or bool(r["empty"]):
-            return
-        x0, y0, x1, y1 = self.axes_rect(ax)
-        canvas[y0:y1, x0:x1] = r["rgba"][: y1 - y0, : x1 - x0]
-        from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
-
-        cb_x0 = x1 + round(0.035 * self.cell_w)
-        cb_w = max(4, round(0.045 * self.cell_w))
-        h = self.tile_h
-        rows = np.clip(((1.0 - (np.arange(h) + 0.5) / h) * 256).astype(int), 0, 255)
-        canvas[y0 : y0 + h, cb_x0 : cb_x0 + cb_w] = colormap_lut(p.colormap)[rows][:, None]
-
-    def _draw_axes(self, img: Image.Image, draw: ImageDraw.ImageDraw, ax: Axes) -> None:
-        rect = self.axes_rect(ax)
-        x0, y0, x1, y1 = rect
-        p, r = ax.panel, ax.result
-        drew_tile = p is not None and r is not None and not bool(r["empty"])
-        draw.rectangle([x0, y0, x1, y1], outline="black", width=max(1, round(self.dpi / 100)))
-
-        if p is None or r is None or not drew_tile:
-            # No data drawn (or device-side empty): frame + title only --
-            # the y extent / color bounds in ``r`` are meaningless here.
-            if ax.title:
-                draw_text(draw, ((x0 + x1) / 2, y0 - 3), ax.title,
-                          pt_to_px(ax.title_fontsize_pt, self.dpi), anchor="md")
-            return
-
-        self._draw_x_ticks(draw, rect, p)
-        self._draw_y_ticks(draw, rect, p, r)
-        self._draw_colorbar(img, draw, rect, p, r)
-
-        if drew_tile and p.vertical_lines:
-            xl0, xl1 = p.window.xlim
-            span = (xl1 - xl0) or 1.0
-            marker_px = [(v - xl0) / span * self.tile_w for v in p.vertical_lines]
-            drawer = CUSP_MARKER_DRAWERS.get(p.cusp_marker_style, CUSP_MARKER_DRAWERS["both"])
-            kw = dict(p.cusp_marker_kwargs)
-            kw.setdefault("line_color", p.line_color)
-            drawer(draw, rect, marker_px, self.dpi, **kw)
-
-        if ax.title:
-            draw_text(draw, ((x0 + x1) / 2, y0 - 3), ax.title,
-                      pt_to_px(ax.title_fontsize_pt, self.dpi), anchor="md")
-        if ax.xlabel:
-            draw_text(draw, ((x0 + x1) / 2, y1 + self.tick_len + round(self.tick_px * 1.3)),
-                      ax.xlabel, self.label_px, anchor="ma")
-        if ax.ylabel:
-            ytick_w = text_size("30000", self.tick_px)[0]
-            cx = x0 - self.tick_len - ytick_w - self.label_px // 2 - 4
-            if "\n" in ax.ylabel:
-                cx -= (ax.ylabel.count("\n")) * round(self.label_px * 0.7)
-            draw_rotated_text(img, (max(self.label_px // 2, cx), (y0 + y1) / 2), ax.ylabel,
-                              self.label_px, angle=ax.ylabel_rotation)
-
-    # -- tick drawing ---------------------------------------------------------
-
-    def _draw_x_ticks(self, draw, rect, p: PanelData) -> None:
-        x0, y0, x1, y1 = rect
-        xl0, xl1 = p.window.xlim
-        span = (xl1 - xl0) or 1.0
-        if p.x_is_unix:
-            ticks, fmt = locators.time_ticks(xl0, xl1)
-            labels = [locators.format_time_tick(t, fmt) for t in ticks]
-        else:
-            ticks = locators.nice_linear_ticks(xl0, xl1)
-            labels = [locators.format_linear_tick(t) for t in ticks]
-        for t, lab in zip(ticks, labels):
-            px = x0 + (t - xl0) / span * self.tile_w
-            if px < x0 - 0.5 or px > x1 + 0.5:
-                continue
-            draw.line([(px, y1), (px, y1 + self.tick_len)], fill="black", width=1)
-            draw_text(draw, (px, y1 + self.tick_len + 2), lab, self.tick_px, anchor="ma")
-
-    def _y_to_px(self, value: float, rect, p: PanelData, r: dict) -> float | None:
-        y0v, y1v = float(r["y0"]), float(r["y1"])
-        if p.y_scale == "log":
-            if value <= 0 or y0v <= 0 or y1v <= 0 or y1v == y0v:
-                return None
-            frac = (math.log10(value) - math.log10(y0v)) / (math.log10(y1v) - math.log10(y0v))
-        else:
-            if y1v == y0v:
-                return None
-            frac = (value - y0v) / (y1v - y0v)
-        if frac < -1e-9 or frac > 1 + 1e-9:
-            return None
-        return rect[3] - frac * self.tile_h
-
-    def _draw_y_ticks(self, draw, rect, p: PanelData, r: dict) -> None:
-        x0 = rect[0]
-        if p.y_scale == "log":
-            exps = locators.log_ticks(max(float(r["y0"]), 1e-300), float(r["y1"]))
-            for k in exps:
-                py = self._y_to_px(10.0**k, rect, p, r)
-                if py is None:
-                    continue
-                draw.line([(x0 - self.tick_len, py), (x0, py)], fill="black", width=1)
-                draw_pow10(draw, (x0 - self.tick_len - pow10_width(k, self.tick_px) - 2, py), k,
-                           self.tick_px, anchor_left=True)
-        else:
-            ticks = locators.synthesize_linear_y_ticks(p.y_min, p.y_max)
-            if not ticks:
-                ticks = locators.nice_linear_ticks(float(r["y0"]), float(r["y1"]))
-            for t in ticks:
-                py = self._y_to_px(float(t), rect, p, r)
-                if py is None:
-                    continue
-                draw.line([(x0 - self.tick_len, py), (x0, py)], fill="black", width=1)
-                draw_text(draw, (x0 - self.tick_len - 3, py), locators.format_linear_tick(t),
-                          self.tick_px, anchor="rm")
-
-    def _draw_colorbar(self, img, draw, rect, p: PanelData, r: dict) -> None:
-        # The gradient strip was numpy-blitted in pass 1; draw its frame,
-        # ticks, and label here.
-        x0, y0, x1, y1 = rect
-        cb_x0 = x1 + round(0.035 * self.cell_w)
-        cb_w = max(4, round(0.045 * self.cell_w))
-        h = self.tile_h
-        draw.rectangle([cb_x0, y0, cb_x0 + cb_w, y1], outline="black", width=1)
-
-        vmin, vmax = float(r["vmin"]), float(r["vmax"])
-        tick_max_w = 0
-        if p.z_scale == "log" and vmin > 0 and vmax > vmin:
-            lmin, lmax = math.log10(vmin), math.log10(vmax)
-            exps = locators.log_ticks(vmin, vmax)
-            # Label every decade tick unless they'd collide (wide dynamic
-            # ranges, e.g. audio power spanning 12 decades).
-            label_step = max(1, math.ceil(len(exps) * (self.tick_px * 1.4) / max(h, 1)))
-            for j, k in enumerate(exps):
-                frac = (k - lmin) / (lmax - lmin)
-                py = y1 - frac * h
-                draw.line([(cb_x0 + cb_w, py), (cb_x0 + cb_w + self.tick_len // 2, py)], fill="black", width=1)
-                if j % label_step == 0:
-                    w = draw_pow10(draw, (cb_x0 + cb_w + self.tick_len // 2 + 2, py), k, self.tick_px)
-                    tick_max_w = max(tick_max_w, w)
-        elif math.isfinite(vmin) and math.isfinite(vmax) and vmax > vmin:
-            for t in locators.nice_linear_ticks(vmin, vmax):
-                frac = (t - vmin) / (vmax - vmin)
-                py = y1 - frac * h
-                draw.line([(cb_x0 + cb_w, py), (cb_x0 + cb_w + self.tick_len // 2, py)], fill="black", width=1)
-                lab = locators.format_linear_tick(t)
-                draw_text(draw, (cb_x0 + cb_w + self.tick_len // 2 + 2, py), lab, self.tick_px, anchor="lm")
-                tick_max_w = max(tick_max_w, text_size(lab, self.tick_px)[0])
-        # Deliberate divergence: the reference stomps every colorbar label
-        # to "Counts" at the end (reference plotting.py:387); we honor the
-        # requested z_label so non-FAST data (e.g. the audio front-end's
-        # "Power") stays truthful.  FAST/generic rows pass "Counts" anyway.
-        label_x = cb_x0 + cb_w + self.tick_len // 2 + tick_max_w + self.label_px // 2 + 6
-        draw_rotated_text(img, (min(label_x, self.W - self.label_px // 2 - 2), (y0 + y1) / 2),
-                          p.z_label or "Counts", self.label_px, angle=90)
+    Synchronous wrapper over :func:`enqueue_render_panels` +
+    :meth:`PendingRender.wait`; see those for the bucket/pipelining model.
+    Returns dicts in input order with keys ``rgba``, ``vmin``, ``vmax``,
+    ``y0``, ``y1``, ``n_kept``, ``empty``.
+    """
+    return enqueue_render_panels(panels, tile_h, tile_w).wait()

@@ -1,0 +1,405 @@
+"""Device-link state machine: probes, watchdogs, and backend selection.
+
+The rasterization path runs on the device backend (JAX) when the
+host<->device link is healthy and falls back to parity-tested host numpy
+when it is dead, cold, or bandwidth-starved.  This module owns that
+decision: the process-wide backend state (:data:`_BACKEND`), the
+two-phase cold/steady/bandwidth link probe, the periodic reprobe that
+restores a recovered link, the per-dispatch watchdog primitives
+(:func:`_bounded_call`, :func:`_dispatch_timeout`), and the feeder-pool
+sizing that depends on the chosen backend
+(:func:`recommended_workers`).
+
+Extracted from ``render/figure.py`` so the bucketed dispatch and the PIL
+compositor no longer share a 1,300-line module with the link machinery.
+The reference has no analog -- its backend is always matplotlib on the
+host (reference plotting.py:16).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Any
+
+import numpy as np
+
+#: Rasterization backend: ``device`` (JAX), ``host`` (numpy), or ``auto``
+#: (device until a pathologically slow device->host readback is measured,
+#: then host for the rest of the process).  See render/host_quantize.py.
+_BACKEND = {
+    "mode": os.environ.get("CST_RENDER_BACKEND", "auto"),
+    "forced_host": False,
+    "calibrated": False,
+    "probed": False,
+    "last_probe_ts": 0.0,
+    "reprobe_inflight": False,
+    #: Why the host backend is forced: None, "dead" (no round trip), or
+    #: "bandwidth" (link alive but too slow for cube uploads -- bench can
+    #: still measure the device path explicitly).
+    "why_host": None,
+    #: Monotonic timestamp of the last dispatch/readback watchdog trip.
+    #: A probe that STARTED before this moment proves nothing about the
+    #: link that just hung a transfer, so promotion back to the device
+    #: backend requires a probe started after it.
+    "last_dispatch_failure_ts": 0.0,
+}
+_BACKEND_LOCK = threading.Lock()
+
+#: With the host backend forced in ``auto`` mode, a recovered link is
+#: re-probed this often (seconds).  The observed relay oscillates between
+#: dead and healthy on a ~1 h scale; long processes get the device back.
+_REPROBE_INTERVAL_SEC = float(os.environ.get("CST_LINK_REPROBE_SEC", 600.0))
+
+#: Two-phase link probe budgets.  The FIRST D2H readback through the
+#: tunneled relay pays a one-time per-process setup cost (measured: 23 s
+#: to 180 s for 256 bytes on a link whose steady-state round trip is
+#: ~60 ms), so a single tight budget misreads a healthy-but-cold link as
+#: dead.  Phase 1 (backend init + first H2D + first D2H) gets the
+#: generous cold budget; phase 2 (a second tiny round trip, which
+#: reflects steady-state health) must answer within the tight budget.
+#: A dead relay fails both.
+_PROBE_COLD_TIMEOUT_SEC = float(os.environ.get("CST_LINK_PROBE_COLD_TIMEOUT", 300.0))
+_PROBE_TIMEOUT_SEC = float(os.environ.get("CST_LINK_PROBE_TIMEOUT", 5.0))
+
+#: How long ``probe_device_link`` blocks the caller waiting for the probe.
+#: A warm link answers within milliseconds; past this window rendering
+#: starts host-side and the probe keeps running in the background,
+#: promoting the process to the device backend if/when the link warms up.
+#: Batch tools that prefer a decisive answer (bench.py) raise this.
+_PROBE_SYNC_WAIT_SEC = float(os.environ.get("CST_LINK_PROBE_SYNC_WAIT", 5.0))
+
+#: Phase 3 of the probe measures effective link bandwidth with a real
+#: payload: a 256-byte round trip says nothing about throughput, and a
+#: crippled 1-2 MB/s relay that answers pings would otherwise spend
+#: minutes uploading the first render's cubes before the per-panel
+#: calibration could flip (measured: 140 s vs 18 s for the same batch).
+#: Below this effective MB/s the host backend is pre-selected outright;
+#: the periodic reprobe revisits.  Direct-attached devices measure
+#: hundreds of MB/s and never trip this.
+_PRESELECT_MBPS = float(os.environ.get("CST_LINK_PRESELECT_MBPS", 20.0))
+_PROBE_BW_TIMEOUT_SEC = float(os.environ.get("CST_LINK_PROBE_BW_TIMEOUT", 30.0))
+_PROBE_BW_BYTES = 2_000_000
+
+#: Auto-switch threshold: a readback slower than this effective bandwidth
+#: (and taking over a second) marks the device link unusable.
+_MIN_LINK_MBPS = 1.0
+
+#: Readback slower than this per panel (but above the hard floor) triggers a
+#: one-shot calibration: time the host backend on the same group and keep
+#: whichever is faster.  Direct-attached devices read back in ~1 ms/panel and
+#: never pay the calibration; only degraded links (e.g. a slow relay) do.
+_CALIBRATE_XFER_SEC_PER_PANEL = 0.02
+
+
+def _link_roundtrip_probe() -> dict:
+    """Run the two-phase probe in a daemon thread; returns an outcome dict.
+
+    ``{"ok": True}`` on a healthy link; ``{"ok": False, "why": ...}``
+    otherwise.  The transfer thread is abandoned on timeout (it holds no
+    locks the host path needs), so a hung link cannot block the caller.
+    Pure transfers only -- no compilation -- so a slow first-jit on a
+    healthy device never trips this.
+    """
+    import time as _time
+
+    cold_done = threading.Event()
+    steady_done = threading.Event()
+    bw_done = threading.Event()
+    outcome: dict = {}
+
+    def _roundtrip():
+        try:
+            import jax
+
+            dev = jax.device_put(np.zeros(256, np.uint8))
+            jax.block_until_ready(dev)
+            np.asarray(dev)  # first D2H: pays the relay's one-time setup
+            cold_done.set()
+            dev2 = jax.device_put(np.zeros(256, np.uint8))
+            t0 = _time.perf_counter()
+            np.asarray(dev2)
+            outcome["steady_dt"] = _time.perf_counter() - t0
+            steady_done.set()
+            # Phase 3: effective bandwidth.  The D2H readback depends on
+            # the H2D having landed (block_until_ready is NOT a sync point
+            # through the relay -- acks precede execution), so one timed
+            # put+read covers both directions.
+            payload = np.zeros(_PROBE_BW_BYTES, np.uint8)
+            t0 = _time.perf_counter()
+            np.asarray(jax.device_put(payload))
+            dt = _time.perf_counter() - t0
+            outcome["mbps"] = 2 * _PROBE_BW_BYTES / max(dt, 1e-9) / 1e6
+            bw_done.set()
+        except Exception as exc:  # pragma: no cover - device init failure
+            outcome["err"] = str(exc)
+            cold_done.set()
+            steady_done.set()
+            bw_done.set()
+
+    threading.Thread(target=_roundtrip, daemon=True, name="link-probe").start()
+    if not cold_done.wait(timeout=_PROBE_COLD_TIMEOUT_SEC):
+        return {"ok": False, "why": f"no response within {_PROBE_COLD_TIMEOUT_SEC:.0f}s"}
+    if not steady_done.wait(timeout=_PROBE_TIMEOUT_SEC):
+        return {
+            "ok": False,
+            "why": f"steady-state round trip over {_PROBE_TIMEOUT_SEC:.0f}s",
+        }
+    if not bw_done.wait(timeout=_PROBE_BW_TIMEOUT_SEC):
+        # Link answers pings but can't move the payload within the budget:
+        # alive, but slower than anything the pre-selection would accept.
+        return {"ok": True, "steady_dt": outcome.get("steady_dt", 0.0),
+                "mbps": 2 * _PROBE_BW_BYTES / _PROBE_BW_TIMEOUT_SEC / 1e6}
+    if "err" in outcome:
+        return {"ok": False, "why": outcome["err"]}
+    return {"ok": True, "steady_dt": outcome.get("steady_dt", 0.0),
+            "mbps": outcome.get("mbps")}
+
+
+def _apply_probe_outcome(outcome: dict, context: str, started_ts: float | None = None) -> None:
+    """Fold one probe outcome into the backend state (all probe paths).
+
+    A dead link forces the host backend (``why_host="dead"``); a live
+    link slower than ``_PRESELECT_MBPS`` pre-selects it
+    (``why_host="bandwidth"`` -- tools that explicitly want the device
+    path can still force it); a healthy measurement restores the device
+    backend and re-arms the one-shot calibration.  A missing ``mbps``
+    (older/partial probes, tests) counts as healthy.
+
+    *started_ts* is when the probe began (monotonic).  A healthy outcome
+    from a probe that started BEFORE the last dispatch watchdog trip does
+    not promote: the link demonstrably hung a real transfer after that
+    probe's evidence was gathered, and re-promoting on stale evidence
+    would re-hang the next render group for a full watchdog timeout.
+    """
+    import time as _time
+
+    from configurable_spectrograms_tpu.utils.logging import log_error
+
+    mbps = outcome.get("mbps")
+    slow = outcome.get("ok") and mbps is not None and mbps < _PRESELECT_MBPS
+    stale = False
+    with _BACKEND_LOCK:
+        _BACKEND["last_probe_ts"] = _time.monotonic()
+        if _BACKEND["mode"] != "auto":
+            return
+        if not outcome.get("ok"):
+            _BACKEND["forced_host"] = True
+            _BACKEND["why_host"] = "dead"
+        elif slow:
+            _BACKEND["forced_host"] = True
+            _BACKEND["why_host"] = "bandwidth"
+        elif (
+            started_ts is not None
+            and _BACKEND["forced_host"]
+            and started_ts < _BACKEND["last_dispatch_failure_ts"]
+        ):
+            stale = True  # healthy, but predates a real transfer hang
+        else:
+            promote = _BACKEND["forced_host"]
+            _BACKEND["forced_host"] = False
+            _BACKEND["why_host"] = None
+            if promote:
+                _BACKEND["calibrated"] = False  # re-calibrate on the live link
+    if not outcome.get("ok"):
+        log_error(
+            f"[BACKEND] device link {context}: failed ({outcome.get('why')}); "
+            "using the host rasterization backend"
+        )
+    elif slow:
+        log_error(
+            f"[BACKEND] device link {context}: alive but ~{mbps:.1f} MB/s "
+            f"effective (< {_PRESELECT_MBPS:.0f} MB/s); pre-selecting the host "
+            "backend so renders never crawl through cube uploads"
+        )
+    elif stale:
+        log_error(
+            f"[BACKEND] device link {context}: healthy, but a dispatch hung "
+            "after this probe started; staying on the host backend until a "
+            "fresh probe succeeds"
+        )
+
+
+def force_host_after_dispatch_failure() -> None:
+    """Record a dispatch/readback watchdog trip and force the host backend.
+
+    Takes the backend lock (a background warm-start/reprobe applying a
+    'healthy' outcome concurrently must not immediately re-promote) and
+    stamps ``last_dispatch_failure_ts`` so only probes started after this
+    failure can restore the device backend.
+    """
+    import time as _time
+
+    with _BACKEND_LOCK:
+        _BACKEND["forced_host"] = True
+        _BACKEND["why_host"] = "dead"
+        _BACKEND["last_dispatch_failure_ts"] = _time.monotonic()
+
+
+def probe_device_link() -> None:
+    """One-shot, non-blocking preflight.
+
+    A warm link passes within the short synchronous window and the device
+    backend is used from the first render.  A link that doesn't answer in
+    that window (cold: its first per-process D2H can take minutes; or
+    dead) forces the host backend IMMEDIATELY -- no render ever stalls on
+    the preflight -- while the probe keeps running in the background and
+    promotes the process to the device backend the moment the link
+    completes a healthy round trip within the cold budget.
+    """
+    with _BACKEND_LOCK:
+        if _BACKEND["probed"] or _BACKEND["mode"] != "auto" or _BACKEND["forced_host"]:
+            _BACKEND["probed"] = True
+            return
+        _BACKEND["probed"] = True
+    import time as _time
+
+    from configurable_spectrograms_tpu.utils.logging import log_error
+
+    outcome: dict = {}
+    done = threading.Event()
+    started = _time.monotonic()
+
+    def _probe():
+        outcome.update(_link_roundtrip_probe())
+        done.set()
+
+    threading.Thread(target=_probe, daemon=True, name="link-probe-outer").start()
+    if done.wait(timeout=_PROBE_SYNC_WAIT_SEC):
+        _apply_probe_outcome(outcome, "preflight", started_ts=started)
+        return
+
+    with _BACKEND_LOCK:
+        _BACKEND["forced_host"] = True
+        _BACKEND["why_host"] = "dead"
+        _BACKEND["last_probe_ts"] = _time.monotonic()
+    log_error(
+        f"[BACKEND] device link gave no round trip within "
+        f"{_PROBE_SYNC_WAIT_SEC:.0f}s; rendering host-side while it warms in "
+        f"the background"
+    )
+
+    def _promote():
+        # _link_roundtrip_probe bounds its own phases, so this always ends.
+        done.wait()
+        _apply_probe_outcome(outcome, "warm-start probe", started_ts=started)
+        if outcome.get("ok") and not _BACKEND["forced_host"]:
+            log_error("[BACKEND] device link warmed up; promoting to device rasterization")
+
+    threading.Thread(target=_promote, daemon=True, name="link-promote").start()
+
+
+def maybe_reprobe_device_link() -> None:
+    """Periodically re-check a dead link and un-force the host backend.
+
+    Only meaningful in ``auto`` mode after a failed preflight/readback
+    forced the host path: every ``_REPROBE_INTERVAL_SEC`` a background
+    round trip runs, and on success the device backend (and its one-shot
+    calibration) is restored.  Renders in flight are never blocked --
+    they continue host-side until a reprobe succeeds.
+    """
+    import time as _time
+
+    with _BACKEND_LOCK:
+        due = (
+            _BACKEND["mode"] == "auto"
+            and _BACKEND["forced_host"]
+            and not _BACKEND["reprobe_inflight"]
+            and _time.monotonic() - _BACKEND["last_probe_ts"] > _REPROBE_INTERVAL_SEC
+        )
+        if not due:
+            return
+        _BACKEND["reprobe_inflight"] = True
+
+    def _watchdog():
+        # The transfer runs in an inner thread (inside the probe helper) so
+        # a still-dead link cannot pin the reprobe machinery: on timeout the
+        # inner thread is abandoned and the next interval tries again.
+        started = _time.monotonic()
+        outcome = _link_roundtrip_probe()
+        _apply_probe_outcome(outcome, "reprobe", started_ts=started)
+        with _BACKEND_LOCK:
+            _BACKEND["reprobe_inflight"] = False
+            recovered = outcome.get("ok") and not _BACKEND["forced_host"]
+        if recovered:
+            from configurable_spectrograms_tpu.utils.logging import log_error
+
+            log_error("[BACKEND] device link recovered; resuming device rasterization")
+
+    threading.Thread(target=_watchdog, daemon=True, name="link-reprobe").start()
+
+
+def _dispatch_timeout() -> float:
+    """Watchdog bound for one device dispatch or readback, seconds.
+
+    Generous by default: a cold link's first D2H has been observed taking
+    up to ~180 s and a first compile ~40 s.  ``CST_DEVICE_DISPATCH_TIMEOUT``
+    overrides.
+    """
+    try:
+        return float(os.environ.get("CST_DEVICE_DISPATCH_TIMEOUT", 300.0))
+    except ValueError:
+        return 300.0
+
+
+def _bounded_call(fn, timeout: float):
+    """Run *fn* on a watchdog thread; ``(True, value)`` or ``(False, None)``.
+
+    Every probe/reprobe in this module is time-bounded, but a link can die
+    BETWEEN the preflight and the actual render transfer -- and a hung
+    ``jax`` transfer blocks forever and cannot be cancelled.  Running it
+    on a daemon thread bounds the *wait*: on timeout the caller falls back
+    to the host backend and the stuck thread is abandoned (the same
+    containment the cold-start preflight uses).
+    """
+    box: dict[str, Any] = {}
+    done = threading.Event()
+
+    def run():
+        try:
+            box["value"] = fn()
+        except BaseException as exc:  # re-raised in the caller below
+            box["error"] = exc
+        finally:
+            done.set()
+
+    threading.Thread(target=run, daemon=True, name="device-dispatch").start()
+    if not done.wait(timeout):
+        return False, None
+    if "error" in box:
+        raise box["error"]
+    return True, box.get("value")
+
+
+def _host_backend_active() -> bool:
+    mode = _BACKEND["mode"]
+    return mode == "host" or (mode == "auto" and _BACKEND["forced_host"])
+
+
+def recommended_workers(requested: int) -> int:
+    """Effective feeder-thread count for a batch render pool.
+
+    On the device backend the requested count stands: feeder threads
+    overlap CDF decode / PNG encode with device dispatch and link time,
+    so more threads than cores still pay off.  On the host backend every
+    stage is host compute, so threads beyond the visible cores only add
+    GIL contention and concurrent-canvas memory pressure (measured 3.5x
+    *slower* with 4 threads on a 1-core box).  Containers that restrict
+    affinity are honored via ``sched_getaffinity``.
+
+    In ``auto`` mode the link preflight runs first (one-shot, bounded by
+    its short synchronous window): pools are sized BEFORE the first
+    render, and an unprobed "device" answer here would hand a
+    host-backend run the full thread count -- exactly the thrash this
+    clamp exists to prevent.  A link that warms up later leaves the pool
+    host-sized for the rest of the batch (conservative).
+    """
+    requested = max(1, int(requested))
+    probe_device_link()
+    if not _host_backend_active():
+        return requested
+    try:
+        cores = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):  # pragma: no cover - non-Linux
+        cores = os.cpu_count() or 1
+    return max(1, min(requested, cores))

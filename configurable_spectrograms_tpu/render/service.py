@@ -1,16 +1,23 @@
-"""Render coalescer: natural micro-batching of concurrent panel requests.
+"""Render coalescer: natural micro-batching + pipelined device dispatch.
 
 The batch drivers run several worker threads per host, each rendering its
 own figures.  Left alone, every figure is a separate device dispatch and
 readback -- and on a latency-heavy host<->device link those round trips
 dominate.  The coalescer routes all requests through one dispatcher
 thread that, each time it wakes, drains *everything* queued and rasterizes
-same-geometry panels in one pooled :func:`device_render_panels` call:
+same-geometry panels in one pooled call:
 
 * under concurrency, batches form naturally (requests arriving while a
   dispatch is in flight are pooled into the next one);
 * a lone request is dispatched immediately -- there is no artificial
-  delay, so single-stream latency is unchanged.
+  delay, so single-stream latency is unchanged;
+* on the device backend the dispatcher only *enqueues* each batch
+  (:func:`..render.figure.enqueue_render_panels`) and hands the pending
+  readback to a drainer thread, so batch N+1's H2D uploads and compute
+  overlap batch N's readback instead of serializing behind it.  At most
+  ``CST_RENDER_INFLIGHT`` (default 3) batches hold device buffers at
+  once; the dispatcher blocks past that, which simply deepens the next
+  coalesce.
 
 Disable with ``CST_RENDER_COALESCE=0`` (requests then call straight
 through).
@@ -32,6 +39,13 @@ class _Request:
     future: Future = field(default_factory=Future)
 
 
+def _max_inflight() -> int:
+    try:
+        return max(1, int(os.environ.get("CST_RENDER_INFLIGHT", 3)))
+    except ValueError:
+        return 3
+
+
 class RenderCoalescer:
     """Single-dispatcher render queue (see module docstring)."""
 
@@ -40,6 +54,11 @@ class RenderCoalescer:
         self._wake = threading.Condition(self._lock)
         self._queue: list[_Request] = []
         self._running = False
+        #: Bounds concurrently in-flight (enqueued-not-drained) device
+        #: batches so pipelining never accumulates unbounded device output
+        #: buffers.  Sized once at construction; set CST_RENDER_INFLIGHT
+        #: before the first render to change it.
+        self._inflight = threading.Semaphore(_max_inflight())
 
     def _ensure_thread(self) -> None:
         """Start the dispatcher if needed.  Caller must hold the lock.
@@ -65,8 +84,36 @@ class RenderCoalescer:
             self._wake.notify()
         return req.future.result()
 
+    @staticmethod
+    def _resolve(reqs: list[_Request], results: list[dict]) -> None:
+        pos = 0
+        for r in reqs:
+            r.future.set_result(results[pos : pos + len(r.panels)])
+            pos += len(r.panels)
+
+    def _drain_async(self, pending, reqs: list[_Request]) -> None:
+        """Finish one enqueued batch on a drainer thread.
+
+        The dispatcher returns to the queue immediately; the watchdogged
+        readbacks, host resampling, and future resolution all happen
+        here.  The in-flight slot is released only once the batch's
+        device buffers are consumed.
+        """
+
+        def _drain():
+            try:
+                self._resolve(reqs, pending.wait())
+            except Exception as exc:
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(exc)
+            finally:
+                self._inflight.release()
+
+        threading.Thread(target=_drain, daemon=True, name="render-drain").start()
+
     def _run(self) -> None:
-        from configurable_spectrograms_tpu.render.figure import device_render_panels
+        from configurable_spectrograms_tpu.render.figure import enqueue_render_panels
 
         batch: list[_Request] = []
         try:
@@ -86,16 +133,30 @@ class RenderCoalescer:
                     by_geometry.setdefault((req.tile_h, req.tile_w), []).append(req)
                 for (tile_h, tile_w), reqs in by_geometry.items():
                     all_panels = [p for r in reqs for p in r.panels]
+                    self._inflight.acquire()
                     try:
-                        results = device_render_panels(all_panels, tile_h, tile_w)
+                        pending = enqueue_render_panels(all_panels, tile_h, tile_w)
                     except Exception as exc:
+                        self._inflight.release()
                         for r in reqs:
                             r.future.set_exception(exc)
                         continue
-                    pos = 0
-                    for r in reqs:
-                        r.future.set_result(results[pos : pos + len(r.panels)])
-                        pos += len(r.panels)
+                    if pending.has_device_work():
+                        # Device buckets in flight: drain on a side thread so
+                        # the NEXT coalesced batch's uploads overlap this
+                        # one's readback.
+                        self._drain_async(pending, reqs)
+                    else:
+                        # Pure host batch: results are already complete (and
+                        # doing the work here is what lets queued requests
+                        # coalesce behind us on the 1-thread host path).
+                        self._inflight.release()
+                        try:
+                            self._resolve(reqs, pending.wait())
+                        except Exception as exc:
+                            for r in reqs:
+                                if not r.future.done():
+                                    r.future.set_exception(exc)
                 batch = []
         except BaseException as exc:  # e.g. MemoryError/KeyboardInterrupt
             # The dispatcher is dying: fail every drained-but-unresolved

@@ -391,6 +391,13 @@ extern "C" int fastpng_write_v2(
     if (force && std::strcmp(force, "rle") == 0) use_rle = true;
     else if (force && std::strcmp(force, "libdeflate") == 0) use_rle = false;
     else use_rle = rlez::sampled_zero_frac(raw.data(), raw.size()) >= 0.35;
+#if defined(__BYTE_ORDER__) && (__BYTE_ORDER__ == __ORDER_BIG_ENDIAN__)
+    // The rlez BitWriter flushes its 64-bit accumulator with a raw memcpy
+    // and the run finder's word compares assume little-endian byte order;
+    // on big-endian hosts that would emit corrupt zlib streams.  Route such
+    // builds to libdeflate unconditionally (overrides FASTPNG_ENCODER=rle).
+    use_rle = false;
+#endif
     if (use_rle) {
         rlez::deflate_fixed(raw.data(), raw.size(), zdata);
     } else {

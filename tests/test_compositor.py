@@ -147,7 +147,7 @@ def test_canvas_pool_recycles_after_collection(rng):
     import gc
 
     from configurable_spectrograms_tpu.data.synthetic import synth_instrument_arrays
-    from configurable_spectrograms_tpu.render import figure as figure_mod
+    from configurable_spectrograms_tpu.render import compositor as figure_mod
     from configurable_spectrograms_tpu.render.plotting import generic_plot_spectrogram_set
 
     # The pool is process-global and size-capped; earlier tests may have

@@ -134,13 +134,14 @@ def test_reprobe_restores_device_backend(monkeypatch):
     import time
 
     from configurable_spectrograms_tpu.render import figure
+    from configurable_spectrograms_tpu.render import link
 
     monkeypatch.setitem(figure._BACKEND, "mode", "auto")
     monkeypatch.setitem(figure._BACKEND, "forced_host", True)
     monkeypatch.setitem(figure._BACKEND, "calibrated", True)
     monkeypatch.setitem(figure._BACKEND, "last_probe_ts", 0.0)
     monkeypatch.setitem(figure._BACKEND, "reprobe_inflight", False)
-    monkeypatch.setattr(figure, "_REPROBE_INTERVAL_SEC", 0.0)
+    monkeypatch.setattr(link, "_REPROBE_INTERVAL_SEC", 0.0)
 
     figure.maybe_reprobe_device_link()
     deadline = time.monotonic() + 30
@@ -158,18 +159,19 @@ def test_cold_link_warm_start_promotion(monkeypatch):
     import time
 
     from configurable_spectrograms_tpu.render import figure
+    from configurable_spectrograms_tpu.render import link
 
     monkeypatch.setitem(figure._BACKEND, "mode", "auto")
     monkeypatch.setitem(figure._BACKEND, "forced_host", False)
     monkeypatch.setitem(figure._BACKEND, "probed", False)
     monkeypatch.setitem(figure._BACKEND, "calibrated", True)
-    monkeypatch.setattr(figure, "_PROBE_SYNC_WAIT_SEC", 0.05)
+    monkeypatch.setattr(link, "_PROBE_SYNC_WAIT_SEC", 0.05)
 
     def slow_ok_probe():
         time.sleep(0.4)
         return {"ok": True, "steady_dt": 0.001}
 
-    monkeypatch.setattr(figure, "_link_roundtrip_probe", slow_ok_probe)
+    monkeypatch.setattr(link, "_link_roundtrip_probe", slow_ok_probe)
     t0 = time.monotonic()
     figure.probe_device_link()
     assert time.monotonic() - t0 < 0.35  # returned before the probe finished
@@ -188,17 +190,18 @@ def test_dead_link_stays_host(monkeypatch):
     import time
 
     from configurable_spectrograms_tpu.render import figure
+    from configurable_spectrograms_tpu.render import link
 
     monkeypatch.setitem(figure._BACKEND, "mode", "auto")
     monkeypatch.setitem(figure._BACKEND, "forced_host", False)
     monkeypatch.setitem(figure._BACKEND, "probed", False)
-    monkeypatch.setattr(figure, "_PROBE_SYNC_WAIT_SEC", 0.05)
+    monkeypatch.setattr(link, "_PROBE_SYNC_WAIT_SEC", 0.05)
 
     def slow_bad_probe():
         time.sleep(0.2)
         return {"ok": False, "why": "synthetic dead link"}
 
-    monkeypatch.setattr(figure, "_link_roundtrip_probe", slow_bad_probe)
+    monkeypatch.setattr(link, "_link_roundtrip_probe", slow_bad_probe)
     figure.probe_device_link()
     assert figure._BACKEND["forced_host"]
     time.sleep(0.5)  # give the promote watcher time to (wrongly) flip it
@@ -207,6 +210,7 @@ def test_dead_link_stays_host(monkeypatch):
 
 def test_reprobe_not_due_is_noop(monkeypatch):
     from configurable_spectrograms_tpu.render import figure
+    from configurable_spectrograms_tpu.render import link
 
     monkeypatch.setitem(figure._BACKEND, "mode", "auto")
     monkeypatch.setitem(figure._BACKEND, "forced_host", True)
@@ -249,7 +253,7 @@ def test_canvas_pool_keeps_recycling_past_size_cap():
     """Releasing a 5th distinct canvas size must evict an old size and keep
     pooling, not permanently disable recycling (a batch mixing pitch grids,
     instrument grids, and generic sets crosses the cap easily)."""
-    from configurable_spectrograms_tpu.render import figure as F
+    from configurable_spectrograms_tpu.render import compositor as F
 
     with F._CANVAS_POOL_LOCK:
         saved = dict(F._CANVAS_POOL)
@@ -259,8 +263,33 @@ def test_canvas_pool_keeps_recycling_past_size_cap():
             F._release_canvas(np.full((h, 8, 4), 255, np.uint8))
         assert len(F._CANVAS_POOL) <= F._CANVAS_POOL_MAX_SIZES
         c = F._acquire_canvas(66, 8)  # newest size still pooled
+        ptr = c.ctypes.data
         F._release_canvas(c)
-        assert F._acquire_canvas(66, 8) is c
+        del c  # production pattern: release fires when the Image is GC'd
+        assert F._acquire_canvas(66, 8).ctypes.data == ptr
+    finally:
+        with F._CANVAS_POOL_LOCK:
+            F._CANVAS_POOL.clear()
+            F._CANVAS_POOL.update(saved)
+
+
+def test_canvas_pool_never_recycles_externally_held_buffer():
+    """An embedder that extracted ``img._np_canvas`` and still holds it must
+    not see its pixels reset and redrawn by an unrelated later figure: a
+    pooled canvas with a surviving external reference is dropped at acquire
+    time, never reused (round-2 advisor finding)."""
+    from configurable_spectrograms_tpu.render import compositor as F
+
+    with F._CANVAS_POOL_LOCK:
+        saved = dict(F._CANVAS_POOL)
+        F._CANVAS_POOL.clear()
+    try:
+        held = F._acquire_canvas(24, 8)
+        held[...] = 7  # the embedder's pixels
+        F._release_canvas(held)  # simulates the finalizer firing anyway
+        fresh = F._acquire_canvas(24, 8)
+        assert fresh.ctypes.data != held.ctypes.data
+        assert (held == 7).all()  # the held buffer was never touched
     finally:
         with F._CANVAS_POOL_LOCK:
             F._CANVAS_POOL.clear()
@@ -272,13 +301,14 @@ def test_bandwidth_preselection(monkeypatch):
     bandwidth is pre-forced to the host backend (why_host='bandwidth');
     a fast measurement restores the device backend."""
     from configurable_spectrograms_tpu.render import figure
+    from configurable_spectrograms_tpu.render import link
 
     monkeypatch.setitem(figure._BACKEND, "mode", "auto")
     monkeypatch.setitem(figure._BACKEND, "forced_host", False)
     monkeypatch.setitem(figure._BACKEND, "why_host", None)
     monkeypatch.setitem(figure._BACKEND, "probed", False)
     monkeypatch.setattr(
-        figure, "_link_roundtrip_probe", lambda: {"ok": True, "mbps": 2.0}
+        link, "_link_roundtrip_probe", lambda: {"ok": True, "mbps": 2.0}
     )
     figure.probe_device_link()
     assert figure._BACKEND["forced_host"] is True
@@ -287,9 +317,9 @@ def test_bandwidth_preselection(monkeypatch):
     # Recovery via reprobe with a healthy bandwidth measurement.
     monkeypatch.setitem(figure._BACKEND, "last_probe_ts", 0.0)
     monkeypatch.setitem(figure._BACKEND, "reprobe_inflight", False)
-    monkeypatch.setattr(figure, "_REPROBE_INTERVAL_SEC", 0.0)
+    monkeypatch.setattr(link, "_REPROBE_INTERVAL_SEC", 0.0)
     monkeypatch.setattr(
-        figure, "_link_roundtrip_probe", lambda: {"ok": True, "mbps": 800.0}
+        link, "_link_roundtrip_probe", lambda: {"ok": True, "mbps": 800.0}
     )
     import time
 
@@ -304,12 +334,13 @@ def test_bandwidth_preselection(monkeypatch):
 def test_probe_without_bandwidth_counts_as_healthy(monkeypatch):
     """Outcomes lacking an mbps field (partial probes) must not pre-select."""
     from configurable_spectrograms_tpu.render import figure
+    from configurable_spectrograms_tpu.render import link
 
     monkeypatch.setitem(figure._BACKEND, "mode", "auto")
     monkeypatch.setitem(figure._BACKEND, "forced_host", False)
     monkeypatch.setitem(figure._BACKEND, "why_host", None)
     monkeypatch.setitem(figure._BACKEND, "probed", False)
-    monkeypatch.setattr(figure, "_link_roundtrip_probe", lambda: {"ok": True})
+    monkeypatch.setattr(link, "_link_roundtrip_probe", lambda: {"ok": True})
     figure.probe_device_link()
     assert figure._BACKEND["forced_host"] is False
 
