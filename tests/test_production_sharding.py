@@ -274,3 +274,124 @@ def test_hung_extrema_dispatch_falls_back_to_host(rng, monkeypatch):
     host = extrema_ops.host_file_stats(cube)
     np.testing.assert_array_equal(stats[0]["counts"], host["counts"])
     np.testing.assert_array_equal(stats[0]["hist"], host["hist"])
+
+
+def _quantize_cost(rng, sharded: bool, explicit: bool = False) -> dict:
+    """Per-device XLA cost of the production quantize program, 16 lanes."""
+    from configurable_spectrograms_tpu.parallel.mesh import data_parallel_mesh
+    from configurable_spectrograms_tpu.render.figure import _bucket, _prepare_group
+
+    panels = _build_panels(rng, 16)
+    if explicit:
+        for p in panels:
+            p.z_min, p.z_max = 1.0, 1e4
+    Tp, Ap, Ep = _bucket(60, 256, 64), _bucket(6, 8, 8), _bucket(12, 8, 8)
+    mesh = data_parallel_mesh() if sharded else None
+    g, inputs = _prepare_group(
+        panels, list(range(16)), Tp, Ap, Ep, "log", "log", 1.0, 99.0, explicit, 48, mesh
+    )
+    (u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
+     zb_e_valids, zb_full, t_maps, unique_cubes) = inputs
+    cubes_np = np.full((len(unique_cubes), Tp, Ap, Ep), np.nan, np.float32)
+    for s, c in enumerate(unique_cubes):
+        T, A, E = c.shape
+        cubes_np[s, :T, :A, :E] = c
+    args = (u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts,
+            z_bounds, zb_e_valids, zb_full, t_maps, cubes_np)
+    fn = figure._batched_quantize_fn(
+        ("log", "log", 1.0, 99.0, explicit, g.gather_w, sharded)
+    )
+    ca = fn.lower(*args).compile().cost_analysis()
+    return ca[0] if isinstance(ca, list) else ca
+
+
+def test_sharded_quantize_partitions_compute_not_just_outputs(rng, monkeypatch):
+    """GSPMD could satisfy the output-sharding + bit-identity tests while
+    silently REPLICATING the heavy collapse/quantize on every device.  The
+    compiled per-device cost must instead be ~1/N of the unsharded
+    program's (VERDICT round-2 item 2)."""
+    _require_devices(8)
+    monkeypatch.setenv("CST_DATA_MESH", "1")
+    for explicit in (False, True):
+        sharded = _quantize_cost(rng, sharded=True, explicit=explicit)
+        unsharded = _quantize_cost(rng, sharded=False, explicit=explicit)
+        assert unsharded["flops"] > 0
+        ratio = unsharded["flops"] / max(sharded["flops"], 1.0)
+        assert ratio > 4.0, (
+            f"per-device flops only {ratio:.1f}x below unsharded "
+            f"(explicit={explicit}) -- the mesh partition is replicating compute"
+        )
+
+
+def test_sharded_extrema_partitions_compute(rng, monkeypatch):
+    """Same replication check for the extrema pre-pass reduction."""
+    _require_devices(8)
+    from configurable_spectrograms_tpu.ops import extrema_ops
+
+    monkeypatch.setenv("CST_DATA_MESH", "1")
+    batch = (rng.random((16, 32, 4, 8)) * 100).astype(np.float32)
+    t_valids = np.full((16,), 32, np.int32)
+    import jax.numpy as jnp
+
+    args = (jnp.asarray(batch), jnp.asarray(t_valids))
+    costs = {}
+    for sharded in (True, False):
+        ca = extrema_ops._batched_stats_fn(sharded).lower(*args).compile().cost_analysis()
+        costs[sharded] = ca[0] if isinstance(ca, list) else ca
+    ratio = costs[False]["flops"] / max(costs[True]["flops"], 1.0)
+    assert ratio > 4.0, f"extrema per-device flops only {ratio:.1f}x below unsharded"
+
+
+def test_explicit_bounds_program_shards_and_matches(rng, monkeypatch):
+    """The sort-free explicit-bounds program (the given-extrema half of
+    production dispatches) must span the mesh and match the unsharded
+    output bit-for-bit -- round 2 only covered the percentile program."""
+    _require_devices(8)
+    monkeypatch.setitem(figure._BACKEND, "mode", "device")
+    monkeypatch.setitem(figure._BACKEND, "forced_host", False)
+
+    panels = _build_panels(rng, 10)
+    for p in panels:
+        p.z_min, p.z_max = 0.5, 5e3  # explicit bounds -> sort-free program
+
+    monkeypatch.setenv("CST_DATA_MESH", "1")
+    sharded = _render_results(panels)
+    assert figure.LAST_DISPATCH["devices"] == 8
+    monkeypatch.setenv("CST_DATA_MESH", "0")
+    single = _render_results(panels)
+    assert figure.LAST_DISPATCH["devices"] == 1
+    for s, u in zip(sharded, single):
+        np.testing.assert_array_equal(s["rgba"], u["rgba"])
+        assert s["vmin"] == pytest.approx(u["vmin"])
+        assert s["vmax"] == pytest.approx(u["vmax"])
+
+
+def test_mixed_bucket_group_shards_and_matches(rng, monkeypatch):
+    """One device_render_panels call mixing (T,A,E) buckets AND percentile/
+    explicit programs -- the multi-dispatch shape production hits when an
+    orbit's grids coalesce -- must shard every bucket and match unsharded."""
+    _require_devices(8)
+    monkeypatch.setitem(figure._BACKEND, "mode", "device")
+    monkeypatch.setitem(figure._BACKEND, "forced_host", False)
+
+    def build_mixed():
+        short = _build_panels(rng, 3)  # T=60ish -> 64-bucket
+        long = _build_panels(rng, 3)
+        for k, p in enumerate(long):
+            T, A, E = 300 + 5 * k, 6, 12
+            p.cube = (rng.random((T, A, E)) * 80).astype(np.float32)
+            p.times = np.arange(T, dtype=np.float64)
+            p.window = TimeWindow(0, T, (0.0, float(T - 1)), (0.0, float(T - 1)))
+        explicit = _build_panels(rng, 2)
+        for p in explicit:
+            p.z_min, p.z_max = 0.5, 5e3
+        return short + long + explicit
+
+    panels = build_mixed()
+    monkeypatch.setenv("CST_DATA_MESH", "1")
+    sharded = _render_results(panels)
+    assert figure.LAST_DISPATCH["devices"] == 8
+    monkeypatch.setenv("CST_DATA_MESH", "0")
+    single = _render_results(panels)
+    for s, u in zip(sharded, single):
+        np.testing.assert_array_equal(s["rgba"], u["rgba"])
