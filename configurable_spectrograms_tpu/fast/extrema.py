@@ -10,11 +10,16 @@ ordered first in the file, linear_linear reuse with log transform, monotone
 non-decreasing maxima, the 4000 energy cap, and batched flushing.
 
 The per-file math runs on device (batched across an orbit's instruments,
-:mod:`configurable_spectrograms_tpu.ops.extrema_ops`); pooled-percentile
-z-maxima come from a mergeable log-histogram (bounded <1.4%% relative
-error, then ceil'd as the reference does) instead of the reference's
-O(total-samples) in-memory pooling, so the pass scales to full archives
-and shards across a mesh.
+:mod:`configurable_spectrograms_tpu.ops.extrema_ops`).  Pooled-percentile
+z-maxima are EXACT by default -- bit-equal to the reference's
+``np.nanpercentile`` over the whole pool (reference fast/extrema.py:280-285)
+via the windowed two-pass tracker in
+:mod:`configurable_spectrograms_tpu.ops.exact_percentile`, which retains
+only samples near the percentile and re-gathers from files when the target
+drifts.  ``CST_EXTREMA_EXACT=0`` (or ``exact_percentile=False``) switches
+to the pure log-histogram estimate (bounded <1.4%% relative error, then
+ceil'd as the reference does), which skips the host collapse entirely and
+is the cheaper choice when reference-exact bounds don't matter.
 """
 
 from __future__ import annotations
@@ -29,6 +34,7 @@ import numpy as np
 from configurable_spectrograms_tpu.data.cdf_utils import load_fast_cdf_dataset
 from configurable_spectrograms_tpu.data.orbit_discovery import discover_orbit_files
 from configurable_spectrograms_tpu.fast.constants import FAST_EXTREMA_JSON_PATH
+from configurable_spectrograms_tpu.ops.exact_percentile import ExactPercentileTracker
 from configurable_spectrograms_tpu.ops.extrema_ops import HIST_BINS, batched_file_stats, hist_percentile
 from configurable_spectrograms_tpu.utils.logging import log_exception
 from configurable_spectrograms_tpu.utils.percentiles import round_extrema
@@ -86,6 +92,7 @@ def compute_global_extrema(
     log_floor_cutoff: float = 0.1,
     log_floor_value: float = -1.0,
     flush_batch_size: int = 10,
+    exact_percentile: bool | None = None,
 ) -> dict[str, Any]:
     """Compute (or incrementally update) cached axis extrema per instrument.
 
@@ -98,7 +105,13 @@ def compute_global_extrema(
     non-decreasing across incremental updates and energy is capped at 4000;
     everything is ceil'd.  Progress flushes to ``extrema_json_path`` every
     ``flush_batch_size`` orbits with a final guaranteed flush.
+
+    ``exact_percentile`` (default: ``CST_EXTREMA_EXACT`` env, on) makes the
+    pooled z percentiles bit-equal to the reference's ``np.nanpercentile``;
+    off uses the histogram upper-edge estimate.
     """
+    if exact_percentile is None:
+        exact_percentile = os.environ.get("CST_EXTREMA_EXACT", "1") != "0"
     instrument_order = tuple(instrument_order)
     flush_batch_size = max(1, int(flush_batch_size))
     state: dict[str, Any] = {}
@@ -181,7 +194,24 @@ def compute_global_extrema(
     # --- incremental scan (device-reduced, chunked across orbits) -----------
     energy_counts: dict[str, dict[float, int]] = {inst: {} for inst in active_insts}
     hists: dict[str, np.ndarray] = {inst: np.zeros(HIST_BINS, np.int64) for inst in active_insts}
+    trackers: dict[str, ExactPercentileTracker] = (
+        {inst: ExactPercentileTracker() for inst in active_insts} if exact_percentile else {}
+    )
     orbits_since_flush = 0
+
+    def _pooled_positives(cube: np.ndarray) -> np.ndarray:
+        """The reference's pooled samples for one file: positive finite
+        values of the pitch-collapsed (nansum, axis=1) float32 matrix
+        (reference fast/extrema.py:260-267)."""
+        collapsed = np.where(np.isnan(cube), np.float32(0.0), cube).sum(axis=1, dtype=np.float32)
+        return collapsed[np.isfinite(collapsed) & (collapsed > 0)]
+
+    def _regather_from(path: str):
+        def regather() -> np.ndarray:
+            ds = load_fast_cdf_dataset(path)
+            return _pooled_positives(ds["data"].astype(np.float32, copy=False))
+
+        return regather
 
     pending_indexed = [(i, o) for i, o in enumerate(sorted_orbits) if o > last_orbit]
     try:
@@ -217,7 +247,19 @@ def compute_global_extrema(
                     target = 0.99 * cum[-1]
                     idx = min(int(np.searchsorted(cum, target, side="right")), len(es) - 1)
                     candidate_e = float(es[idx])
-                candidate_z = hist_percentile(hists[inst], max_percentile)
+                if exact_percentile:
+                    try:
+                        candidate_z = trackers[inst].percentile(max_percentile)
+                    except Exception as exc:
+                        log_exception(
+                            f"[EXTREMA] exact percentile failed inst={inst} orbit={orbit}; "
+                            "falling back to the histogram estimate",
+                            exc,
+                            level="message",
+                        )
+                        candidate_z = hist_percentile(hists[inst], max_percentile)
+                else:
+                    candidate_z = hist_percentile(hists[inst], max_percentile)
 
                 prev_e = state.get(f"{key_prefix}_y_max")
                 prev_z = state.get(f"{key_prefix}_z_max")
@@ -227,7 +269,13 @@ def compute_global_extrema(
                 merged_z = float(math.ceil(merged_z))
 
                 if compute_mins and hists[inst].sum() > 0:
-                    z_min_store = hist_percentile(hists[inst], 1.0)
+                    if exact_percentile:
+                        try:
+                            z_min_store = trackers[inst].percentile(1.0)
+                        except Exception:
+                            z_min_store = hist_percentile(hists[inst], 1.0)
+                    else:
+                        z_min_store = hist_percentile(hists[inst], 1.0)
                 else:
                     z_min_store = 0
                 state[f"{key_prefix}_y_min"] = 0
@@ -260,27 +308,40 @@ def compute_global_extrema(
                         continue
                     try:
                         ds = load_fast_cdf_dataset(path)
-                        loaded.append((orbit, inst, ds["data"].astype(np.float32, copy=False), ds["energy"]))
+                        loaded.append(
+                            (orbit, inst, ds["data"].astype(np.float32, copy=False), ds["energy"], path)
+                        )
                     except Exception as exc:
                         log_exception(
                             f"[EXTREMA] Ingest failure inst={inst} orbit={orbit} file={path}",
                             exc,
                             level="message",
                         )
-            stats = batched_file_stats([cube for _, _, cube, _ in loaded])
+            stats = batched_file_stats([cube for _, _, cube, _, _ in loaded])
             stats_by_orbit: dict[int, list] = {}
-            for (orbit, inst, _cube, energy), st in zip(loaded, stats):
-                stats_by_orbit.setdefault(orbit, []).append((inst, energy, st))
+            for (orbit, inst, cube, energy, path), st in zip(loaded, stats):
+                stats_by_orbit.setdefault(orbit, []).append((inst, energy, st, cube, path))
 
             # Fold chunk results orbit by orbit IN ORDER so the monotone
             # merge and cursor semantics match the sequential scan exactly.
             for orbit_index, orbit in chunk:
-                for inst, energy, st in stats_by_orbit.get(orbit, []):
+                for inst, energy, st, cube, path in stats_by_orbit.get(orbit, []):
                     counts_map = energy_counts[inst]
                     for e_val, cnt in zip(energy, st["counts"]):
                         if cnt:
                             counts_map[float(e_val)] = counts_map.get(float(e_val), 0) + int(cnt)
                     hists[inst] += st["hist"].astype(np.int64)
+                    if exact_percentile:
+                        # Added INSIDE the per-orbit fold: the reference's
+                        # candidate at orbit i is the percentile of the pool
+                        # up to orbit i, and the monotone max over prefixes
+                        # depends on those exact prefixes.  The tracker is
+                        # fully host-consistent (host collapse + binning):
+                        # on-silicon log10 can differ from the host by an
+                        # ulp at a bin edge, and mixing the device histogram
+                        # with host-gathered values would trip the tracker's
+                        # count consistency check.
+                        trackers[inst].add(_pooled_positives(cube), _regather_from(path))
                 _update_state_for_orbit(orbit_index, orbit)
                 if bar is not None:
                     bar.update(1)

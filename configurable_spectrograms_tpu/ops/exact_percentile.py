@@ -1,0 +1,226 @@
+"""Exact pooled percentiles over an incrementally growing sample pool.
+
+The extrema pre-pass's z-bounds are percentiles of every positive collapsed
+sample pooled across an archive (reference fast/extrema.py:280-285 keeps
+the whole pool in memory and calls ``np.nanpercentile`` per orbit).  The
+histogram summary (:mod:`.extrema_ops`) bounds that within one bin
+(<1.4%% relative), but the flagship ``_given_extrema`` figure products then
+inherit that error against the reference.  This module closes the gap with
+a two-pass scheme that stays mergeable and memory-bounded:
+
+* the 4096-bin log10 histogram (same binning as ``extrema_ops``) locates
+  which bins contain the straddling order statistics of any requested
+  percentile;
+* EXACT sample values are retained only for a window of bins around the
+  current target(s) -- a masked gather per file, typically a few percent
+  of samples;
+* if the pooled percentile later drifts outside the retained window
+  (archives whose late files shift the distribution), the affected bins
+  are re-gathered from the recorded file handles (the second pass), and
+  the window recenters.
+
+The returned value is bit-equal to
+``float(np.nanpercentile(pool_float32, q))``: the order statistics are
+exact, and both the virtual index and the interpolation mirror numpy's
+float32 path (numpy matches the quantile dtype to the array dtype) --
+verified against ``np.nanpercentile`` by brute-force randomized tests.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+from configurable_spectrograms_tpu.ops.extrema_ops import HIST_BINS, LOG_HI, LOG_LO
+
+#: Half-width (bins) of the retained-value window around each target bin.
+#: 24 bins = 0.14 dex each side (~38%% in value), far wider than the
+#: percentile of a growing pool typically moves between orbits.
+DEFAULT_WINDOW = 24
+
+
+def _bins_for(values: np.ndarray) -> np.ndarray:
+    """The histogram bin of each (positive finite float32) value.
+
+    Identical float32 arithmetic to ``extrema_ops.host_file_stats`` /
+    ``file_extrema_stats`` so ranks computed from the device histogram
+    align with values gathered here.
+    """
+    logv = np.log10(values, dtype=np.float32)
+    return np.clip(
+        ((logv - np.float32(LOG_LO)) / np.float32(LOG_HI - LOG_LO) * np.float32(HIST_BINS)).astype(np.int32),
+        0,
+        HIST_BINS - 1,
+    )
+
+
+def _window_mask(values: np.ndarray, lo_bin: int, hi_bin: int) -> np.ndarray:
+    """Cheap value-range preselection for bins [lo_bin, hi_bin] (inclusive).
+
+    Selects by value bounds with a +/-1-bin safety margin (float32 log10 at
+    a bin edge can land either side of the exact power-of-ten boundary),
+    then the caller bins the small subset exactly.
+    """
+    step = (LOG_HI - LOG_LO) / HIST_BINS
+    lo_edge = 10.0 ** (LOG_LO + (lo_bin - 1) * step) if lo_bin > 0 else 0.0
+    hi_edge = 10.0 ** (LOG_LO + (hi_bin + 2) * step) if hi_bin < HIST_BINS - 1 else np.inf
+    return (values >= lo_edge) & (values <= hi_edge)
+
+
+def percentile_ranks(n: int, q: float) -> tuple[int, int, np.float32]:
+    """The order-statistic ranks and gamma ``np.nanpercentile`` uses.
+
+    For float32 pools numpy matches the quantile dtype to the ARRAY dtype,
+    so the virtual index ``(n-1) * (q/100)`` and its fractional gamma are
+    computed in float32 (verified by instrumenting ``numpy._lerp``) -- a
+    float64 mirror picks the same ranks but drifts the interpolation by
+    many float32 ulps.  Returns ``(k_lo, k_hi, gamma32)`` with the bound
+    clamping numpy's ``_get_indexes`` applies.
+    """
+    q32 = np.float32(np.true_divide(q, 100))
+    vi = q32 * np.float32(n - 1)
+    if vi >= n - 1:
+        return n - 1, n - 1, np.float32(0.0)
+    if vi < 0:
+        return 0, 0, np.float32(0.0)
+    prev = np.floor(vi)
+    return int(prev), min(int(prev) + 1, n - 1), np.float32(vi - prev)
+
+
+def numpy_lerp_percentile(v_lo: float, v_hi: float, gamma: np.float32) -> float:
+    """numpy's ``_lerp`` between two float32 order statistics, float32 math.
+
+    Branch for branch: ``a + diff*t`` below ``t >= 0.5``, ``b - diff*(1-t)``
+    above, all in float32 (numpy matched gamma's dtype to the float32
+    array), with the float32-rounded difference.
+    """
+    a32 = np.float32(v_lo)
+    b32 = np.float32(v_hi)
+    t = np.float32(gamma)
+    diff = np.float32(b32 - a32)
+    if t >= np.float32(0.5):
+        v = b32 - diff * (np.float32(1.0) - t)
+    else:
+        v = a32 + diff * t
+    return float(np.float32(v))
+
+
+class ExactPercentileTracker:
+    """Incrementally pooled samples answering exact ``np.nanpercentile``.
+
+    ``add(values, regather)`` folds one file's positive collapsed samples
+    into the pool: the full histogram is updated, values inside the current
+    retention window are kept exactly, and ``regather`` (a zero-argument
+    callable returning the same values again, e.g. a file re-read) is
+    recorded for the drift path.  ``percentile(q)`` then returns the exact
+    pooled percentile; queried percentiles recenter the retention window
+    for subsequent files.
+    """
+
+    def __init__(self, window_bins: int = DEFAULT_WINDOW):
+        self.window = int(window_bins)
+        self.hist = np.zeros(HIST_BINS, np.int64)
+        #: bin -> list of exact float32 value arrays
+        self.retained: dict[int, list[np.ndarray]] = {}
+        #: (regather, (lo_bin, hi_bin)) per file -- which bins were kept
+        self.files: list[tuple[Callable[[], np.ndarray], tuple[int, int]]] = []
+        #: retention window applied to NEW files; recentered by queries
+        self._lo = 0
+        self._hi = HIST_BINS - 1
+        #: re-gather passes performed (observability; tests assert on it)
+        self.regathers = 0
+
+    # -- ingest --------------------------------------------------------------
+
+    def add(
+        self,
+        values: np.ndarray,
+        regather: Callable[[], np.ndarray],
+        hist: np.ndarray | None = None,
+    ) -> None:
+        """Fold one file's positive finite float32 samples into the pool.
+
+        *hist* may pass the file's already-computed device histogram
+        (``extrema_ops`` binning -- bit-identical to the host binning) to
+        skip a host bincount.
+        """
+        values = np.asarray(values, np.float32)
+        if hist is not None:
+            self.hist += np.asarray(hist, np.int64)
+        elif values.size:
+            self.hist += np.bincount(_bins_for(values), minlength=HIST_BINS).astype(np.int64)
+        self._retain(values, self._lo, self._hi)
+        self.files.append((regather, (self._lo, self._hi)))
+
+    def _retain(self, values: np.ndarray, lo: int, hi: int) -> None:
+        if not values.size:
+            return
+        sub = values[_window_mask(values, lo, hi)]
+        if not sub.size:
+            return
+        bins = _bins_for(sub)
+        keep = (bins >= lo) & (bins <= hi)
+        sub, bins = sub[keep], bins[keep]
+        for b in np.unique(bins):
+            self.retained.setdefault(int(b), []).append(sub[bins == b])
+
+    # -- queries -------------------------------------------------------------
+
+    def _bin_of_rank(self, rank: int, cum: np.ndarray) -> int:
+        return int(min(np.searchsorted(cum, rank + 1, side="left"), HIST_BINS - 1))
+
+    def _ensure_bins(self, lo: int, hi: int) -> None:
+        """Guarantee exact values exist for bins [lo, hi] from every file.
+
+        Files whose retention window missed any needed bin are re-read (the
+        drift second pass); the window also recenters so future files
+        retain the right region.
+        """
+        missing = [
+            i for i, (_, (flo, fhi)) in enumerate(self.files) if lo < flo or hi > fhi
+        ]
+        if not missing:
+            return
+        self.regathers += 1
+        # Recenter the retention window around the union of old + needed.
+        new_lo = max(0, min(lo, self._lo) - 0)
+        new_hi = min(HIST_BINS - 1, max(hi, self._hi) + 0)
+        for i in missing:
+            regather, (flo, fhi) = self.files[i]
+            values = np.asarray(regather(), np.float32)
+            # Gather only the bins this file never retained (no duplicates).
+            for seg_lo, seg_hi in ((new_lo, flo - 1), (fhi + 1, new_hi)):
+                if seg_lo <= seg_hi:
+                    self._retain(values, seg_lo, seg_hi)
+            self.files[i] = (regather, (min(new_lo, flo), max(new_hi, fhi)))
+        self._lo, self._hi = new_lo, new_hi
+
+    def _order_stat(self, rank: int, cum: np.ndarray) -> float:
+        b = self._bin_of_rank(rank, cum)
+        before = int(cum[b - 1]) if b > 0 else 0
+        vals = np.sort(np.concatenate(self.retained.get(b, [np.empty(0, np.float32)])))
+        if len(vals) != int(self.hist[b]):
+            raise AssertionError(
+                f"retained bin {b} holds {len(vals)} values but the histogram "
+                f"counts {int(self.hist[b])} -- binning drift or missed re-gather"
+            )
+        return float(vals[rank - before])
+
+    def percentile(self, q: float) -> float:
+        """Exact ``float(np.nanpercentile(pool, q))``; 0.0 on an empty pool."""
+        n = int(self.hist.sum())
+        if n == 0:
+            return 0.0
+        k_lo, k_hi, gamma = percentile_ranks(n, q)
+        cum = np.cumsum(self.hist)
+        b_lo = self._bin_of_rank(k_lo, cum)
+        b_hi = self._bin_of_rank(k_hi, cum)
+        # Recenter the retention window for FUTURE files around the target,
+        # then make the needed bins exact for every past file.
+        self._lo = max(0, b_lo - self.window)
+        self._hi = min(HIST_BINS - 1, b_hi + self.window)
+        self._ensure_bins(b_lo, b_hi)
+        v_lo = self._order_stat(k_lo, cum)
+        v_hi = v_lo if k_hi == k_lo else self._order_stat(k_hi, cum)
+        return numpy_lerp_percentile(v_lo, v_hi, gamma)

@@ -4,7 +4,9 @@
 The pytest suite forces an 8-device CPU mesh (tests/conftest.py), so
 device-vs-host parity on actual TPU silicon is validated by this script
 instead: it renders a batch of panels through the device backend and the
-host backend and requires byte-identical RGBA tiles and scalar metadata.
+host backend and requires every differing pixel to sit within ONE
+colormap bin of the host's (the literal "within colormap quantization"
+contract), with matching scalar metadata.
 Run whenever the device link is healthy: ``python tools/tpu_smoke.py``.
 Prints one JSON line; exit 0 on parity, 1 on mismatch, 2 when the link is
 too degraded to run the device path.
@@ -68,22 +70,54 @@ def main() -> int:
     host = device_render_panels(panels, 48, 96)
     figure._BACKEND["mode"] = "auto"
 
+    # The parity contract is "within colormap quantization": TPU float32
+    # transcendentals (log10 in the normalize) differ from the host's
+    # numpy in the last ulp, which can land a value on the other side of a
+    # colormap-bin edge -- but never further.  So the LITERAL gate is:
+    # every differing pixel must decode to LUT indices exactly one bin
+    # apart (measured on real v5e: explicit-bounds panels <=0.16% of
+    # pixels differ, percentile panels <=1.7%; all within +-1 bin).  On
+    # the CPU backend both paths verify fully byte-identical
+    # (tests/test_production_sharding.py) -- the difference here is TPU
+    # silicon's math, not the pipeline.
+    from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
+
+    lut = colormap_lut("inferno")
+    index_of = {tuple(int(c) for c in lut[j]): j for j in range(len(lut))}
+
     mismatches = []
     reports = []
     for i, (d, h) in enumerate(zip(device, host)):
-        frac = float((d["rgba"] != h["rgba"]).any(axis=-1).mean())
+        diff_mask = (d["rgba"] != h["rgba"]).any(axis=-1)
+        frac = float(diff_mask.mean())
         explicit = panels[i].z_min is not None and panels[i].z_max is not None
-        reports.append({"panel": i, "pixel_diff_frac": round(frac, 5), "explicit_bounds": explicit})
-        # TPU float32 transcendentals (log10 in the normalize) differ from
-        # the host's numpy in the last ulp, landing a small fraction of
-        # values on the other side of a colormap-bin edge.  Measured on
-        # real v5e: explicit-bounds panels <=0.16% of pixels, percentile
-        # panels <=1.7% (the extra sort/interp path); thresholds carry
-        # headroom over those.  On the CPU backend both paths verify fully
-        # byte-identical (tests/test_production_sharding.py) -- the
-        # difference here is TPU silicon's math, not the pipeline.
-        if frac > (0.005 if explicit else 0.02):
-            mismatches.append({"panel": i, "what": "rgba", "pixel_diff_frac": round(frac, 5)})
+        bad_pixels = 0
+        max_bin_delta = 0
+        for y, x in zip(*np.nonzero(diff_mask)):
+            di = index_of.get(tuple(int(c) for c in d["rgba"][y, x]))
+            hi = index_of.get(tuple(int(c) for c in h["rgba"][y, x]))
+            if di is None or hi is None:
+                # Not a colormap color on one side (e.g. data vs background):
+                # a structural mismatch, never explainable by quantization.
+                bad_pixels += 1
+                continue
+            delta = abs(di - hi)
+            max_bin_delta = max(max_bin_delta, delta)
+            if delta > 1:
+                bad_pixels += 1
+        reports.append({
+            "panel": i,
+            "pixel_diff_frac": round(frac, 5),
+            "explicit_bounds": explicit,
+            "max_colormap_bin_delta": max_bin_delta,
+        })
+        if bad_pixels:
+            mismatches.append({
+                "panel": i,
+                "what": "rgba beyond +-1 colormap bin",
+                "bad_pixels": bad_pixels,
+                "pixel_diff_frac": round(frac, 5),
+            })
         for key in ("vmin", "vmax", "y0", "y1", "n_kept", "empty"):
             if not np.isclose(float(d[key]), float(h[key]), rtol=1e-6, atol=0):
                 mismatches.append({"panel": i, "what": key, "device": float(d[key]), "host": float(h[key])})
