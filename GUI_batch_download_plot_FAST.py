@@ -367,6 +367,16 @@ QPushButton {{ background: {accent}; color: {accent_fg}; border: none;
 QPushButton:hover {{ background: {accent_hover}; }}
 QTabBar::tab {{ background: {field}; color: {fg}; padding: 6px 12px; }}
 QTabBar::tab:selected {{ background: {accent}; color: {accent_fg}; }}
+QPushButton#navBtn {{ background: transparent; color: {fg}; border: none;
+                      border-radius: 8px; }}
+QPushButton#navBtn[selected="true"] {{ background: {accent};
+                                       color: {accent_fg}; }}
+QPushButton#chip {{ background: {field}; color: {fg};
+                    border: 1px solid {border}; border-radius: 12px;
+                    padding: 4px 12px; }}
+QPushButton#chip[selected="true"] {{ background: {accent};
+                                     color: {accent_fg};
+                                     border-color: {accent}; }}
 """
 
 _THEMES = {
@@ -377,7 +387,7 @@ _THEMES = {
 }
 
 
-def _apply_os_theme(app) -> None:  # pragma: no cover - requires PySide6
+def _apply_os_theme(app) -> None:
     """Style the app after the OS color scheme (override: CST_GUI_THEME)."""
     import os
 
@@ -396,8 +406,9 @@ def _apply_os_theme(app) -> None:  # pragma: no cover - requires PySide6
     app.setStyleSheet(_THEME_CSS.format(**_THEMES[choice]))
 
 
-def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
-    from PySide6.QtCore import QObject, Signal
+def run_qt() -> int:
+    from PySide6.QtCore import QObject, Qt, Signal
+    from PySide6.QtGui import QFont
     from PySide6.QtWidgets import (
         QApplication,
         QFileDialog,
@@ -405,10 +416,60 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
         QLabel,
         QLineEdit,
         QPushButton,
-        QTabWidget,
+        QSizePolicy,
+        QStackedWidget,
         QVBoxLayout,
         QWidget,
     )
+
+    class NavButton(QPushButton):
+        """Sidebar navigation tile: a glyph above a short label, with a
+        ``selected`` Qt property driving stylesheet highlighting (the
+        reference's NavButton, reference
+        GUI_batch_download_plot_FAST.py:1001-1065; the reference tints a
+        Material-icon pixmap -- here a text glyph stands in, since this
+        environment ships no icon fonts)."""
+
+        def __init__(self, glyph: str, label: str, parent=None):
+            super().__init__(parent)
+            self.setObjectName("navBtn")
+            self.setCheckable(False)
+            self.setSizePolicy(QSizePolicy.Expanding, QSizePolicy.Fixed)
+            self.setFixedHeight(64)
+            lay = QVBoxLayout(self)
+            lay.setContentsMargins(0, 6, 0, 6)
+            lay.setSpacing(2)
+            lay.setAlignment(Qt.AlignCenter)
+            self._icon_label = QLabel(glyph)
+            self._icon_label.setAlignment(Qt.AlignCenter)
+            self._icon_label.setAttribute(Qt.WA_TransparentForMouseEvents)
+            self._text_label = QLabel(label)
+            self._text_label.setAlignment(Qt.AlignCenter)
+            self._text_label.setFont(QFont("Inter", 10, QFont.Medium))
+            self._text_label.setAttribute(Qt.WA_TransparentForMouseEvents)
+            lay.addWidget(self._icon_label)
+            lay.addWidget(self._text_label)
+
+        def set_selected(self, selected: bool) -> None:
+            self.setProperty("selected", str(selected).lower())
+            self.style().unpolish(self)
+            self.style().polish(self)
+
+    class ToggleChip(QPushButton):
+        """Checkable pill chip whose ``selected`` property mirrors its
+        toggle state (the reference's ToggleChip, reference
+        GUI_batch_download_plot_FAST.py:1068-1092)."""
+
+        def __init__(self, text: str, parent=None):
+            super().__init__(text, parent)
+            self.setObjectName("chip")
+            self.setCheckable(True)
+            self.toggled.connect(self._on_toggle)
+
+        def _on_toggle(self, checked: bool) -> None:
+            self.setProperty("selected", "true" if checked else "false")
+            self.style().unpolish(self)
+            self.style().polish(self)
 
     class _Bridge(QObject):
         """Marshal worker-thread updates onto the GUI thread.
@@ -425,14 +486,52 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
 
     app = QApplication(sys.argv)
     _apply_os_theme(app)
-    win = QTabWidget()
+    # Shell: NavButton sidebar driving a page stack (the reference
+    # MainWindow's navigation structure, reference
+    # GUI_batch_download_plot_FAST.py:2032-2146).
+    win = QWidget()
     win.setWindowTitle("FAST spectrograms")
+    root = QHBoxLayout(win)
+    nav_col = QVBoxLayout()
+    stack = QStackedWidget()
+    root.addLayout(nav_col)
+    root.addWidget(stack)
+    nav_buttons: list[NavButton] = []
+
+    def _add_page(glyph: str, label: str, page: QWidget) -> None:
+        idx = stack.addWidget(page)
+        btn = NavButton(glyph, label)
+
+        def select(_=False, i=idx, b=btn):
+            stack.setCurrentIndex(i)
+            for nb in nav_buttons:
+                nb.set_selected(nb is b)
+
+        btn.clicked.connect(select)
+        nav_col.addWidget(btn)
+        nav_buttons.append(btn)
+        if idx == 0:
+            btn.set_selected(True)
+
     state: dict[str, ActionRunner | None] = {"runner": None}
 
-    def _page(fields: list[tuple[str, str]], run_label: str, make_runner, progress_path=None):
+    def _page(fields: list[tuple[str, str]], run_label: str, make_runner,
+              progress_path=None, chip_fields: dict[str, list[str]] | None = None):
         page = QWidget()
         layout = QVBoxLayout(page)
         edits: dict[str, QLineEdit] = {}
+        chip_groups: dict[str, list[ToggleChip]] = {}
+        for name, options in (chip_fields or {}).items():
+            row = QHBoxLayout()
+            row.addWidget(QLabel(name))
+            group = []
+            for opt in options:
+                chip = ToggleChip(opt)
+                chip.setChecked(True)  # the reference pre-selects all
+                group.append(chip)
+                row.addWidget(chip)
+            chip_groups[name] = group
+            layout.addLayout(row)
         for name, default in fields:
             row = QHBoxLayout()
             row.addWidget(QLabel(name))
@@ -459,9 +558,15 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
         stop_btn = QPushButton("Stop")
         tail_box: dict[str, ProgressTail | None] = {"tail": None}
 
+        def _values() -> dict[str, str]:
+            values = {k: e.text() for k, e in edits.items()}
+            for name, group in chip_groups.items():
+                values[name] = " ".join(c.text() for c in group if c.isChecked())
+            return values
+
         def start():
             try:
-                runner = make_runner({k: e.text() for k, e in edits.items()})
+                runner = make_runner(_values())
             except (ValueError, KeyError) as exc:  # bad combo spec / number
                 status.setText(f"Invalid input: {exc}")
                 return
@@ -491,16 +596,18 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
         layout.addWidget(progress)
         return page
 
-    win.addTab(
+    _add_page(
+        "\u2b07",
+        "Download",
         _page(
-            [("Years", "2000"), ("Instruments", "ees eeb ies ieb"), ("Data folder", "./FAST_data/")],
+            [("Years", "2000"), ("Data folder", "./FAST_data/")],
             "Download",
             lambda v: ActionRunner(
                 download_in_process,
                 ([int(y) for y in v["Years"].split()], v["Instruments"].split(), v["Data folder"]),
             ),
+            chip_fields={"Instruments": ["ees", "eeb", "ies", "ieb"]},
         ),
-        "Download",
     )
     from configurable_spectrograms_tpu.fast.constants import FAST_PLOTTING_PROGRESS_JSON
 
@@ -514,7 +621,9 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
 
     _STYLE_FIELDS = [("Style y-z[-cmap]", "linear-linear"), ("Cusp style", "both")]
 
-    win.addTab(
+    _add_page(
+        "\u25a4",
+        "Plot",
         _page(
             [("Data folder", "./FAST_data/"), ("Output folder", "./FAST_plots/"),
              ("Percentile", "99"), ("Scale combos", "all"), ("Cusp style", "both")],
@@ -526,9 +635,10 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
             ),
             progress_path=FAST_PLOTTING_PROGRESS_JSON,
         ),
-        "Plot",
     )
-    win.addTab(
+    _add_page(
+        "\u2600",
+        "Single Day",
         _page(
             [("Data folder", "./FAST_data/"), ("Orbit", "0"), ("Output PNG", "./single.png"),
              *_STYLE_FIELDS],
@@ -539,7 +649,6 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
                 dict(data_folder=v["Data folder"], orbit=int(v["Orbit"]), **_style_kwargs(v)),
             ),
         ),
-        "Single Day",
     )
 
     def _files_runner(v):
@@ -552,16 +661,19 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
             dict(instrument_files=files, **_style_kwargs(v)),
         )
 
-    win.addTab(
+    _add_page(
+        "\U0001f4c2",
+        "From files",
         _page(
             [("ees file", ""), ("eeb file", ""), ("ies file", ""), ("ieb file", ""),
              ("Output PNG", "./single_files.png"), *_STYLE_FIELDS],
             "Render from files",
             _files_runner,
         ),
-        "Single Day (files)",
     )
-    win.addTab(
+    _add_page(
+        "\u2220",
+        "Pitch-angle",
         _page(
             [("CDF file", ""), ("Output PNG", "./single_pitch.png"), *_STYLE_FIELDS],
             "Render pitch-angle grid",
@@ -571,9 +683,10 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
                 dict(cdf_file=v["CDF file"], **_style_kwargs(v)),
             ),
         ),
-        "Single Day (pitch-angle)",
     )
-    win.addTab(
+    _add_page(
+        "\U0001f4c5",
+        "By date",
         _page(
             [("Date", "2001-01-01"), ("Download folder", "./FAST_data/"),
              ("Output PNG", "./single_day.png"), *_STYLE_FIELDS],
@@ -584,7 +697,6 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
                 dict(data_folder=v["Download folder"], date=v["Date"], **_style_kwargs(v)),
             ),
         ),
-        "Single Day (date)",
     )
     win.resize(640, 420)
     win.show()
@@ -592,10 +704,19 @@ def run_qt() -> int:  # pragma: no cover - requires PySide6 + display
 
 
 def main() -> int:
+    import os
+
     parser = argparse.ArgumentParser(description="FAST download/plot front-end.")
     parser.add_argument("--tui", action="store_true", help="Force the terminal front-end.")
     args = parser.parse_args()
     if not args.tui:
+        if os.environ.get("CST_GUI_HEADLESS_QT") == "1":
+            # Execute the Qt front-end on the structural headless stand-in
+            # (environments without Qt/display; also the CI harness).
+            from configurable_spectrograms_tpu.gui import headless_qt
+
+            headless_qt.install()
+            return run_qt()
         try:
             import PySide6  # noqa: F401
 
