@@ -163,7 +163,16 @@ def batched_file_stats(cubes: list[np.ndarray]) -> list[dict[str, np.ndarray]]:
     )
 
     def _dispatch():
-        out = _batched_stats_fn(mesh is not None)(jnp.asarray(batch), jnp.asarray(t_valids))
+        if mesh is not None:
+            # Explicit placement: multi-process jit refuses numpy inputs
+            # with non-trivial shardings (see render/figure._enqueue_group).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            lane_sh = NamedSharding(mesh, PartitionSpec("data"))
+            args = (jax.device_put(batch, lane_sh), jax.device_put(t_valids, lane_sh))
+        else:
+            args = (jnp.asarray(batch), jnp.asarray(t_valids))
+        out = _batched_stats_fn(mesh is not None)(*args)
         LAST_DISPATCH["lanes"] = n_lanes
         LAST_DISPATCH["devices"] = len(getattr(out["counts"].sharding, "device_set", ())) or 1
         return np.asarray(out["counts"]), np.asarray(out["hist"])

@@ -27,7 +27,13 @@ def data_parallel_mesh() -> Mesh | None:
 
 @functools.lru_cache(maxsize=1)
 def _cached_data_mesh() -> Mesh | None:
-    devices = jax.devices()
+    # LOCAL devices: under jax.distributed, jax.devices() spans every host,
+    # but the render/extrema dispatches feed process-local numpy arrays --
+    # a mesh over remote devices would make device_put unaddressable.  Each
+    # host shards its own batches over its own chips (the per-host process
+    # pool the reference ran, reference fast/batch_directory.py:337); the
+    # cross-host reductions go through parallel/extrema's global meshes.
+    devices = jax.local_devices()
     if len(devices) < 2:
         return None
     return Mesh(np.asarray(devices), ("data",))

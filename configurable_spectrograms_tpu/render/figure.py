@@ -600,10 +600,19 @@ def _enqueue_group(g: _GroupDispatch, inputs: tuple, mesh) -> object:
     fn = _batched_quantize_fn(
         (g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, g.explicit, g.gather_w, mesh is not None)
     )
-    return fn(
-        u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
-        zb_e_valids, zb_full, t_maps, cubes,
-    )
+    lanes = (u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
+             zb_e_valids, zb_full, t_maps)
+    if mesh is not None:
+        # Explicit placement: under jax.distributed, jit refuses numpy
+        # inputs with non-trivial shardings (multi-process arrays must be
+        # constructed, not inferred); on a single process this is what the
+        # jit would have done anyway.
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        lane_sh = NamedSharding(mesh, PartitionSpec("data"))
+        lanes = tuple(jax.device_put(a, lane_sh) for a in lanes)
+    return fn(*lanes, cubes)
 
 
 def _finish_group(panels: list[PanelData], g: _GroupDispatch, packed: np.ndarray,

@@ -62,6 +62,43 @@ def main() -> int:
 
     np.testing.assert_array_equal(counts, exp_counts)
     np.testing.assert_array_equal(hist, exp_hist)
+
+    # The production RENDER path under jax.distributed: each host shards
+    # its panel batches over its LOCAL devices (data_parallel_mesh must
+    # not span remote hosts, or device_put of host-local numpy would hit
+    # unaddressable devices).  Output must be bit-identical to the host
+    # backend's numpy render.
+    from configurable_spectrograms_tpu.parallel.mesh import data_parallel_mesh
+    from configurable_spectrograms_tpu.render import figure, link
+    from configurable_spectrograms_tpu.render.figure import PanelData, device_render_panels
+    from configurable_spectrograms_tpu.render.tile import TimeWindow
+
+    mesh = data_parallel_mesh()
+    assert mesh is not None and int(mesh.devices.size) == len(jax.local_devices())
+
+    prng = np.random.default_rng(7)
+    panels = []
+    for k in range(6):
+        Tp, Ap, Ep = 40 + k, 6, 12
+        cube = (prng.random((Tp, Ap, Ep)) * 100).astype(np.float32)
+        panels.append(PanelData(
+            cube=cube, pitch_mask=np.ones(Ap, bool),
+            energy=np.geomspace(4000, 10, Ep).astype(np.float32),
+            times=np.arange(Tp, dtype=np.float64),
+            window=TimeWindow(0, Tp, (0.0, float(Tp - 1)), (0.0, float(Tp - 1))),
+            y_min=0.0, y_max=4000.0, z_min=None, z_max=None,
+            y_scale="log", z_scale="log", colormap="inferno",
+            x_is_unix=False, z_label="Counts",
+        ))
+    link._BACKEND["mode"] = "device"
+    link._BACKEND["forced_host"] = False
+    dev = device_render_panels(panels, 24, 32)
+    assert figure.LAST_DISPATCH["devices"] == len(jax.local_devices()), figure.LAST_DISPATCH
+    link._BACKEND["mode"] = "host"
+    host = device_render_panels(panels, 24, 32)
+    for d, h in zip(dev, host):
+        np.testing.assert_array_equal(d["rgba"], h["rgba"])
+
     print(f"MULTIHOST_OK pid={pid} files={counts.shape[0]} hist_total={int(hist.sum())}", flush=True)
     return 0
 
