@@ -96,8 +96,18 @@ def _ours_setup(archive: dict):
 
 
 def _ours_warmup_and_latency(render_one, jobs, out_dir: str) -> float:
-    """Compile/warm the pipeline, then measure single-stream p50 latency."""
-    render_one(jobs[0][0], jobs[0][2], os.path.join(out_dir, "warmup.png"))
+    """Compile/warm the pipeline, then measure single-stream p50 latency.
+
+    The warmup covers EVERY job once (not just the first): the metric is
+    steady-state panels/s, and on the device backend each distinct cube
+    pays a one-time resident-cache upload -- a partial warmup would bill
+    that link traffic to the first timed pass.  The host backend warms
+    its collapse/bounds caches the same way, so both sides measure from
+    the same warmed state (production batches render each cube 8+ times
+    across combos and raw/given pairs, so warmed IS the operating point).
+    """
+    for orbit, inst, path in jobs:
+        render_one(orbit, path, os.path.join(out_dir, f"warm_{orbit}_{inst}.png"))
     latencies = []
     for orbit, inst, path in jobs[:4]:
         f0 = time.perf_counter()
@@ -269,14 +279,24 @@ def main() -> None:
 
         @contextlib.contextmanager
         def _device_mode():
-            if not bandwidth_limited:
-                yield
-                return
+            # Pin the device backend for device measurements: in auto mode
+            # the one-shot calibration can fire on the warmup's FIRST
+            # figure -- whose readback waits behind the cold cube uploads
+            # -- and flip the whole process to host before the warmup ever
+            # populates the resident caches.  bench measures each backend
+            # explicitly; auto remains the production policy.  A truly
+            # dead link surfaces as the forced-device watchdog RuntimeError
+            # that the pass loop already catches and reports.  Yields a
+            # dict whose "tripped" records any stray host fallback BEFORE
+            # the exit handler restores the flags (reading _BACKEND after
+            # the with-block would always see the restored values).
             prev = (_BACKEND["mode"], _BACKEND["forced_host"])
             _BACKEND["mode"], _BACKEND["forced_host"] = "device", False
+            trip = {"tripped": False}
             try:
-                yield
+                yield trip
             finally:
+                trip["tripped"] = bool(_BACKEND["forced_host"])
                 _BACKEND["mode"], _BACKEND["forced_host"] = prev
 
         render_one, jobs = _ours_setup(archive)
@@ -290,8 +310,11 @@ def main() -> None:
         latency = {"device": None, "host": None}
         if device_ok and _BACKEND["mode"] in ("auto", "device"):
             _progress("device warmup + latency (includes one-time compile)")
-            with _device_mode():
+            with _device_mode() as trip:
                 latency["device"] = _ours_warmup_and_latency(render_one, jobs, dirs["ours_device"])
+            if trip["tripped"]:  # pragma: no cover - defensive
+                _progress("device warmup fell back to host; dropping device numbers")
+                device_ok = False
         prev_mode = _BACKEND["mode"]
         _BACKEND["mode"] = "host"
         _progress("host warmup + latency")
@@ -311,16 +334,16 @@ def main() -> None:
                 if device_ok and _BACKEND["mode"] in ("auto", "device"):
                     _progress(f"pass {i + 1}/{PASSES}: device backend")
                     try:
-                        with _device_mode():
+                        with _device_mode() as trip:
                             rates["device"].append(_ours_pass(render_one, jobs, dirs["ours_device"]))
                     except RuntimeError as exc:  # forced-device dispatch watchdog
                         _progress(f"device pass failed ({exc}); dropping device numbers")
                         rates["device"] = []
                         device_ok = False
-                    # A mid-pass auto-switch means the link degraded: the
-                    # numbers mix device- and host-rendered figures and
-                    # understate both backends.  Discard device entirely.
-                    if _BACKEND["forced_host"] and not bandwidth_limited:
+                    # Defensive: under the pinned device mode nothing
+                    # should flip this, but any stray host fallback means
+                    # the numbers mixed backends -- discard device.
+                    if device_ok and trip["tripped"]:
                         _progress("link degraded mid-pass; discarding device numbers")
                         rates["device"] = []
                         device_ok = False

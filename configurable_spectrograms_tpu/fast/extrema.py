@@ -199,17 +199,12 @@ def compute_global_extrema(
     )
     orbits_since_flush = 0
 
-    def _pooled_positives(cube: np.ndarray) -> np.ndarray:
-        """The reference's pooled samples for one file: positive finite
-        values of the pitch-collapsed (nansum, axis=1) float32 matrix
-        (reference fast/extrema.py:260-267)."""
-        collapsed = np.where(np.isnan(cube), np.float32(0.0), cube).sum(axis=1, dtype=np.float32)
-        return collapsed[np.isfinite(collapsed) & (collapsed > 0)]
+    from configurable_spectrograms_tpu.ops.extrema_ops import collapsed_positives
 
     def _regather_from(path: str):
         def regather() -> np.ndarray:
             ds = load_fast_cdf_dataset(path)
-            return _pooled_positives(ds["data"].astype(np.float32, copy=False))
+            return collapsed_positives(ds["data"].astype(np.float32, copy=False))
 
         return regather
 
@@ -341,7 +336,7 @@ def compute_global_extrema(
                         # ulp at a bin edge, and mixing the device histogram
                         # with host-gathered values would trip the tracker's
                         # count consistency check.
-                        trackers[inst].add(_pooled_positives(cube), _regather_from(path))
+                        trackers[inst].add(collapsed_positives(cube), _regather_from(path))
                 _update_state_for_orbit(orbit_index, orbit)
                 if bar is not None:
                     bar.update(1)

@@ -59,19 +59,29 @@ class _BoundSignal:
 
     def _deliver(self, *args) -> None:
         for slot in list(self._slots):
-            try:
-                slot(*args)
-            except TypeError:
-                slot(*args[: _slot_arity(slot)])
+            slot(*args[: _slot_capacity(slot, len(args))])
 
 
-def _slot_arity(slot) -> int:
+def _slot_capacity(slot, n_args: int) -> int:
+    """How many positional args *slot* accepts (Qt truncates extras).
+
+    Resolved from the signature UP FRONT -- catching TypeError from the
+    call and retrying would re-execute a slot whose own body raised
+    TypeError, duplicating its side effects.
+    """
     import inspect
 
     try:
-        return len(inspect.signature(slot).parameters)
-    except (TypeError, ValueError):  # builtins
-        return 1
+        params = inspect.signature(slot).parameters.values()
+    except (TypeError, ValueError):  # builtins without signatures
+        return n_args
+    if any(p.kind == p.VAR_POSITIONAL for p in params):
+        return n_args
+    positional = sum(
+        1 for p in params
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+    )
+    return min(n_args, positional)
 
 
 class Signal:

@@ -43,16 +43,13 @@ DEFAULT_WINDOW = 24
 def _bins_for(values: np.ndarray) -> np.ndarray:
     """The histogram bin of each (positive finite float32) value.
 
-    Identical float32 arithmetic to ``extrema_ops.host_file_stats`` /
-    ``file_extrema_stats`` so ranks computed from the device histogram
-    align with values gathered here.
+    Delegates to :func:`extrema_ops.value_bins` -- the ONE definition of
+    the binning, so ranks computed from the histogram always align with
+    values gathered here.
     """
-    logv = np.log10(values, dtype=np.float32)
-    return np.clip(
-        ((logv - np.float32(LOG_LO)) / np.float32(LOG_HI - LOG_LO) * np.float32(HIST_BINS)).astype(np.int32),
-        0,
-        HIST_BINS - 1,
-    )
+    from configurable_spectrograms_tpu.ops.extrema_ops import value_bins
+
+    return value_bins(values)
 
 
 def _window_mask(values: np.ndarray, lo_bin: int, hi_bin: int) -> np.ndarray:
@@ -106,28 +103,66 @@ def numpy_lerp_percentile(v_lo: float, v_hi: float, gamma: np.float32) -> float:
     return float(np.float32(v))
 
 
+def _normalize(intervals: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Sort and merge overlapping/adjacent (lo, hi) bin intervals."""
+    out: list[tuple[int, int]] = []
+    for lo, hi in sorted(intervals):
+        if out and lo <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
+        else:
+            out.append((lo, hi))
+    return out
+
+
+def _gaps(span: tuple[int, int], covered: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """The subintervals of *span* not covered by *covered* (normalized)."""
+    lo, hi = span
+    out = []
+    pos = lo
+    for clo, chi in covered:
+        if chi < pos:
+            continue
+        if clo > hi:
+            break
+        if clo > pos:
+            out.append((pos, min(clo - 1, hi)))
+        pos = max(pos, chi + 1)
+        if pos > hi:
+            break
+    if pos <= hi:
+        out.append((pos, hi))
+    return out
+
+
 class ExactPercentileTracker:
     """Incrementally pooled samples answering exact ``np.nanpercentile``.
 
     ``add(values, regather)`` folds one file's positive collapsed samples
-    into the pool: the full histogram is updated, values inside the current
-    retention window are kept exactly, and ``regather`` (a zero-argument
-    callable returning the same values again, e.g. a file re-read) is
-    recorded for the drift path.  ``percentile(q)`` then returns the exact
-    pooled percentile; queried percentiles recenter the retention window
-    for subsequent files.
+    into the pool: the full histogram is updated, values inside the
+    current retention windows are kept exactly, and ``regather`` (a
+    zero-argument callable returning the same values again, e.g. a file
+    re-read) is recorded for the drift path.  ``percentile(q)`` then
+    returns the exact pooled percentile.
+
+    Retention is a SET of disjoint bin-interval windows, one per recently
+    queried percentile target (capped at :data:`_MAX_WINDOWS`): querying
+    both a high and a low percentile (``compute_mins``) keeps two small
+    windows instead of retaining the entire inter-percentile span, and
+    nothing is retained before the first query (the first query's
+    re-gather populates exactly what it needs).
     """
+
+    _MAX_WINDOWS = 4
 
     def __init__(self, window_bins: int = DEFAULT_WINDOW):
         self.window = int(window_bins)
         self.hist = np.zeros(HIST_BINS, np.int64)
         #: bin -> list of exact float32 value arrays
         self.retained: dict[int, list[np.ndarray]] = {}
-        #: (regather, (lo_bin, hi_bin)) per file -- which bins were kept
-        self.files: list[tuple[Callable[[], np.ndarray], tuple[int, int]]] = []
-        #: retention window applied to NEW files; recentered by queries
-        self._lo = 0
-        self._hi = HIST_BINS - 1
+        #: per file: [regather, normalized list of retained (lo, hi) intervals]
+        self.files: list[list] = []
+        #: retention windows applied to NEW files (disjoint, query-driven)
+        self._windows: list[tuple[int, int]] = []
         #: re-gather passes performed (observability; tests assert on it)
         self.regathers = 0
 
@@ -150,8 +185,9 @@ class ExactPercentileTracker:
             self.hist += np.asarray(hist, np.int64)
         elif values.size:
             self.hist += np.bincount(_bins_for(values), minlength=HIST_BINS).astype(np.int64)
-        self._retain(values, self._lo, self._hi)
-        self.files.append((regather, (self._lo, self._hi)))
+        for lo, hi in self._windows:
+            self._retain(values, lo, hi)
+        self.files.append([regather, list(self._windows)])
 
     def _retain(self, values: np.ndarray, lo: int, hi: int) -> None:
         if not values.size:
@@ -170,31 +206,35 @@ class ExactPercentileTracker:
     def _bin_of_rank(self, rank: int, cum: np.ndarray) -> int:
         return int(min(np.searchsorted(cum, rank + 1, side="left"), HIST_BINS - 1))
 
-    def _ensure_bins(self, lo: int, hi: int) -> None:
-        """Guarantee exact values exist for bins [lo, hi] from every file.
+    def _note_window(self, lo: int, hi: int) -> None:
+        """Adopt (lo, hi) as a retention window for future files.
 
-        Files whose retention window missed any needed bin are re-read (the
-        drift second pass); the window also recenters so future files
-        retain the right region.
+        Overlapping windows merge; beyond the cap the OLDEST window is
+        dropped (future files stop retaining it -- already-retained values
+        stay, and a later query there re-gathers)."""
+        self._windows = _normalize(self._windows + [(lo, hi)])
+        while len(self._windows) > self._MAX_WINDOWS:
+            self._windows.pop(0)
+
+    def _ensure_bins(self, need: tuple[int, int], fetch: tuple[int, int]) -> None:
+        """Guarantee exact values exist for the *need* bins from every file.
+
+        Files whose retained intervals miss part of *need* are re-read (the
+        drift second pass) and the wider *fetch* window is gathered so the
+        next nearby query doesn't re-read them again.
         """
-        missing = [
-            i for i, (_, (flo, fhi)) in enumerate(self.files) if lo < flo or hi > fhi
-        ]
-        if not missing:
-            return
-        self.regathers += 1
-        # Recenter the retention window around the union of old + needed.
-        new_lo = max(0, min(lo, self._lo) - 0)
-        new_hi = min(HIST_BINS - 1, max(hi, self._hi) + 0)
-        for i in missing:
-            regather, (flo, fhi) = self.files[i]
+        hit_any = False
+        for entry in self.files:
+            regather, covered = entry
+            if not _gaps(need, covered):
+                continue
+            hit_any = True
             values = np.asarray(regather(), np.float32)
-            # Gather only the bins this file never retained (no duplicates).
-            for seg_lo, seg_hi in ((new_lo, flo - 1), (fhi + 1, new_hi)):
-                if seg_lo <= seg_hi:
-                    self._retain(values, seg_lo, seg_hi)
-            self.files[i] = (regather, (min(new_lo, flo), max(new_hi, fhi)))
-        self._lo, self._hi = new_lo, new_hi
+            for seg in _gaps(fetch, covered):
+                self._retain(values, *seg)
+            entry[1] = _normalize(covered + [fetch])
+        if hit_any:
+            self.regathers += 1
 
     def _order_stat(self, rank: int, cum: np.ndarray) -> float:
         b = self._bin_of_rank(rank, cum)
@@ -216,11 +256,9 @@ class ExactPercentileTracker:
         cum = np.cumsum(self.hist)
         b_lo = self._bin_of_rank(k_lo, cum)
         b_hi = self._bin_of_rank(k_hi, cum)
-        # Recenter the retention window for FUTURE files around the target,
-        # then make the needed bins exact for every past file.
-        self._lo = max(0, b_lo - self.window)
-        self._hi = min(HIST_BINS - 1, b_hi + self.window)
-        self._ensure_bins(b_lo, b_hi)
+        fetch = (max(0, b_lo - self.window), min(HIST_BINS - 1, b_hi + self.window))
+        self._note_window(*fetch)
+        self._ensure_bins((b_lo, b_hi), fetch)
         v_lo = self._order_stat(k_lo, cum)
         v_hi = v_lo if k_hi == k_lo else self._order_stat(k_hi, cum)
         return numpy_lerp_percentile(v_lo, v_hi, gamma)

@@ -100,6 +100,33 @@ def _batched_stats_fn(sharded: bool):
 LAST_DISPATCH: dict[str, int] = {"lanes": 0, "devices": 0}
 
 
+def collapsed_positives(cube: np.ndarray) -> np.ndarray:
+    """The reference's pooled samples for one file: positive finite values
+    of the pitch-collapsed (nansum over axis 1) float32 matrix
+    (reference fast/extrema.py:260-267).  The single host-side definition
+    of this math -- the exact-percentile tracker and the extrema pass both
+    use it, so their pools can never drift apart.
+    """
+    collapsed = np.where(np.isnan(cube), np.float32(0.0), cube).sum(axis=1, dtype=np.float32)
+    return collapsed[np.isfinite(collapsed) & (collapsed > 0)]
+
+
+def value_bins(values: np.ndarray) -> np.ndarray:
+    """The log10 histogram bin of each positive finite float32 value.
+
+    The single host-side definition of the binning (identical float32
+    arithmetic to :func:`file_extrema_stats` on device); the
+    exact-percentile tracker's rank/gather consistency depends on every
+    consumer binning identically.
+    """
+    logv = np.log10(values, dtype=np.float32)
+    return np.clip(
+        ((logv - np.float32(LOG_LO)) / np.float32(LOG_HI - LOG_LO) * np.float32(HIST_BINS)).astype(np.int32),
+        0,
+        HIST_BINS - 1,
+    )
+
+
 def host_file_stats(cube: np.ndarray) -> dict[str, np.ndarray]:
     """Pure-numpy mirror of :func:`file_extrema_stats` (same float32 math).
 
@@ -110,14 +137,7 @@ def host_file_stats(cube: np.ndarray) -> dict[str, np.ndarray]:
     collapsed = np.where(np.isnan(cube), np.float32(0.0), cube).sum(axis=1, dtype=np.float32)
     fp = np.isfinite(collapsed) & (collapsed > 0)
     counts = fp.sum(axis=0).astype(np.int32)
-    vals = collapsed[fp]
-    logv = np.log10(vals, dtype=np.float32)
-    bins = np.clip(
-        ((logv - np.float32(LOG_LO)) / np.float32(LOG_HI - LOG_LO) * np.float32(HIST_BINS)).astype(np.int32),
-        0,
-        HIST_BINS - 1,
-    )
-    hist = np.bincount(bins, minlength=HIST_BINS).astype(np.int32)
+    hist = np.bincount(value_bins(collapsed[fp]), minlength=HIST_BINS).astype(np.int32)
     return {"counts": counts, "hist": hist}
 
 

@@ -733,9 +733,13 @@ class PendingRender:
 
         timeout = _dispatch_timeout()
         self._start_readbacks(timeout)
+        # Per-bucket budget, like the pre-pipelining sequential path: the
+        # deadline RESETS after every bucket that lands, so N serialized
+        # transfers that are each within budget never trip the watchdog
+        # (a single shared deadline would mark a slow-but-alive link dead).
         deadline = _time.monotonic() + timeout
         watchdog_tripped = False
-        for g in self.dispatches:
+        for i, g in enumerate(self.dispatches):
             with active_stage("device_readback"):
                 if watchdog_tripped:
                     # A transfer already hung on this link; don't wait the
@@ -745,7 +749,8 @@ class PendingRender:
                 else:
                     ok = g.done.wait(timeout=max(0.0, deadline - _time.monotonic())) and g.error is None
             if ok:
-                self._handle_completed(g)
+                deadline = _time.monotonic() + timeout
+                self._handle_completed(g, first=(i == 0))
                 continue
             if g.error is not None:
                 raise g.error
@@ -772,15 +777,24 @@ class PendingRender:
                                    g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, self.results)
         return self.results
 
-    def _handle_completed(self, g: _GroupDispatch) -> None:
-        """Bandwidth/calibration bookkeeping + unpack for one landed bucket."""
+    def _handle_completed(self, g: _GroupDispatch, first: bool = True) -> None:
+        """Bandwidth/calibration bookkeeping + unpack for one landed bucket.
+
+        The link-health heuristics only consider the FIRST bucket of a
+        drain: later buckets' wall-clock ``xfer`` includes waiting for the
+        device to execute their predecessors and for sibling transfers to
+        share the link, so judging the link by them would misattribute
+        compute/queueing to bandwidth and could force the host backend on
+        a healthy device.
+        """
         import time as _time
 
         n = len(g.idxs)
         packed = g.packed
         xfer = g.xfer
         if (
-            _BACKEND["mode"] == "auto"
+            first
+            and _BACKEND["mode"] == "auto"
             and not _BACKEND["forced_host"]
             and xfer > 1.0
             and packed.nbytes / max(xfer, 1e-9) < _MIN_LINK_MBPS * 1e6
@@ -798,7 +812,8 @@ class PendingRender:
                 f"rasterization to the host backend for this process"
             )
         elif (
-            _BACKEND["mode"] == "auto"
+            first
+            and _BACKEND["mode"] == "auto"
             and not _BACKEND["forced_host"]
             and not _BACKEND["calibrated"]
             and xfer / n > _CALIBRATE_XFER_SEC_PER_PANEL

@@ -148,3 +148,33 @@ def test_compute_global_extrema_histogram_mode_still_available(synth_archive, tm
     # Dense pools bound the upper-edge estimate within one bin (<1.4%);
     # sparse synthetic pools can err a bit more, always upward.
     assert hist == pytest.approx(exact, rel=0.05)
+
+
+def test_tracker_memory_bounded_with_alternating_percentiles(rng):
+    """compute_mins queries both q=1 and q=99 every orbit: retention must
+    keep two small windows, NOT the entire inter-percentile span (a
+    round-3 review finding measured 98.4% of samples retained with the
+    single-interval window design)."""
+    t = ExactPercentileTracker()
+    total = 0
+    for _ in range(8):
+        v = _random_file(rng, 1.0)
+        total += v.size
+        t.add(v, (lambda vv=v: vv))
+        hi = t.percentile(99.0)
+        lo = t.percentile(1.0)
+        assert hi >= lo
+    retained = sum(a.size for arrs in t.retained.values() for a in arrs)
+    assert retained / max(total, 1) < 0.3, f"retained {retained}/{total}"
+
+
+def test_tracker_retains_nothing_before_first_query(rng):
+    """Files added before any percentile query must not pool their whole
+    sample set; the first query's re-gather populates what it needs."""
+    t = ExactPercentileTracker()
+    v = _random_file(rng, 1.0)
+    t.add(v, (lambda: v))
+    assert sum(a.size for arrs in t.retained.values() for a in arrs) == 0
+    ref = float(np.nanpercentile(v, 95.0))
+    assert repr(t.percentile(95.0)) == repr(ref)
+    assert t.regathers == 1
