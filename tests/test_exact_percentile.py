@@ -178,3 +178,35 @@ def test_tracker_retains_nothing_before_first_query(rng):
     ref = float(np.nanpercentile(v, 95.0))
     assert repr(t.percentile(95.0)) == repr(ref)
     assert t.regathers == 1
+
+
+def test_interval_helpers():
+    """_normalize merges overlapping/adjacent windows; _gaps subtracts."""
+    from configurable_spectrograms_tpu.ops.exact_percentile import _gaps, _normalize
+
+    assert _normalize([(5, 9), (0, 3), (4, 6)]) == [(0, 9)]
+    assert _normalize([(0, 1), (3, 4)]) == [(0, 1), (3, 4)]
+    assert _normalize([]) == []
+    assert _gaps((0, 10), []) == [(0, 10)]
+    assert _gaps((0, 10), [(0, 10)]) == []
+    assert _gaps((0, 10), [(2, 4), (7, 8)]) == [(0, 1), (5, 6), (9, 10)]
+    assert _gaps((5, 6), [(0, 10)]) == []
+    assert _gaps((5, 6), [(0, 4)]) == [(5, 6)]
+    assert _gaps((5, 6), [(7, 9)]) == [(5, 6)]
+
+
+def test_window_cap_drops_oldest(rng):
+    """More than _MAX_WINDOWS distinct query targets: oldest window dropped,
+    correctness preserved via re-gather."""
+    t = ExactPercentileTracker(window_bins=2)
+    v = np.concatenate([
+        (rng.lognormal(0, 0.1, 500).astype(np.float32) * np.float32(10.0 ** k)).astype(np.float32)
+        for k in (-3, -1, 1, 3, 5, 7)
+    ])
+    v = v[np.isfinite(v) & (v > 0)].astype(np.float32)
+    t.add(v, (lambda: v))
+    for q in (1.0, 20.0, 40.0, 60.0, 80.0, 99.0):  # 6 distinct targets
+        assert repr(t.percentile(q)) == repr(float(np.nanpercentile(v, q)))
+    assert len(t._windows) <= t._MAX_WINDOWS
+    # Revisit the oldest (dropped) target: still exact via re-gather.
+    assert repr(t.percentile(1.0)) == repr(float(np.nanpercentile(v, 1.0)))
