@@ -310,8 +310,17 @@ def main() -> None:
         latency = {"device": None, "host": None}
         if device_ok and _BACKEND["mode"] in ("auto", "device"):
             _progress("device warmup + latency (includes one-time compile)")
-            with _device_mode() as trip:
-                latency["device"] = _ours_warmup_and_latency(render_one, jobs, dirs["ours_device"])
+            try:
+                with _device_mode() as trip:
+                    latency["device"] = _ours_warmup_and_latency(render_one, jobs, dirs["ours_device"])
+            except RuntimeError as exc:
+                # The link died between the probe and the warmup: under the
+                # pinned device mode the dispatch watchdog raises instead of
+                # silently flipping.  The bench must still produce host and
+                # baseline numbers.
+                _progress(f"device warmup failed ({exc}); host-only bench")
+                device_ok = False
+                trip = {"tripped": False}
             if trip["tripped"]:  # pragma: no cover - defensive
                 _progress("device warmup fell back to host; dropping device numbers")
                 device_ok = False

@@ -73,8 +73,12 @@ def _slot_capacity(slot, n_args: int) -> int:
 
     try:
         params = inspect.signature(slot).parameters.values()
-    except (TypeError, ValueError):  # builtins without signatures
-        return n_args
+    except (TypeError, ValueError):
+        # Signature-less C callables: assume the common one-argument slot
+        # shape (setText-style).  Passing all args instead could raise
+        # TypeError out of delivery, and retrying after a call would
+        # double-execute slots with side effects.
+        return min(n_args, 1)
     if any(p.kind == p.VAR_POSITIONAL for p in params):
         return n_args
     positional = sum(

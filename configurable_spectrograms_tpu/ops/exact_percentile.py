@@ -32,7 +32,7 @@ from typing import Callable
 
 import numpy as np
 
-from configurable_spectrograms_tpu.ops.extrema_ops import HIST_BINS, LOG_HI, LOG_LO
+from configurable_spectrograms_tpu.ops.extrema_ops import HIST_BINS, LOG_HI, LOG_LO, value_bins
 
 #: Half-width (bins) of the retained-value window around each target bin.
 #: 24 bins = 0.14 dex each side (~38%% in value), far wider than the
@@ -40,16 +40,9 @@ from configurable_spectrograms_tpu.ops.extrema_ops import HIST_BINS, LOG_HI, LOG
 DEFAULT_WINDOW = 24
 
 
-def _bins_for(values: np.ndarray) -> np.ndarray:
-    """The histogram bin of each (positive finite float32) value.
-
-    Delegates to :func:`extrema_ops.value_bins` -- the ONE definition of
-    the binning, so ranks computed from the histogram always align with
-    values gathered here.
-    """
-    from configurable_spectrograms_tpu.ops.extrema_ops import value_bins
-
-    return value_bins(values)
+#: The ONE definition of the binning lives in extrema_ops; ranks computed
+#: from the histogram must always align with values gathered here.
+_bins_for = value_bins
 
 
 def _window_mask(values: np.ndarray, lo_bin: int, hi_bin: int) -> np.ndarray:
@@ -187,7 +180,11 @@ class ExactPercentileTracker:
             self.hist += np.bincount(_bins_for(values), minlength=HIST_BINS).astype(np.int64)
         for lo, hi in self._windows:
             self._retain(values, lo, hi)
-        self.files.append([regather, list(self._windows)])
+        # Covered intervals must be NORMALIZED (sorted) -- _windows is kept
+        # in recency order for LRU eviction, but _gaps assumes ascending
+        # intervals and would misread coverage (double-retaining bins and
+        # tripping the count-consistency check).
+        self.files.append([regather, _normalize(self._windows)])
 
     def _retain(self, values: np.ndarray, lo: int, hi: int) -> None:
         if not values.size:
@@ -209,12 +206,23 @@ class ExactPercentileTracker:
     def _note_window(self, lo: int, hi: int) -> None:
         """Adopt (lo, hi) as a retention window for future files.
 
-        Overlapping windows merge; beyond the cap the OLDEST window is
-        dropped (future files stop retaining it -- already-retained values
-        stay, and a later query there re-gathers)."""
-        self._windows = _normalize(self._windows + [(lo, hi)])
-        while len(self._windows) > self._MAX_WINDOWS:
-            self._windows.pop(0)
+        Overlapping windows merge INTO the new window, which always goes
+        to the recent end of the list; beyond the cap the LEAST RECENTLY
+        QUERIED window is dropped (future files stop retaining it --
+        already-retained values stay, and a later query there re-gathers).
+        The list is kept in recency order, NOT bin order: sorting before
+        eviction would evict by bin position and could drop the window
+        just adopted for the current query."""
+        keep = []
+        for w in self._windows:
+            if w[0] <= hi + 1 and lo <= w[1] + 1:  # overlap/adjacent: absorb
+                lo, hi = min(lo, w[0]), max(hi, w[1])
+            else:
+                keep.append(w)
+        keep.append((lo, hi))
+        while len(keep) > self._MAX_WINDOWS:
+            keep.pop(0)
+        self._windows = keep
 
     def _ensure_bins(self, need: tuple[int, int], fetch: tuple[int, int]) -> None:
         """Guarantee exact values exist for the *need* bins from every file.

@@ -780,20 +780,24 @@ class PendingRender:
     def _handle_completed(self, g: _GroupDispatch, first: bool = True) -> None:
         """Bandwidth/calibration bookkeeping + unpack for one landed bucket.
 
-        The link-health heuristics only consider the FIRST bucket of a
-        drain: later buckets' wall-clock ``xfer`` includes waiting for the
-        device to execute their predecessors and for sibling transfers to
-        share the link, so judging the link by them would misattribute
-        compute/queueing to bandwidth and could force the host backend on
-        a healthy device.
+        The link-health heuristics only run when the bucket's transfer had
+        the link to itself -- a SINGLE-bucket drain: with sibling
+        transfers in flight (or later buckets queued behind predecessors'
+        compute), wall-clock ``xfer`` divides the link's bandwidth among
+        them and would misattribute sharing/queueing to a slow link,
+        forcing the host backend on a healthy device.  Degraded links are
+        still caught promptly in practice: the first renders of a run are
+        single-bucket drains (calibration is one-shot and early), and a
+        truly dead link trips the watchdog regardless.
         """
         import time as _time
 
         n = len(g.idxs)
         packed = g.packed
         xfer = g.xfer
+        alone = first and len(self.dispatches) == 1
         if (
-            first
+            alone
             and _BACKEND["mode"] == "auto"
             and not _BACKEND["forced_host"]
             and xfer > 1.0
@@ -812,7 +816,7 @@ class PendingRender:
                 f"rasterization to the host backend for this process"
             )
         elif (
-            first
+            alone
             and _BACKEND["mode"] == "auto"
             and not _BACKEND["forced_host"]
             and not _BACKEND["calibrated"]

@@ -195,18 +195,36 @@ def test_interval_helpers():
     assert _gaps((5, 6), [(7, 9)]) == [(5, 6)]
 
 
-def test_window_cap_drops_oldest(rng):
-    """More than _MAX_WINDOWS distinct query targets: oldest window dropped,
-    correctness preserved via re-gather."""
-    t = ExactPercentileTracker(window_bins=2)
+def test_window_cap_drops_least_recently_queried(rng):
+    """More than _MAX_WINDOWS distinct query targets: the LEAST RECENTLY
+    QUERIED window is dropped (recency order, not bin order -- the
+    round-3 follow-up review caught bin-sorted eviction discarding the
+    window just adopted for the current query), and correctness is
+    preserved via re-gather either way."""
+    t = ExactPercentileTracker()  # default window: adding one more file of
+    # the same distribution must not drift the percentile outside it
     v = np.concatenate([
         (rng.lognormal(0, 0.1, 500).astype(np.float32) * np.float32(10.0 ** k)).astype(np.float32)
         for k in (-3, -1, 1, 3, 5, 7)
     ])
     v = v[np.isfinite(v) & (v > 0)].astype(np.float32)
     t.add(v, (lambda: v))
-    for q in (1.0, 20.0, 40.0, 60.0, 80.0, 99.0):  # 6 distinct targets
+    # DESCENDING bin order: under bin-sorted eviction the final (lowest)
+    # query's fresh window would be the one evicted.
+    for q in (99.0, 80.0, 60.0, 40.0, 20.0, 1.0):
         assert repr(t.percentile(q)) == repr(float(np.nanpercentile(v, q)))
     assert len(t._windows) <= t._MAX_WINDOWS
-    # Revisit the oldest (dropped) target: still exact via re-gather.
-    assert repr(t.percentile(1.0)) == repr(float(np.nanpercentile(v, 1.0)))
+    # The HOT (most recent, lowest-bin) target's window must have survived
+    # eviction -- bin-sorted eviction would have dropped exactly it.
+    from configurable_spectrograms_tpu.ops.extrema_ops import value_bins
+
+    b1 = int(value_bins(np.asarray([np.nanpercentile(v, 1.0)], np.float32))[0])
+    assert any(lo <= b1 <= hi for lo, hi in t._windows), (b1, t._windows)
+    # New files + both a hot and an evicted target stay exact (re-gather
+    # allowed where needed).
+    v2 = (rng.lognormal(0, 0.1, 500).astype(np.float32) * np.float32(10.0 ** -3))
+    v2 = v2[np.isfinite(v2) & (v2 > 0)].astype(np.float32)
+    t.add(v2, (lambda vv=v2: vv))
+    pool = np.concatenate([v, v2])
+    assert repr(t.percentile(1.0)) == repr(float(np.nanpercentile(pool, 1.0)))
+    assert repr(t.percentile(99.0)) == repr(float(np.nanpercentile(pool, 99.0)))
