@@ -401,17 +401,52 @@ def _render_mesh():
     return data_parallel_mesh()
 
 
+def _pack_lanes(u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts,
+                z_bounds, zb_e_valids, zb_full, t_maps) -> np.ndarray:
+    """Pack every per-lane input into one (n_lanes, K) uint8 matrix.
+
+    The relay-style host<->device links this runs over charge tens of ms
+    of protocol overhead PER TRANSFER (measured: 11 small puts ~340 ms vs
+    one packed put ~40 ms), so the dispatch ships a single H2D buffer and
+    the device program unpacks it with static slices + bitcasts (free
+    under XLA).  Row layout (per lane, all static sizes):
+
+    ``[5 x int32: u_idx, t_valid, t_start, t_count, zb_full]``
+    ``[(2+Ep) x float32: z_bounds, energies]``
+    ``[W x int32: t_map]`` (W = max(gather_w, 1))
+    ``[Ap + 2*Ep x uint8: pitch mask, e_valid, zb_e_valid]``
+
+    Packing one lane dimension keeps the ``P("data")`` sharding exact.
+    """
+    n = u_idx.shape[0]
+    i32 = np.stack(
+        [u_idx, t_valids, t_starts, t_counts, zb_full.astype(np.int32)], axis=1
+    ).astype(np.int32)
+    f32 = np.concatenate([z_bounds, energies], axis=1).astype(np.float32)
+    parts = [
+        np.ascontiguousarray(i32).view(np.uint8),
+        np.ascontiguousarray(f32).view(np.uint8),
+        np.ascontiguousarray(t_maps.astype(np.int32)).view(np.uint8),
+        masks.astype(np.uint8),
+        e_valids.astype(np.uint8),
+        zb_e_valids.astype(np.uint8),
+    ]
+    return np.concatenate([p.reshape(n, -1) for p in parts], axis=1)
+
+
 @functools.lru_cache(maxsize=None)
 def _batched_quantize_fn(spec_key):
     """Build (and cache) the jitted collapse+quantize program for a scale combo.
 
     Cubes are passed once (deduplicated) and gathered per panel lane, so a
-    pitch-angle grid's eight panels upload one cube, not eight.  Geometry
-    is absent from the key: the device ships quantized (T, E) index
-    matrices, and the host resamples to any pixel size.
+    pitch-angle grid's eight panels upload one cube, not eight.  Every
+    other per-lane input arrives in ONE packed uint8 matrix (see
+    :func:`_pack_lanes`) unpacked on device; output-pixel geometry is
+    absent from the key: the device ships quantized (T, E) index matrices,
+    and the host resamples to any pixel size.
 
     With ``sharded`` set the program is jitted over the data-parallel mesh:
-    every per-panel input shards over the ``data`` axis (cubes replicate --
+    the packed lane matrix shards over the ``data`` axis (cubes replicate --
     panels outnumber cubes ~8:1 on the FAST grids and the panel->cube
     mapping is arbitrary, so a replicated gather beats a cross-device one),
     XLA partitions the whole collapse+quantize pipeline with zero
@@ -429,10 +464,28 @@ def _batched_quantize_fn(spec_key):
 
     import jax.numpy as jnp
 
-    y_scale, z_scale, lo_pct, hi_pct, explicit_bounds, gather_w, sharded = spec_key
+    y_scale, z_scale, lo_pct, hi_pct, explicit_bounds, gather_w, Ap, Ep, sharded = spec_key
     spec = RenderSpec(8, 8, y_scale, z_scale, lo_pct, hi_pct)
+    W = max(gather_w, 1)
+    off_f32 = 5 * 4
+    off_tmap = off_f32 + (2 + Ep) * 4
+    off_u8 = off_tmap + W * 4
 
-    def one(u, pm, tv, en, ev, ts, tc, zb, zbev, zbft, t_map, cubes):
+    def one(row, cubes):
+        i32v = jax.lax.bitcast_convert_type(row[:off_f32].reshape(5, 4), jnp.int32)
+        u, tv, ts, tc = i32v[0], i32v[1], i32v[2], i32v[3]
+        zbft = i32v[4].astype(bool)
+        f32v = jax.lax.bitcast_convert_type(
+            row[off_f32:off_tmap].reshape(2 + Ep, 4), jnp.float32
+        )
+        zb, en = f32v[:2], f32v[2:]
+        t_map = jax.lax.bitcast_convert_type(
+            row[off_tmap:off_u8].reshape(W, 4), jnp.int32
+        )
+        pm = row[off_u8 : off_u8 + Ap].astype(bool)
+        ev = row[off_u8 + Ap : off_u8 + Ap + Ep].astype(bool)
+        zbev = row[off_u8 + Ap + Ep : off_u8 + Ap + 2 * Ep].astype(bool)
+
         m = collapse_cube(cubes[u], pm, tv)
         q = quantize_matrix(
             m, en, ev, tv, ts, tc, zb, spec,
@@ -467,7 +520,7 @@ def _batched_quantize_fn(spec_key):
         meta_bytes = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(-1)
         return jnp.concatenate([idx.reshape(-1), meta_bytes])
 
-    batched = jax.vmap(one, in_axes=(0,) * 11 + (None,))
+    batched = jax.vmap(one, in_axes=(0, None))
     if not sharded:
         return jax.jit(batched)
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -475,7 +528,7 @@ def _batched_quantize_fn(spec_key):
     mesh = _render_mesh()
     lane = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
-    return jax.jit(batched, in_shardings=(lane,) * 11 + (replicated,), out_shardings=lane)
+    return jax.jit(batched, in_shardings=(lane, replicated), out_shardings=lane)
 
 
 def _readback(out_dev) -> np.ndarray:
@@ -598,10 +651,11 @@ def _enqueue_group(g: _GroupDispatch, inputs: tuple, mesh) -> object:
      zb_e_valids, zb_full, t_maps, unique_cubes) = inputs
     cubes = _stack_cubes(unique_cubes, g.Tp, g.Ap, g.Ep, mesh)
     fn = _batched_quantize_fn(
-        (g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, g.explicit, g.gather_w, mesh is not None)
+        (g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, g.explicit, g.gather_w,
+         g.Ap, g.Ep, mesh is not None)
     )
-    lanes = (u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
-             zb_e_valids, zb_full, t_maps)
+    rows = _pack_lanes(u_idx, masks, t_valids, energies, e_valids, t_starts,
+                       t_counts, z_bounds, zb_e_valids, zb_full, t_maps)
     if mesh is not None:
         # Explicit placement: under jax.distributed, jit refuses numpy
         # inputs with non-trivial shardings (multi-process arrays must be
@@ -610,9 +664,8 @@ def _enqueue_group(g: _GroupDispatch, inputs: tuple, mesh) -> object:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec
 
-        lane_sh = NamedSharding(mesh, PartitionSpec("data"))
-        lanes = tuple(jax.device_put(a, lane_sh) for a in lanes)
-    return fn(*lanes, cubes)
+        rows = jax.device_put(rows, NamedSharding(mesh, PartitionSpec("data")))
+    return fn(rows, cubes)
 
 
 def _finish_group(panels: list[PanelData], g: _GroupDispatch, packed: np.ndarray,

@@ -296,12 +296,13 @@ def _quantize_cost(rng, sharded: bool, explicit: bool = False) -> dict:
     for s, c in enumerate(unique_cubes):
         T, A, E = c.shape
         cubes_np[s, :T, :A, :E] = c
-    args = (u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts,
-            z_bounds, zb_e_valids, zb_full, t_maps, cubes_np)
+    rows = figure._pack_lanes(u_idx, masks, t_valids, energies, e_valids,
+                              t_starts, t_counts, z_bounds, zb_e_valids,
+                              zb_full, t_maps)
     fn = figure._batched_quantize_fn(
-        ("log", "log", 1.0, 99.0, explicit, g.gather_w, sharded)
+        ("log", "log", 1.0, 99.0, explicit, g.gather_w, Ap, Ep, sharded)
     )
-    ca = fn.lower(*args).compile().cost_analysis()
+    ca = fn.lower(rows, cubes_np).compile().cost_analysis()
     return ca[0] if isinstance(ca, list) else ca
 
 
