@@ -15,6 +15,7 @@ the bucketed device dispatch).
 from __future__ import annotations
 
 import math
+import os
 import threading
 import weakref
 
@@ -41,7 +42,15 @@ AXIS_LABEL_PT = 18.0
 #: renders a few distinct figure sizes).
 _CANVAS_POOL: dict[tuple[int, int], list[np.ndarray]] = {}
 _CANVAS_POOL_LOCK = threading.Lock()
-_CANVAS_POOL_MAX_PER_SIZE = 2
+# Per-size depth must cover the batch pools' concurrent figures (4 worker
+# threads by default): at 2, half of a 4-thread batch's renders paid the
+# ~26 ms fresh-canvas fault per figure.  4 sizes x 4 canvases x ~46 MB
+# bounds the pool at ~740 MB worst case; CST_CANVAS_POOL_PER_SIZE tunes
+# memory-constrained hosts down.
+try:
+    _CANVAS_POOL_MAX_PER_SIZE = max(1, int(os.environ.get("CST_CANVAS_POOL_PER_SIZE", 4)))
+except ValueError:
+    _CANVAS_POOL_MAX_PER_SIZE = 4
 _CANVAS_POOL_MAX_SIZES = 4
 
 
