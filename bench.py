@@ -19,7 +19,7 @@ here directly; the baseline re-creates its render path faithfully,
 reference plotting.py:92-389,505-698).  Both sides get a warmup pass, the
 timed passes are interleaved A/B/A/B so machine-noise windows on this
 shared box hit both sides equally, and each side reports its median of
-three passes.
+five passes (per-pass rates and the baseline spread ride in the JSON).
 
 When the device link is healthy the JSON carries both ``device`` and
 ``host`` backend throughputs (the headline ``value`` is the better one);
