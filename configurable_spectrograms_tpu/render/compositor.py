@@ -42,16 +42,37 @@ AXIS_LABEL_PT = 18.0
 #: renders a few distinct figure sizes).
 _CANVAS_POOL: dict[tuple[int, int], list[np.ndarray]] = {}
 _CANVAS_POOL_LOCK = threading.Lock()
-# Per-size depth must cover the batch pools' concurrent figures (4 worker
-# threads by default): at 2, half of a 4-thread batch's renders paid the
-# ~26 ms fresh-canvas fault per figure.  4 sizes x 4 canvases x ~46 MB
-# bounds the pool at ~740 MB worst case; CST_CANVAS_POOL_PER_SIZE tunes
-# memory-constrained hosts down.
-try:
-    _CANVAS_POOL_MAX_PER_SIZE = max(1, int(os.environ.get("CST_CANVAS_POOL_PER_SIZE", 4)))
-except ValueError:
-    _CANVAS_POOL_MAX_PER_SIZE = 4
+# Per-size depth must cover the batch pools' concurrent figures: at 2,
+# half of a 4-thread batch's renders paid the ~26 ms fresh-canvas fault
+# per figure.  The depth follows the largest worker count any batch pool
+# announces (ensure_canvas_pool_depth, called from recommended_workers)
+# so bigger pools never silently under-recycle; CST_CANVAS_POOL_PER_SIZE
+# pins it explicitly for memory-constrained hosts (~46 MB per canvas at
+# 200 DPI, up to _CANVAS_POOL_MAX_SIZES sizes).
+def _env_pool_depth() -> int | None:
+    raw = os.environ.get("CST_CANVAS_POOL_PER_SIZE")
+    if raw is None:
+        return None
+    try:
+        return max(1, int(raw))
+    except ValueError:
+        return None
+
+
+_CANVAS_POOL_MAX_PER_SIZE = _env_pool_depth() or 4
 _CANVAS_POOL_MAX_SIZES = 4
+
+
+def ensure_canvas_pool_depth(workers: int) -> None:
+    """Grow the per-size canvas depth to cover *workers* concurrent figures.
+
+    Called by the batch pool sizing path; an explicit
+    ``CST_CANVAS_POOL_PER_SIZE`` wins over demand.
+    """
+    global _CANVAS_POOL_MAX_PER_SIZE
+    if _env_pool_depth() is None:
+        with _CANVAS_POOL_LOCK:
+            _CANVAS_POOL_MAX_PER_SIZE = max(_CANVAS_POOL_MAX_PER_SIZE, int(workers))
 
 
 def _acquire_canvas(h: int, w: int) -> np.ndarray:

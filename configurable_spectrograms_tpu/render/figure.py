@@ -656,6 +656,15 @@ def _enqueue_group(g: _GroupDispatch, inputs: tuple, mesh) -> object:
     )
     rows = _pack_lanes(u_idx, masks, t_valids, energies, e_valids, t_starts,
                        t_counts, z_bounds, zb_e_valids, zb_full, t_maps)
+    # The row layout contract lives in two places (pack builds from the
+    # arrays; unpack derives offsets from the spec key) -- a width mismatch
+    # would silently shift every byte slice and render from garbage masks.
+    expected_k = 5 * 4 + (2 + g.Ep) * 4 + max(g.gather_w, 1) * 4 + g.Ap + 2 * g.Ep
+    if rows.shape[1] != expected_k:
+        raise AssertionError(
+            f"packed lane width {rows.shape[1]} != expected {expected_k} "
+            f"(Ap={g.Ap}, Ep={g.Ep}, gather_w={g.gather_w})"
+        )
     if mesh is not None:
         # Explicit placement: under jax.distributed, jit refuses numpy
         # inputs with non-trivial shardings (multi-process arrays must be

@@ -396,10 +396,15 @@ def recommended_workers(requested: int) -> int:
     """
     requested = max(1, int(requested))
     probe_device_link()
+    from configurable_spectrograms_tpu.render.compositor import ensure_canvas_pool_depth
+
     if not _host_backend_active():
+        ensure_canvas_pool_depth(requested)
         return requested
     try:
         cores = len(os.sched_getaffinity(0))
     except (AttributeError, OSError):  # pragma: no cover - non-Linux
         cores = os.cpu_count() or 1
-    return max(1, min(requested, cores))
+    effective = max(1, min(requested, cores))
+    ensure_canvas_pool_depth(effective)
+    return effective

@@ -143,7 +143,10 @@ def resample_indices(
     starts = np.concatenate(([0], boundaries))
     counts = np.diff(np.concatenate((starts, [out_h])))
     sel = row_src[starts]  # (n_runs,) energy columns actually drawn
-    gi = idx.T[sel][:, t_idx]  # (n_runs, out_w) uint8 indices, two gathers
+    # Single fused gather: two chained gathers materialize an (n_runs, T)
+    # intermediate, ~3x slower than the slab order on the host backend's
+    # full-length records (T >> out_w); np.ix_ is faster in BOTH regimes.
+    gi = idx.T[np.ix_(sel, t_idx)]  # (n_runs, out_w) uint8 indices
     rows = lut_ext[gi]  # (n_runs, out_w, 4) colored, contiguous
     if not x_ok.all():
         rows[:, ~x_ok] = lut_ext[256]
