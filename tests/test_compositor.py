@@ -253,3 +253,25 @@ def test_fastpng_concurrent_encodes(tmp_path, rng):
     with ThreadPoolExecutor(max_workers=4) as pool:
         for k, path in pool.map(enc, range(len(imgs))):
             np.testing.assert_array_equal(np.asarray(PILImage.open(path)), imgs[k])
+
+
+def test_canvas_pool_depth_follows_worker_demand(monkeypatch):
+    """A batch pool announcing more workers than the default depth must
+    deepen the canvas pool (review finding: a constant depth re-created
+    the undersized-pool fault for larger pools); an explicit
+    CST_CANVAS_POOL_PER_SIZE pins the depth instead."""
+    from configurable_spectrograms_tpu.render import compositor
+
+    monkeypatch.delenv("CST_CANVAS_POOL_PER_SIZE", raising=False)
+    before = compositor._CANVAS_POOL_MAX_PER_SIZE
+    try:
+        compositor.ensure_canvas_pool_depth(before + 3)
+        assert compositor._CANVAS_POOL_MAX_PER_SIZE == before + 3
+        compositor.ensure_canvas_pool_depth(1)  # never shrinks
+        assert compositor._CANVAS_POOL_MAX_PER_SIZE == before + 3
+
+        monkeypatch.setenv("CST_CANVAS_POOL_PER_SIZE", "2")
+        compositor.ensure_canvas_pool_depth(64)  # env pins: no growth
+        assert compositor._CANVAS_POOL_MAX_PER_SIZE == before + 3
+    finally:
+        compositor._CANVAS_POOL_MAX_PER_SIZE = before
