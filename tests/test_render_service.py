@@ -237,3 +237,41 @@ def test_coalescer_drainer_failure_fails_futures(rng, monkeypatch):
     fresh = service_mod.RenderCoalescer()
     with pytest.raises(RuntimeError, match="drain exploded"):
         fresh.render([_panel(rng)], 16, 24)
+
+
+def test_coalescer_overlaps_batches(rng, monkeypatch):
+    """Cross-batch pipelining: while batch A's readback drains on a side
+    thread, the dispatcher must enqueue batch B -- two 0.5 s-link batches
+    complete in well under the 1.0 s a serialized dispatcher would take."""
+    import time
+
+    from configurable_spectrograms_tpu.render import figure as figure_mod
+    from configurable_spectrograms_tpu.render import link as link_mod
+    from configurable_spectrograms_tpu.render import service as service_mod
+
+    monkeypatch.setitem(link_mod._BACKEND, "mode", "device")
+    monkeypatch.setitem(link_mod._BACKEND, "forced_host", False)
+
+    fresh = service_mod.RenderCoalescer()
+    # Warm compiles through the fresh coalescer before timing.
+    fresh.render([_panel(rng)], 16, 24)
+
+    real = figure_mod._readback
+
+    def slow_readback(out_dev):
+        time.sleep(0.5)
+        return real(out_dev)
+
+    monkeypatch.setattr(figure_mod, "_readback", slow_readback)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(fresh.render, [_panel(rng)], 16, 24)
+        time.sleep(0.1)  # A must be IN FLIGHT before B arrives (no co-batching)
+        fb = pool.submit(fresh.render, [_panel(rng)], 16, 24)
+        ra, rb = fa.result(), fb.result()
+    elapsed = time.perf_counter() - t0
+    assert all("rgba" in r for r in ra + rb)
+    assert elapsed < 0.95, f"two 0.5s batches took {elapsed:.2f}s -- dispatcher serialized?"
