@@ -60,9 +60,11 @@ def main() -> int:
         )
 
     figure.probe_device_link()
-    if figure._host_backend_active():
-        print(json.dumps({"status": "skipped", "reason": "device link dead/degraded"}))
+    if figure._host_backend_active() and figure._BACKEND.get("why_host") != "bandwidth":
+        print(json.dumps({"status": "skipped", "reason": "device link dead"}))
         return 2
+    # A bandwidth-pre-selected link is ALIVE: parity doesn't need
+    # throughput, so force the device path for the measurement.
 
     figure._BACKEND["mode"] = "device"
     device = device_render_panels(panels, 48, 96)
