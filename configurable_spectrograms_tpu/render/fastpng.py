@@ -77,11 +77,17 @@ def _compile(lib_path: str) -> bool:
     # Prefer libdeflate (~2-3x faster whole-buffer deflate + hw CRC);
     # fall back to plain zlib where it isn't installed.
     base = ["g++", "-O3", "-fPIC", "-shared", "-o", tmp, _SRC]
-    # -mssse3 enables the vectorized RGBA->RGB repack (baseline on any
-    # x86-64 made since ~2006); dropped automatically where unsupported.
+    # The library is built per-host on first use (never shipped), so
+    # -march=native is safe and lets the compiler vectorize the filter
+    # subtraction and widened run/match scans with whatever the host has
+    # (AVX2/AVX-512); fall back through -mssse3 (vectorized RGBA->RGB
+    # repack, baseline on any x86-64 since ~2006) to plain builds where
+    # a flag or libdeflate is unsupported.
     for extra in (
+        ["-march=native", "-DFASTPNG_USE_LIBDEFLATE", "-ldeflate"],
         ["-mssse3", "-DFASTPNG_USE_LIBDEFLATE", "-ldeflate"],
         ["-DFASTPNG_USE_LIBDEFLATE", "-ldeflate"],
+        ["-march=native", "-lz"],
         ["-mssse3", "-lz"],
         ["-lz"],
     ):

@@ -236,6 +236,17 @@ void deflate_fixed(const uint8_t* in, size_t n, std::vector<uint8_t>& out) {
             uint8_t b = in[i];
             uint64_t pat = 0x0101010101010101ull * b;
             size_t j = i + 1;
+            // 32-byte blocks first (auto-vectorizes under -march=native);
+            // the 8-byte loop then resolves the tail.
+            while (j + 32 <= n) {
+                uint64_t v0, v1, v2, v3;
+                std::memcpy(&v0, in + j, 8);
+                std::memcpy(&v1, in + j + 8, 8);
+                std::memcpy(&v2, in + j + 16, 8);
+                std::memcpy(&v3, in + j + 24, 8);
+                if ((v0 ^ pat) | (v1 ^ pat) | (v2 ^ pat) | (v3 ^ pat)) break;
+                j += 32;
+            }
             while (j + 8 <= n) {
                 uint64_t v;
                 std::memcpy(&v, in + j, 8);
@@ -274,6 +285,20 @@ void deflate_fixed(const uint8_t* in, size_t n, std::vector<uint8_t>& out) {
                     size_t L = 4;
                     // Word-accelerated extension (overlap-safe: bytes before
                     // i are fully defined when the decoder copies them).
+                    // 32-byte blocks first; the 8-byte loop resolves tails.
+                    while (L + 32 <= maxL) {
+                        uint64_t x0, x1, x2, x3, y0, y1, y2, y3;
+                        std::memcpy(&x0, in + i + L, 8);
+                        std::memcpy(&x1, in + i + L + 8, 8);
+                        std::memcpy(&x2, in + i + L + 16, 8);
+                        std::memcpy(&x3, in + i + L + 24, 8);
+                        std::memcpy(&y0, in + size_t(cand) + L, 8);
+                        std::memcpy(&y1, in + size_t(cand) + L + 8, 8);
+                        std::memcpy(&y2, in + size_t(cand) + L + 16, 8);
+                        std::memcpy(&y3, in + size_t(cand) + L + 24, 8);
+                        if ((x0 ^ y0) | (x1 ^ y1) | (x2 ^ y2) | (x3 ^ y3)) break;
+                        L += 32;
+                    }
                     while (L + 8 <= maxL) {
                         uint64_t x, y;
                         std::memcpy(&x, in + i + L, 8);
