@@ -230,3 +230,59 @@ def collapse_cube_pallas(
         out_specs=pl.BlockSpec((t_tile, E), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(mask_f, tvalid_arr, cube.astype(jnp.float32))
+
+
+def _stft_power_kernel(frames_ref, cos_ref, sin_ref, out_ref):
+    """Fused windowed-DFT power: two MXU matmuls + the |X|^2 epilogue.
+
+    The Hann window is folded into the basis matrices (ops/stft.py), so
+    one kernel invocation turns a (f_tile, L) frame block into a
+    (f_tile, k_tile) power block with no intermediate leaving VMEM.
+    """
+    f = frames_ref[...]
+    re = jnp.dot(f, cos_ref[...], preferred_element_type=jnp.float32)
+    im = jnp.dot(f, sin_ref[...], preferred_element_type=jnp.float32)
+    out_ref[...] = re * re + im * im
+
+
+@functools.partial(jax.jit, static_argnames=("f_tile", "k_tile", "interpret"))
+def stft_power_pallas(
+    frames: jax.Array,
+    cos_b: jax.Array,
+    sin_b: jax.Array,
+    f_tile: int = 128,
+    k_tile: int = 128,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Windowed-DFT power spectrogram as one fused Pallas program.
+
+    ``frames`` is (F, L) framed audio; ``cos_b``/``sin_b`` are the
+    window-folded real-DFT bases (L, K) from ``ops.stft._dft_bases``
+    (BASELINE configs[4]'s "windowed-FFT Pallas kernel").  The grid tiles
+    (F/f_tile, K/k_tile); each step runs two (f_tile, L) @ (L, k_tile)
+    matmuls on the MXU and writes the fused power epilogue.  Callers pad
+    F and K to tile multiples (``stft_magnitude(method="pallas")`` does).
+    Math identical to the ``"matmul"`` method (same contraction over the
+    full L axis); outputs agree up to float32 reassociation of the dot
+    accumulation (different tilings sum in different orders -- tested at
+    1e-5 relative over the spectrum's dynamic range).
+    """
+    F, L = frames.shape
+    K = cos_b.shape[1]
+    if F % f_tile != 0 or K % k_tile != 0:
+        raise ValueError(f"stft_power_pallas needs F%{f_tile}==0 and K%{k_tile}==0, got {(F, K)}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    grid = (F // f_tile, K // k_tile)
+    return pl.pallas_call(
+        _stft_power_kernel,
+        out_shape=jax.ShapeDtypeStruct((F, K), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((f_tile, L), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, k_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, k_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((f_tile, k_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(frames.astype(jnp.float32), cos_b.astype(jnp.float32), sin_b.astype(jnp.float32))

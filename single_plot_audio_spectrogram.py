@@ -81,7 +81,7 @@ def main() -> int:
     parser.add_argument("--z-scale", choices=("linear", "log"), default="log")
     parser.add_argument("--colormap", default="magma")
     parser.add_argument(
-        "--stft-method", choices=("fft", "matmul"), default="fft",
+        "--stft-method", choices=("fft", "matmul", "pallas"), default="fft",
         help="Device STFT program: XLA rFFT or MXU DFT-basis matmuls.",
     )
     args = parser.parse_args()

@@ -210,3 +210,44 @@ def test_audio_dataset_hung_device_falls_back(rng, monkeypatch):
     assert time.monotonic() - t0 < 60
     expected = stft_mod.host_stft_magnitude(sig, 256, 128, 2.0)
     np.testing.assert_array_equal(ds["data"][:, 0, :], expected)
+
+
+def test_pallas_stft_matches_matmul(rng):
+    """The fused Pallas windowed-DFT kernel (BASELINE configs[4]) agrees
+    with the matmul method up to float32 dot reassociation, across
+    non-tile-aligned frame counts and bin counts."""
+    import numpy as np
+
+    from configurable_spectrograms_tpu.ops.stft import stft_magnitude
+
+    x = rng.standard_normal(44100).astype(np.float32)
+    for L, hop in ((1024, 256), (512, 160)):
+        a = np.asarray(stft_magnitude(x, L, hop, 2.0, "matmul"))
+        b = np.asarray(stft_magnitude(x, L, hop, 2.0, "pallas"))
+        assert a.shape == b.shape
+        # Tolerance scaled to the spectrum's magnitude: cancellation makes
+        # tiny bins noisier in RELATIVE terms, so bound abs error against
+        # the frame's energy scale rather than per-bin relative error.
+        scale = np.maximum(np.abs(a), 1e-3 * np.abs(a).max())
+        assert np.all(np.abs(a - b) <= 1e-4 * scale + 1e-2)
+
+
+def test_pallas_stft_magnitude_power_one(rng):
+    import numpy as np
+
+    from configurable_spectrograms_tpu.ops.stft import stft_magnitude
+
+    x = rng.standard_normal(8192).astype(np.float32)
+    a = np.asarray(stft_magnitude(x, 1024, 512, 1.0, "matmul"))
+    b = np.asarray(stft_magnitude(x, 1024, 512, 1.0, "pallas"))
+    assert np.allclose(a, b, rtol=1e-3, atol=1e-3)
+
+
+def test_dataset_accepts_pallas_method(rng):
+    import numpy as np
+
+    from configurable_spectrograms_tpu.ops.stft import audio_spectrogram_dataset
+
+    sig = rng.standard_normal(22050).astype(np.float32)
+    ds = audio_spectrogram_dataset(sig, 22050, frame_length=512, hop_length=256, method="pallas")
+    assert ds["data"].shape[1] == 1 and ds["data"].shape[2] == 257

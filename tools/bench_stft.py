@@ -41,7 +41,7 @@ def bench_one(n_samples: int, frame_length: int, hop_length: int, repeats: int =
         "device": str(jax.devices()[0]),
     }
     results = {}
-    for method in ("fft", "matmul"):
+    for method in ("fft", "matmul", "pallas"):
         fn = lambda: stft_magnitude(  # noqa: E731
             x, frame_length=frame_length, hop_length=hop_length, method=method
         )
