@@ -396,6 +396,7 @@ def main() -> None:
                 except RuntimeError as exc:
                     _progress(f"late device retry failed ({exc})")
                     rates["device"] = []
+                    latency["device"] = None  # no passes -> no latency claim
             else:
                 _progress(f"late reprobe: link still down ({outcome.get('why')})")
         _progress("done")

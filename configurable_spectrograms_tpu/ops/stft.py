@@ -72,6 +72,13 @@ def stft_magnitude(
     frames = frame_signal(jnp.asarray(x, jnp.float32), frame_length, hop_length)
     if method in ("matmul", "pallas"):
         cos_b, sin_b = _dft_bases(frame_length)
+        if method == "pallas" and frame_length > 4096:
+            # The kernel keeps (f_tile, L) frames plus two (L, k_tile)
+            # bases resident in VMEM per grid step (~12*L KB); past 4096
+            # the blocks no longer fit and Mosaic compilation fails, so
+            # fall back to the identical matmul math (the same pattern
+            # collapse_cube_pallas documents for unpadded shapes).
+            method = "matmul"
         if method == "pallas":
             from configurable_spectrograms_tpu.ops.pallas_kernels import stft_power_pallas
 

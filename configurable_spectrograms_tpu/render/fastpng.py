@@ -34,6 +34,32 @@ def _src_digest() -> str:
         return "nosrc"
 
 
+def _host_tag() -> str:
+    """A short digest of this host's CPU capabilities.
+
+    The build uses ``-march=native``, so a cached ``.so`` is only valid on
+    a CPU with the same instruction sets: a cache shared across hosts
+    (NFS home, warm container layer) must not hand an AVX-512 build to an
+    older CPU -- SIGILL there kills the process and cannot degrade to the
+    PIL fallback.  The tag folds the cpuinfo flag set (plus the machine
+    arch) into the cached filename so every CPU generation gets its own
+    build.
+    """
+    import hashlib
+    import platform
+
+    basis = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    basis += ":" + line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        basis += ":" + platform.processor()
+    return hashlib.sha256(basis.encode()).hexdigest()[:10]
+
+
 def _lib_path() -> str:
     """Per-user cache location for the compiled library.
 
@@ -57,7 +83,7 @@ def _lib_path() -> str:
     cache_root = os.environ.get("CST_NATIVE_CACHE_DIR") or os.path.join(
         os.path.expanduser("~"), ".cache", "configurable_spectrograms_tpu"
     )
-    return os.path.join(cache_root, f"libfastpng-{_src_digest()}.so")
+    return os.path.join(cache_root, f"libfastpng-{_src_digest()}-{_host_tag()}.so")
 
 
 def _compile(lib_path: str) -> bool:

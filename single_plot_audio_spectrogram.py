@@ -82,7 +82,7 @@ def main() -> int:
     parser.add_argument("--colormap", default="magma")
     parser.add_argument(
         "--stft-method", choices=("fft", "matmul", "pallas"), default="fft",
-        help="Device STFT program: XLA rFFT or MXU DFT-basis matmuls.",
+        help="Device STFT program: XLA rFFT, MXU DFT-basis matmuls, or the fused Pallas kernel.",
     )
     args = parser.parse_args()
 

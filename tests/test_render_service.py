@@ -259,7 +259,7 @@ def test_coalescer_overlaps_batches(rng, monkeypatch):
     real = figure_mod._readback
 
     def slow_readback(out_dev):
-        time.sleep(0.5)
+        time.sleep(0.7)
         return real(out_dev)
 
     monkeypatch.setattr(figure_mod, "_readback", slow_readback)
@@ -274,4 +274,7 @@ def test_coalescer_overlaps_batches(rng, monkeypatch):
         ra, rb = fa.result(), fb.result()
     elapsed = time.perf_counter() - t0
     assert all("rgba" in r for r in ra + rb)
-    assert elapsed < 0.95, f"two 0.5s batches took {elapsed:.2f}s -- dispatcher serialized?"
+    # Serialized batches take >= 1.5 s (two 0.7 s readbacks + renders);
+    # the generous overlap bound keeps noisy-box scheduling (documented
+    # 2-3x load swings) from flaking the assertion.
+    assert elapsed < 1.35, f"two 0.7s batches took {elapsed:.2f}s -- dispatcher serialized?"

@@ -67,7 +67,15 @@ def main() -> int:
     # throughput, so force the device path for the measurement.
 
     figure._BACKEND["mode"] = "device"
-    device = device_render_panels(panels, 48, 96)
+    try:
+        device = device_render_panels(panels, 48, 96)
+    except RuntimeError as exc:
+        # Bandwidth-starved links can pass the liveness probe but time out
+        # the forced-device dispatch watchdog; keep the one-JSON-line
+        # contract (and clean_exit) instead of surfacing a traceback.
+        figure._BACKEND["mode"] = "auto"
+        print(json.dumps({"status": "skipped", "reason": f"device path timed out ({exc})"}))
+        return 2
     figure._BACKEND["mode"] = "host"
     host = device_render_panels(panels, 48, 96)
     figure._BACKEND["mode"] = "auto"
