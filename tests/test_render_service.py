@@ -125,7 +125,7 @@ def test_multi_bucket_readbacks_overlap(rng, monkeypatch):
     real = figure_mod._readback
 
     def slow_readback(out_dev):
-        time.sleep(0.4)
+        time.sleep(0.6)
         return real(out_dev)
 
     monkeypatch.setattr(figure_mod, "_readback", slow_readback)
@@ -133,7 +133,9 @@ def test_multi_bucket_readbacks_overlap(rng, monkeypatch):
     results = device_render_panels(panels, 16, 24)
     elapsed = time.perf_counter() - t0
     assert all(r is not None and "rgba" in r for r in results)
-    assert elapsed < 0.75, f"two 0.4s readbacks took {elapsed:.2f}s -- serialized?"
+    # Serialized readbacks take >= 1.2 s; the generous bound keeps the
+    # noisy shared box from flaking the overlap assertion.
+    assert elapsed < 1.1, f"two 0.6s readbacks took {elapsed:.2f}s -- serialized?"
 
 
 def test_bucket_readback_error_propagates(rng, monkeypatch):
