@@ -323,6 +323,15 @@ def _render_group_host(panels: list[PanelData], idxs: list[int], tile_h: int, ti
 #: ``devices`` = number of devices the output sharding covered.
 LAST_DISPATCH: dict[str, int] = {"lanes": 0, "devices": 0}
 
+#: PendingRenders currently in flight (enqueued, not fully drained).  The
+#: link-health heuristics only trust a transfer measurement taken with the
+#: link to itself; concurrent drains share bandwidth and would be
+#: misattributed as a slow link.
+import threading as _threading
+
+_ACTIVE_DRAINS = {"n": 0}
+_ACTIVE_DRAINS_LOCK = _threading.Lock()
+
 #: Device-resident padded-cube cache.  A batch renders each cube many
 #: times (raw + given-extrema figure pairs, pitch grid + instrument grid,
 #: repeat passes), and on link-constrained setups the ~12.6 MB-per-cube
@@ -748,11 +757,21 @@ class PendingRender:
 
     def __init__(self, panels: list[PanelData], tile_h: int, tile_w: int,
                  results: list, dispatches: list[_GroupDispatch]):
+        import time as _time
+
         self.panels = panels
         self.tile_h = tile_h
         self.tile_w = tile_w
         self.results = results
         self.dispatches = dispatches
+        #: When these dispatches were enqueued: a sibling batch's watchdog
+        #: trip AFTER this moment means our transfers share the same dead
+        #: link, so wait() skips straight to the short-wait/host path
+        #: instead of sitting out its own full timeout.
+        self.enqueued_ts = _time.monotonic()
+        if dispatches:
+            with _ACTIVE_DRAINS_LOCK:
+                _ACTIVE_DRAINS["n"] += 1
 
     def has_device_work(self) -> bool:
         return bool(self.dispatches)
@@ -789,11 +808,18 @@ class PendingRender:
         """Drain every in-flight bucket; returns per-panel results in order."""
         if not self.dispatches:
             return self.results
+        timeout = _dispatch_timeout()
+        try:
+            return self._wait_inner(timeout)
+        finally:
+            with _ACTIVE_DRAINS_LOCK:
+                _ACTIVE_DRAINS["n"] -= 1
+
+    def _wait_inner(self, timeout: float) -> list[dict]:
         import time as _time
 
         from configurable_spectrograms_tpu.utils.timing import active_stage
 
-        timeout = _dispatch_timeout()
         self._start_readbacks(timeout)
         # Per-bucket budget, like the pre-pipelining sequential path: the
         # deadline RESETS after every bucket that lands, so N serialized
@@ -802,6 +828,17 @@ class PendingRender:
         deadline = _time.monotonic() + timeout
         watchdog_tripped = False
         for i, g in enumerate(self.dispatches):
+            if (
+                not watchdog_tripped
+                and _BACKEND["mode"] == "auto"
+                and _BACKEND["forced_host"]
+                and _BACKEND["last_dispatch_failure_ts"] >= self.enqueued_ts
+            ):
+                # A sibling batch's transfer already hung on this link
+                # after ours were enqueued: don't sit out our own full
+                # watchdog budget per bucket -- use whatever already
+                # landed, host-render the rest immediately.
+                watchdog_tripped = True
             with active_stage("device_readback"):
                 if watchdog_tripped:
                     # A transfer already hung on this link; don't wait the
@@ -857,7 +894,14 @@ class PendingRender:
         n = len(g.idxs)
         packed = g.packed
         xfer = g.xfer
-        alone = first and len(self.dispatches) == 1
+        with _ACTIVE_DRAINS_LOCK:
+            solo_drain = _ACTIVE_DRAINS["n"] == 1
+        # "alone" = this bucket's transfer had the link to itself: the only
+        # bucket of the only in-flight batch.  Cross-batch pipelining
+        # (service.py) deliberately overlaps the next batch's uploads with
+        # this readback, so a shared-window measurement says nothing about
+        # the link itself.
+        alone = first and len(self.dispatches) == 1 and solo_drain
         if (
             alone
             and _BACKEND["mode"] == "auto"

@@ -103,7 +103,12 @@ class RenderCoalescer:
         def _drain():
             try:
                 self._resolve(reqs, pending.wait())
-            except Exception as exc:
+            except BaseException as exc:  # noqa: BLE001 - futures must never hang
+                # BaseException included: a readback thread captures errors
+                # with BaseException (figure.PendingRender), and a
+                # non-Exception escaping here would leave every pooled
+                # request's future unresolved forever -- workers block in
+                # future.result() with no timeout.
                 for r in reqs:
                     if not r.future.done():
                         r.future.set_exception(exc)

@@ -280,3 +280,37 @@ def test_coalescer_overlaps_batches(rng, monkeypatch):
     # the generous overlap bound keeps noisy-box scheduling (documented
     # 2-3x load swings) from flaking the assertion.
     assert elapsed < 1.35, f"two 0.7s batches took {elapsed:.2f}s -- dispatcher serialized?"
+
+
+def test_sibling_batches_fast_trip_after_watchdog(rng, monkeypatch):
+    """Once one batch's drain trips the watchdog, sibling batches already
+    enqueued on the same link must not each sit out their own full
+    timeout -- they use landed results / host-render immediately
+    (round-3 interaction review finding)."""
+    import time
+
+    from configurable_spectrograms_tpu.render import figure as figure_mod
+    from configurable_spectrograms_tpu.render import link as link_mod
+
+    monkeypatch.setitem(link_mod._BACKEND, "mode", "auto")
+    monkeypatch.setitem(link_mod._BACKEND, "forced_host", False)
+    monkeypatch.setitem(link_mod._BACKEND, "last_dispatch_failure_ts", 0.0)
+    monkeypatch.setenv("CST_DEVICE_DISPATCH_TIMEOUT", "2")
+    monkeypatch.setattr(figure_mod, "_readback", lambda out_dev: time.sleep(600))
+
+    try:
+        a = figure_mod.enqueue_render_panels([_panel(rng)], 16, 24)
+        b = figure_mod.enqueue_render_panels([_panel(rng)], 16, 24)
+        t0 = time.monotonic()
+        ra = a.wait()  # pays its ~2 s watchdog and trips
+        t_a = time.monotonic() - t0
+        t0 = time.monotonic()
+        rb = b.wait()  # must NOT pay another full budget
+        t_b = time.monotonic() - t0
+        assert all("rgba" in r for r in ra + rb)  # host fallback rendered both
+        assert t_a >= 1.5
+        assert t_b < 1.2, f"sibling batch waited {t_b:.2f}s after the trip"
+    finally:
+        link_mod._BACKEND["forced_host"] = False
+        link_mod._BACKEND["why_host"] = None
+        link_mod._BACKEND["last_dispatch_failure_ts"] = 0.0
