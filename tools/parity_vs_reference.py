@@ -209,10 +209,28 @@ def measure(reference_root: str, dpi: float) -> dict:
         )
         given_rows = _compare_figures(ref_fig_g, our_fig_g, dpi)
 
+        # --- scenario 3: instrument grid with given extrema ----------------
+        from configurable_spectrograms_tpu.fast.plotting import FAST_plot_instrument_grid
+
+        ref_fig_i, _ = ref_fast_plotting.FAST_plot_instrument_grid(
+            mapping[4242], filtered_orbits_df=ref_load_orbits(csv),
+            orbit_number=4242, scale_function_y="log", scale_function_z="log",
+            show=False, colormap="inferno", cusp_marker_style="bracket",
+            global_extrema=ref_extrema,
+        )
+        our_fig_i, _ = FAST_plot_instrument_grid(
+            mapping[4242], filtered_orbits_df=load_filtered_orbits(csv),
+            orbit_number=4242, scale_function_y="log", scale_function_z="log",
+            show=False, colormap="inferno", cusp_marker_style="bracket",
+            global_extrema=our_extrema,
+        )
+        grid_rows = _compare_figures(ref_fig_i, our_fig_i, dpi)
+
         summary = _summarize(raw_rows, dpi)
         summary["given_extrema"] = _summarize(given_rows, dpi)
         summary["given_extrema"]["extrema_value_mismatches"] = extrema_mismatches
         summary["given_extrema"]["overrides_match"] = overrides == ref_overrides
+        summary["instrument_grid"] = _summarize(grid_rows, dpi)
         return summary
 
 
@@ -234,6 +252,7 @@ def main() -> int:
     summary = measure(args.reference, args.dpi)
     print(json.dumps(summary, indent=2))
     given = summary["given_extrema"]
+    grid = summary["instrument_grid"]
     ok = (
         summary["worst_pixel_mismatch_frac"] <= args.max_mismatch
         and summary["worst_mean_abs_channel_diff"] <= args.max_mean_diff
@@ -242,6 +261,8 @@ def main() -> int:
         and given["worst_interior_pixel_mismatch_frac"] == 0.0
         and not given["extrema_value_mismatches"]
         and given["overrides_match"]
+        and grid["worst_pixel_mismatch_frac"] <= args.max_mismatch
+        and grid["worst_interior_pixel_mismatch_frac"] == 0.0
     )
     return 0 if ok else 1
 
