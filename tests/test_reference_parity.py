@@ -33,6 +33,20 @@ def test_data_region_parity_vs_reference():
     assert summary["worst_pixel_mismatch_frac"] <= 0.08  # cell-boundary rounding only
     assert summary["worst_mean_abs_channel_diff"] <= 2.0
 
+    # Given-extrema scenario: the extrema passes themselves agree
+    # bit-for-bit, and the figures rendered from them diff clean.
+    given = summary["given_extrema"]
+    assert given["extrema_value_mismatches"] == {}
+    assert given["overrides_match"]
+    assert given["worst_interior_pixel_mismatch_frac"] == 0.0
+    assert given["worst_pixel_mismatch_frac"] <= 0.08
+
+    # Instrument-grid figure (one row per instrument, given extrema).
+    grid = summary["instrument_grid"]
+    assert grid["panels"] == 8
+    assert grid["worst_interior_pixel_mismatch_frac"] == 0.0
+    assert grid["worst_pixel_mismatch_frac"] <= 0.08
+
 
 def test_api_parity_audit_no_missing_symbols():
     """Every public reference function has an equivalent here accepting the
