@@ -323,6 +323,11 @@ def _render_group_host(panels: list[PanelData], idxs: list[int], tile_h: int, ti
 #: ``devices`` = number of devices the output sharding covered.
 LAST_DISPATCH: dict[str, int] = {"lanes": 0, "devices": 0}
 
+#: Rolling log of recent dispatches (lanes/devices per bucket), so tests
+#: can assert EVERY bucket of a multi-bucket call sharded -- LAST_DISPATCH
+#: alone only shows the final one.  Bounded; clear() freely in tests.
+DISPATCH_HISTORY: list[dict] = []
+
 #: PendingRenders currently in flight (enqueued, not fully drained).  The
 #: link-health heuristics only trust a transfer measurement taken with the
 #: link to itself; concurrent drains share bandwidth and would be
@@ -1035,6 +1040,8 @@ def enqueue_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> 
         g.out_dev = out_dev
         LAST_DISPATCH["lanes"] = g.n_lanes
         LAST_DISPATCH["devices"] = len(getattr(out_dev.sharding, "device_set", ())) or 1
+        DISPATCH_HISTORY.append(dict(LAST_DISPATCH))
+        del DISPATCH_HISTORY[:-64]
         dispatches.append(g)
     return PendingRender(panels, tile_h, tile_w, results, dispatches)
 

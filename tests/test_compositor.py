@@ -273,5 +273,16 @@ def test_canvas_pool_depth_follows_worker_demand(monkeypatch):
         monkeypatch.setenv("CST_CANVAS_POOL_PER_SIZE", "2")
         compositor.ensure_canvas_pool_depth(64)  # env pins: no growth
         assert compositor._CANVAS_POOL_MAX_PER_SIZE == before + 3
+
+        # The WIRING is the point (the review finding was about batch
+        # pools, not the helper): sizing a pool through
+        # recommended_workers must announce its demand.
+        monkeypatch.delenv("CST_CANVAS_POOL_PER_SIZE", raising=False)
+        from configurable_spectrograms_tpu.render import link as link_mod
+
+        monkeypatch.setitem(link_mod._BACKEND, "mode", "device")
+        monkeypatch.setitem(link_mod._BACKEND, "forced_host", False)
+        link_mod.recommended_workers(before + 7)
+        assert compositor._CANVAS_POOL_MAX_PER_SIZE == before + 7
     finally:
         compositor._CANVAS_POOL_MAX_PER_SIZE = before

@@ -72,20 +72,23 @@ def test_tracker_empty_and_single():
 
 
 def test_percentile_ranks_match_numpy_float32_semantics():
-    """The float32 virtual index can differ from float64 for large pools;
-    whatever numpy does, the ranks+gamma must reproduce it."""
+    """The float32 virtual index diverges from a float64 mirror exactly for
+    LARGE pools ((n-1)*q/100 past the 24-bit mantissa) -- real multi-orbit
+    pool sizes -- so the oracle must cover large n, not just small ones."""
     rng = np.random.default_rng(5)
     for n in (2, 3, 100, 999, 10_000, 1_000_001):
-        v = rng.random(min(n, 4096)).astype(np.float32)
-        # numpy ground truth on a small pool with the same n is impractical
-        # for 1e6; instead check internal consistency on the small pools.
         if n <= 4096:
-            for q in (1.0, 37.3, 50.0, 95.0, 99.0, 100.0):
-                k_lo, k_hi, gamma = percentile_ranks(len(v), q)
-                s = np.sort(v)
-                ref = float(np.nanpercentile(v, q))
-                got = numpy_lerp_percentile(s[k_lo], s[k_hi], gamma)
-                assert repr(got) == repr(ref), (n, q)
+            v = rng.random(n).astype(np.float32)
+        else:
+            # A sorted arange keeps the large-n oracle cheap and exact
+            # (every value < 2**24 is float32-representable).
+            v = np.arange(n, dtype=np.float32)
+        s = np.sort(v)
+        for q in (1.0, 37.3, 50.0, 95.0, 99.0, 100.0):
+            k_lo, k_hi, gamma = percentile_ranks(n, q)
+            ref = float(np.nanpercentile(v, q))
+            got = numpy_lerp_percentile(s[k_lo], s[k_hi], gamma)
+            assert repr(got) == repr(ref), (n, q)
 
 
 def test_compute_global_extrema_exact_matches_reference_replay(synth_archive, tmp_path):
@@ -139,11 +142,23 @@ def test_compute_global_extrema_histogram_mode_still_available(synth_archive, tm
         extrema_json_path=str(tmp_path / "e.json"), max_percentile=95.0,
         exact_percentile=True,
     )["ees_linear_linear_z_max"]
-    hist = compute_global_extrema(
-        synth_archive["root"], "linear", "linear", insts,
-        extrema_json_path=str(tmp_path / "h.json"), max_percentile=95.0,
-        exact_percentile=False,
-    )["ees_linear_linear_z_max"]
+    # The histogram run must not construct the exact tracker at all --
+    # otherwise "histogram mode" could silently be the exact path and the
+    # value comparisons below would be tautologies.
+    import configurable_spectrograms_tpu.fast.extrema as fx
+
+    class _Forbidden:
+        def __init__(self, *a, **k):
+            raise AssertionError("exact tracker constructed in histogram mode")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(fx, "ExactPercentileTracker", _Forbidden):
+        hist = compute_global_extrema(
+            synth_archive["root"], "linear", "linear", insts,
+            extrema_json_path=str(tmp_path / "h.json"), max_percentile=95.0,
+            exact_percentile=False,
+        )["ees_linear_linear_z_max"]
     assert hist >= exact
     # Dense pools bound the upper-edge estimate within one bin (<1.4%);
     # sparse synthetic pools can err a bit more, always upward.

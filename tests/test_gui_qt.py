@@ -212,13 +212,21 @@ def test_plot_page_start_progress_and_stop(gui, monkeypatch, tmp_path):
 
         # Start a hung run, then stop it: the child is killed and the
         # status reflects the stop, not an error.
+        import multiprocessing
+
         monkeypatch.setattr(gui, "plot_in_process", _hang_target)
         _button(page, headless_qt, "Plot").click()
         _wait_for(app, lambda: status.text() == "Running...", what="second run start")
+        _wait_for(app, lambda: any(p.is_alive() for p in multiprocessing.active_children()),
+                  what="hung child alive")
         t0 = time.monotonic()
         _button(page, headless_qt, "Stop").click()
         assert time.monotonic() - t0 < 10
         assert status.text() == "Stopped."
+        # The hung child must actually be dead -- the label alone is set
+        # unconditionally by the stop handler.
+        _wait_for(app, lambda: not any(p.is_alive() for p in multiprocessing.active_children()),
+                  what="hung child killed")
 
     _run(gui, headless_qt, hook)
 
@@ -262,9 +270,16 @@ def test_single_day_pages_run_and_validate(gui, monkeypatch, tmp_path):
         assert rec5["kwargs"]["date"] == "2001-02-03"
 
         # Invalid style spec: caught client-side, no process spawned.
+        before = marker.read_text()
         edits5["Style y-z[-cmap]"].setText("bogus")
         _button(page5, headless_qt, "Download + render").click()
         assert status5.text().startswith("Invalid input")
+        time.sleep(0.5)
+        app.processEvents()
+        assert marker.read_text() == before, "a runner was spawned despite invalid input"
+        import multiprocessing
+
+        assert not any(p.is_alive() for p in multiprocessing.active_children())
 
     _run(gui, headless_qt, hook)
 

@@ -390,9 +390,16 @@ def test_mixed_bucket_group_shards_and_matches(rng, monkeypatch):
 
     panels = build_mixed()
     monkeypatch.setenv("CST_DATA_MESH", "1")
+    figure.DISPATCH_HISTORY.clear()
     sharded = _render_results(panels)
-    assert figure.LAST_DISPATCH["devices"] == 8
+    # EVERY bucket (two T-buckets x percentile + explicit programs = 3
+    # dispatches) must span the mesh -- LAST_DISPATCH alone only shows
+    # the final one, and a single silently-unsharded bucket would hide.
+    assert len(figure.DISPATCH_HISTORY) == 3, figure.DISPATCH_HISTORY
+    assert all(d["devices"] == 8 for d in figure.DISPATCH_HISTORY), figure.DISPATCH_HISTORY
     monkeypatch.setenv("CST_DATA_MESH", "0")
+    figure.DISPATCH_HISTORY.clear()
     single = _render_results(panels)
+    assert all(d["devices"] == 1 for d in figure.DISPATCH_HISTORY), figure.DISPATCH_HISTORY
     for s, u in zip(sharded, single):
         np.testing.assert_array_equal(s["rgba"], u["rgba"])

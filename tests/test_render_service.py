@@ -117,14 +117,19 @@ def test_multi_bucket_readbacks_overlap(rng, monkeypatch):
     # calibration and force the host backend for the rest of the process.
     monkeypatch.setitem(link_mod._BACKEND, "calibrated", True)
     monkeypatch.setitem(link_mod._BACKEND, "forced_host", False)
+    # Pin the device backend: on the host fallback the timing bound is
+    # trivially satisfied without ever exercising the pipelining.
+    monkeypatch.setitem(link_mod._BACKEND, "mode", "device")
 
     panels = _two_bucket_panels(rng)
     # Warm up compiles so the timed run measures transfers, not XLA.
     device_render_panels(panels, 16, 24)
 
     real = figure_mod._readback
+    calls = {"n": 0}
 
     def slow_readback(out_dev):
+        calls["n"] += 1
         time.sleep(0.6)
         return real(out_dev)
 
@@ -132,6 +137,7 @@ def test_multi_bucket_readbacks_overlap(rng, monkeypatch):
     t0 = time.perf_counter()
     results = device_render_panels(panels, 16, 24)
     elapsed = time.perf_counter() - t0
+    assert calls["n"] == 2  # both buckets actually took the device path
     assert all(r is not None and "rgba" in r for r in results)
     # Serialized readbacks take >= 1.2 s; the generous bound keeps the
     # noisy shared box from flaking the overlap assertion.
@@ -180,10 +186,22 @@ def test_watchdog_trip_uses_landed_siblings(rng, monkeypatch):
     monkeypatch.setitem(link_mod._BACKEND, "mode", "auto")
     monkeypatch.setitem(link_mod._BACKEND, "forced_host", False)
     monkeypatch.setattr(figure_mod, "_readback", hang_second)
+    host_renders = {"n": 0}
+    real_host = figure_mod._render_group_host
+
+    def counting_host(*a, **k):
+        host_renders["n"] += 1
+        return real_host(*a, **k)
+
+    monkeypatch.setattr(figure_mod, "_render_group_host", counting_host)
     try:
         got = device_render_panels(panels, 16, 24)
         assert link_mod._BACKEND["forced_host"]  # the trip forced host
         assert link_mod._BACKEND["last_dispatch_failure_ts"] > 0.0
+        assert calls["n"] == 2  # both readbacks attempted on device
+        # Only the HUNG bucket re-rendered on the host: the landed
+        # sibling's device results were used, not discarded.
+        assert host_renders["n"] == 1
         for e, g in zip(expected, got):
             np.testing.assert_array_equal(e["rgba"], g["rgba"])
     finally:
@@ -237,8 +255,16 @@ def test_coalescer_drainer_failure_fails_futures(rng, monkeypatch):
         figure_mod, "enqueue_render_panels", lambda panels, th, tw: ExplodingPending()
     )
     fresh = service_mod.RenderCoalescer()
-    with pytest.raises(RuntimeError, match="drain exploded"):
-        fresh.render([_panel(rng)], 16, 24)
+    # EVERY pooled request's future must receive the exception, not just
+    # the first -- siblings hanging forever is the actual production risk.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(fresh.render, [_panel(rng)], 16, 24)
+        f2 = pool.submit(fresh.render, [_panel(rng)], 16, 24)
+        for f in (f1, f2):
+            with pytest.raises(RuntimeError, match="drain exploded"):
+                f.result(timeout=30)
 
 
 def test_coalescer_overlaps_batches(rng, monkeypatch):

@@ -212,13 +212,25 @@ def test_audio_dataset_hung_device_falls_back(rng, monkeypatch):
     np.testing.assert_array_equal(ds["data"][:, 0, :], expected)
 
 
-def test_pallas_stft_matches_matmul(rng):
+def test_pallas_stft_matches_matmul(rng, monkeypatch):
     """The fused Pallas windowed-DFT kernel (BASELINE configs[4]) agrees
     with the matmul method up to float32 dot reassociation, across
-    non-tile-aligned frame counts and bin counts."""
+    non-tile-aligned frame counts and bin counts.  The kernel must
+    actually EXECUTE: the product silently falls back to matmul above the
+    VMEM size gate, which would make this a matmul-vs-matmul tautology."""
     import numpy as np
 
+    from configurable_spectrograms_tpu.ops import pallas_kernels
     from configurable_spectrograms_tpu.ops.stft import stft_magnitude
+
+    calls = {"n": 0}
+    real = pallas_kernels.stft_power_pallas
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(pallas_kernels, "stft_power_pallas", counting)
 
     x = rng.standard_normal(44100).astype(np.float32)
     for L, hop in ((1024, 256), (512, 160)):
@@ -230,6 +242,7 @@ def test_pallas_stft_matches_matmul(rng):
         # the frame's energy scale rather than per-bin relative error.
         scale = np.maximum(np.abs(a), 1e-3 * np.abs(a).max())
         assert np.all(np.abs(a - b) <= 1e-4 * scale + 1e-2)
+    assert calls["n"] == 2, "pallas path fell back without executing the kernel"
 
 
 def test_pallas_stft_magnitude_power_one(rng):
