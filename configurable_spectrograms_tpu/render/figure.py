@@ -24,6 +24,7 @@ from __future__ import annotations
 import functools
 import math
 import os
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -325,8 +326,11 @@ LAST_DISPATCH: dict[str, int] = {"lanes": 0, "devices": 0}
 
 #: Rolling log of recent dispatches (lanes/devices per bucket), so tests
 #: can assert EVERY bucket of a multi-bucket call sharded -- LAST_DISPATCH
-#: alone only shows the final one.  Bounded; clear() freely in tests.
-DISPATCH_HISTORY: list[dict] = []
+#: alone only shows the final one.  A deque(maxlen=...) keeps the
+#: append-and-trim atomic under the GIL (enqueues can run concurrently
+#: from the coalescer drain thread and direct callers); clear() freely in
+#: tests.
+DISPATCH_HISTORY: "deque[dict]" = deque(maxlen=64)
 
 #: PendingRenders currently in flight (enqueued, not fully drained).  The
 #: link-health heuristics only trust a transfer measurement taken with the
@@ -1041,7 +1045,6 @@ def enqueue_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> 
         LAST_DISPATCH["lanes"] = g.n_lanes
         LAST_DISPATCH["devices"] = len(getattr(out_dev.sharding, "device_set", ())) or 1
         DISPATCH_HISTORY.append(dict(LAST_DISPATCH))
-        del DISPATCH_HISTORY[:-64]
         dispatches.append(g)
     return PendingRender(panels, tile_h, tile_w, results, dispatches)
 

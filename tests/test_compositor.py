@@ -282,6 +282,10 @@ def test_canvas_pool_depth_follows_worker_demand(monkeypatch):
 
         monkeypatch.setitem(link_mod._BACKEND, "mode", "device")
         monkeypatch.setitem(link_mod._BACKEND, "forced_host", False)
+        # recommended_workers may run the one-shot probe, which flips
+        # "probed" for the process; register its current value so
+        # monkeypatch restores it for later auto-mode tests.
+        monkeypatch.setitem(link_mod._BACKEND, "probed", link_mod._BACKEND["probed"])
         link_mod.recommended_workers(before + 7)
         assert compositor._CANVAS_POOL_MAX_PER_SIZE == before + 7
     finally:

@@ -400,6 +400,9 @@ def test_mixed_bucket_group_shards_and_matches(rng, monkeypatch):
     monkeypatch.setenv("CST_DATA_MESH", "0")
     figure.DISPATCH_HISTORY.clear()
     single = _render_results(panels)
+    # Same bucket count expected: an empty history would make the
+    # devices==1 check vacuously true.
+    assert len(figure.DISPATCH_HISTORY) == 3, figure.DISPATCH_HISTORY
     assert all(d["devices"] == 1 for d in figure.DISPATCH_HISTORY), figure.DISPATCH_HISTORY
     for s, u in zip(sharded, single):
         np.testing.assert_array_equal(s["rgba"], u["rgba"])

@@ -113,6 +113,15 @@ def _compare_figures(ref_fig, our_fig, dpi: float) -> list[dict]:
                 "vmax_rel_err": abs(res["vmax"] - ref_vmax) / max(abs(ref_vmax), 1e-12),
             }
         )
+
+    # Both figures are fully consumed: release them so six figure pairs
+    # (three scenarios) don't accumulate for the rest of the process.
+    import matplotlib.pyplot as plt
+
+    from configurable_spectrograms_tpu.render.plotting import close_all_axes_and_clear
+
+    plt.close(ref_fig)
+    close_all_axes_and_clear(our_fig)
     return rows
 
 
@@ -162,12 +171,18 @@ def measure(reference_root: str, dpi: float) -> dict:
             cusp_marker_style="bracket",
         )
 
+        # Each side's orbits DataFrame is parsed once and reused by all
+        # three scenarios; figures are closed after each diff so the six
+        # figure pairs don't accumulate for the rest of the process.
+        ref_df = ref_load_orbits(csv)
+        our_df = load_filtered_orbits(csv)
+
         # --- scenario 1: raw percentile bounds ----------------------------
         ref_fig, _ = ref_fast_plotting.FAST_plot_pitch_angle_grid(
-            path, filtered_orbits_df=ref_load_orbits(csv), **kwargs
+            path, filtered_orbits_df=ref_df, **kwargs
         )
         our_fig, _ = FAST_plot_pitch_angle_grid(
-            path, filtered_orbits_df=load_filtered_orbits(csv), **kwargs
+            path, filtered_orbits_df=our_df, **kwargs
         )
         raw_rows = _compare_figures(ref_fig, our_fig, dpi)
 
@@ -202,10 +217,10 @@ def measure(reference_root: str, dpi: float) -> dict:
                 ref_extrema_mod._extrema_overrides(ref_extrema, "ees", "log", "log"))
         )
         ref_fig_g, _ = ref_fast_plotting.FAST_plot_pitch_angle_grid(
-            path, filtered_orbits_df=ref_load_orbits(csv), **kwargs, **ref_overrides
+            path, filtered_orbits_df=ref_df, **kwargs, **ref_overrides
         )
         our_fig_g, _ = FAST_plot_pitch_angle_grid(
-            path, filtered_orbits_df=load_filtered_orbits(csv), **kwargs, **overrides
+            path, filtered_orbits_df=our_df, **kwargs, **overrides
         )
         given_rows = _compare_figures(ref_fig_g, our_fig_g, dpi)
 
@@ -213,13 +228,13 @@ def measure(reference_root: str, dpi: float) -> dict:
         from configurable_spectrograms_tpu.fast.plotting import FAST_plot_instrument_grid
 
         ref_fig_i, _ = ref_fast_plotting.FAST_plot_instrument_grid(
-            mapping[4242], filtered_orbits_df=ref_load_orbits(csv),
+            mapping[4242], filtered_orbits_df=ref_df,
             orbit_number=4242, scale_function_y="log", scale_function_z="log",
             show=False, colormap="inferno", cusp_marker_style="bracket",
             global_extrema=ref_extrema,
         )
         our_fig_i, _ = FAST_plot_instrument_grid(
-            mapping[4242], filtered_orbits_df=load_filtered_orbits(csv),
+            mapping[4242], filtered_orbits_df=our_df,
             orbit_number=4242, scale_function_y="log", scale_function_z="log",
             show=False, colormap="inferno", cusp_marker_style="bracket",
             global_extrema=our_extrema,
