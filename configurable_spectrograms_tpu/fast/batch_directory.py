@@ -43,7 +43,7 @@ from configurable_spectrograms_tpu.utils.logging import (
     log_exception,
 )
 from configurable_spectrograms_tpu.utils.process import terminate_all_child_processes
-from configurable_spectrograms_tpu.utils.progress import add_to_orbit_list
+from configurable_spectrograms_tpu.utils.progress import add_to_orbit_list, atomic_write_json
 
 _INSTRUMENT_KEYS = ("ees", "eeb", "ies", "ieb")
 
@@ -106,8 +106,7 @@ class _ProgressLedger:
             return
         self._since_flush = 0
         try:
-            with open(self.path, "w") as f:
-                json.dump(state, f, indent=2)
+            atomic_write_json(self.path, state)
         except OSError as exc:
             log_exception("[FAIL] Could not write progress JSON", exc, level="error")
 

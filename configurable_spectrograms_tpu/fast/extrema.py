@@ -38,6 +38,7 @@ from configurable_spectrograms_tpu.ops.exact_percentile import ExactPercentileTr
 from configurable_spectrograms_tpu.ops.extrema_ops import HIST_BINS, batched_file_stats, hist_percentile
 from configurable_spectrograms_tpu.utils.logging import log_exception
 from configurable_spectrograms_tpu.utils.percentiles import round_extrema
+from configurable_spectrograms_tpu.utils.progress import atomic_write_json
 
 
 def extrema_overrides(
@@ -140,8 +141,7 @@ def compute_global_extrema(
 
     def _flush(force: bool = False) -> None:
         try:
-            with open(extrema_json_path, "w") as f:
-                json.dump(_ordered_with_cursor_first(state, cursor_key), f, indent=2)
+            atomic_write_json(extrema_json_path, _ordered_with_cursor_first(state, cursor_key))
         except OSError as exc:
             log_exception("[EXTREMA] Failed to save extrema JSON", exc, level="message")
 

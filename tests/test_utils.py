@@ -14,7 +14,12 @@ from configurable_spectrograms_tpu.utils.logging import (
     set_logfile_path,
 )
 from configurable_spectrograms_tpu.utils.percentiles import compute_percentile_bounds, round_extrema
-from configurable_spectrograms_tpu.utils.progress import ProgressStore, add_to_orbit_list, new_generic_progress
+from configurable_spectrograms_tpu.utils.progress import (
+    ProgressStore,
+    add_to_orbit_list,
+    atomic_write_json,
+    new_generic_progress,
+)
 
 
 def test_round_extrema():
@@ -92,6 +97,62 @@ def test_progress_store_none_path():
     store.mark_dirty()
     store.flush(force=True)  # no-op, no crash
     assert store["x"] == 2
+
+
+def test_atomic_write_json_roundtrip_and_no_litter(tmp_path):
+    path = tmp_path / "state.json"
+    atomic_write_json(str(path), {"a": 1, "b": [2, 3]})
+    assert json.loads(path.read_text()) == {"a": 1, "b": [2, 3]}
+    atomic_write_json(str(path), {"a": 2})
+    assert json.loads(path.read_text()) == {"a": 2}
+    # No temp files left behind on the success path.
+    assert [p.name for p in tmp_path.iterdir()] == ["state.json"]
+
+
+def test_atomic_write_json_failure_preserves_old_state(tmp_path, monkeypatch):
+    """A crash mid-serialize must leave the previous document intact.
+
+    The reference truncate-writes in place (reference batch_runner.py:133),
+    so the same failure there corrupts the resume file; this pins the
+    rebuilt store's stronger guarantee.
+    """
+    path = tmp_path / "state.json"
+    atomic_write_json(str(path), {"orbit": 41})
+
+    class Boom(RuntimeError):
+        pass
+
+    def exploding_dump(*a, **k):
+        raise Boom("disk full mid-serialize")
+
+    monkeypatch.setattr("configurable_spectrograms_tpu.utils.progress.json.dump", exploding_dump)
+    with pytest.raises(Boom):
+        atomic_write_json(str(path), {"orbit": 42})
+    monkeypatch.undo()
+    assert json.loads(path.read_text()) == {"orbit": 41}
+    assert [p.name for p in tmp_path.iterdir()] == ["state.json"]
+
+
+def test_progress_store_flush_failure_keeps_previous_file(tmp_path, monkeypatch):
+    path = tmp_path / "progress.json"
+    store = ProgressStore(str(path), flush_batch_size=1)
+    store.load({})
+    store["last_index"] = 1
+    store.mark_dirty()
+    assert json.loads(path.read_text())["last_index"] == 1
+
+    real_replace = __import__("os").replace
+
+    def failing_replace(src, dst):
+        raise OSError("simulated rename failure")
+
+    monkeypatch.setattr("configurable_spectrograms_tpu.utils.progress.os.replace", failing_replace)
+    store["last_index"] = 2
+    store.mark_dirty()  # flush swallows the OSError, logs, keeps going
+    monkeypatch.setattr("configurable_spectrograms_tpu.utils.progress.os.replace", real_replace)
+    assert json.loads(path.read_text())["last_index"] == 1
+    store.flush(force=True)
+    assert json.loads(path.read_text())["last_index"] == 2
 
 
 def test_add_to_orbit_list():
