@@ -41,6 +41,18 @@ _dataset_cache: dict[tuple, dict[str, np.ndarray]] = {}
 #: permanent error in the progress JSON).
 _dataset_cache_lock = threading.Lock()
 _dataset_cache_bytes = 0  # running total; maintained under the lock
+#: Single-flight registry: cache_key -> Event set by the thread decoding
+#: that file; concurrent missers wait instead of duplicating the decode.
+_dataset_inflight: dict[tuple, threading.Event] = {}
+#: Observability counters (maintained under the lock); read via
+#: :func:`dataset_cache_stats`, reset by tests.
+_dataset_cache_stats = {"hits": 0, "misses": 0, "waits": 0}
+
+
+def dataset_cache_stats() -> dict[str, int]:
+    """A snapshot of the dataset cache's hit/miss/single-flight-wait counts."""
+    with _dataset_cache_lock:
+        return dict(_dataset_cache_stats)
 #: Byte budget for cached datasets (FIFO eviction).  Sized so a batch
 #: driver's worker threads (4 workers x 4 instruments x ~13 MB synthetic /
 #: ~200 MB real cubes) don't thrash, without letting real-dimension
@@ -214,8 +226,11 @@ def load_fast_cdf_dataset(
     A small (path, mtime)-keyed cache serves repeat reads -- the per-orbit
     worker touches each file three times (reference
     fast/process_orbit.py:148-253) -- and the shared contiguous float32
-    cube lets the device batcher upload one copy per file.  Treat the
-    returned arrays as read-only.
+    cube lets the device batcher upload one copy per file.  Loads are
+    single-flight: when several batch workers miss on the same file at
+    once (an orbit's raw and given-extrema jobs run concurrently), one
+    thread decodes and the rest wait for its result instead of all paying
+    the ~40 ms decode.  Treat the returned arrays as read-only.
     """
     try:
         mtime = os.path.getmtime(cdf_path)
@@ -223,30 +238,37 @@ def load_fast_cdf_dataset(
         mtime = None
     cache_key = (cdf_path, mtime, tuple(variable_names))
     if mtime is not None:
-        with _dataset_cache_lock:
-            cached = _dataset_cache.get(cache_key)
-        if cached is not None:
-            return cached
+        while True:
+            with _dataset_cache_lock:
+                cached = _dataset_cache.get(cache_key)
+                if cached is not None:
+                    _dataset_cache_stats["hits"] += 1
+                    return cached
+                event = _dataset_inflight.get(cache_key)
+                if event is None:
+                    event = threading.Event()
+                    _dataset_inflight[cache_key] = event
+                    _dataset_cache_stats["misses"] += 1
+                    break  # this thread is the loader
+                _dataset_cache_stats["waits"] += 1
+            event.wait()
+            shared = getattr(event, "result", None)
+            if shared is not None:
+                return shared
+            # The loader failed (its exception propagates on its own
+            # thread); loop back so one waiter becomes the new loader.
+    else:
+        event = None
 
-    from configurable_spectrograms_tpu.utils.timing import active_stage
-
-    t_name, d_name, e_name, p_name = variable_names
-    with active_stage("cdf_decode"), CDF(cdf_path) as handle:
-        times = np.asarray(handle.varget(t_name))
-        data = np.asarray(handle.varget(d_name))
-        energy_raw = np.asarray(handle.varget(e_name))
-        pitch_raw = np.asarray(handle.varget(p_name))
-    energy = energy_raw[0, 0, :] if energy_raw.ndim == 3 else energy_raw
-    pitch_angle = pitch_raw[0, :, 0] if pitch_raw.ndim == 3 else pitch_raw
-    if data.shape[1] == len(energy) and data.shape[2] == len(pitch_angle):
-        data = np.transpose(data, (0, 2, 1))
-    result = {
-        "times": times,
-        "data": np.ascontiguousarray(data, dtype=np.float32),
-        "energy": energy,
-        "pitch_angle": pitch_angle,
-    }
-    if mtime is not None:
+    try:
+        result = _decode_fast_cdf(cdf_path, variable_names)
+    except BaseException:
+        if event is not None:
+            with _dataset_cache_lock:
+                _dataset_inflight.pop(cache_key, None)
+            event.set()
+        raise
+    if event is not None:
         entry_bytes = sum(a.nbytes for a in result.values())
         global _dataset_cache_bytes
         with _dataset_cache_lock:
@@ -259,4 +281,29 @@ def load_fast_cdf_dataset(
                     _dataset_cache_bytes -= sum(a.nbytes for a in evicted.values())
                 _dataset_cache[cache_key] = result
                 _dataset_cache_bytes += entry_bytes
+            _dataset_inflight.pop(cache_key, None)
+        event.result = result  # waiters get the arrays even when uncacheable
+        event.set()
     return result
+
+
+def _decode_fast_cdf(cdf_path: str, variable_names: tuple[str, ...]) -> dict[str, np.ndarray]:
+    """The uncached decode: CDF records -> analysis-ready float32 arrays."""
+    from configurable_spectrograms_tpu.utils.timing import active_stage
+
+    t_name, d_name, e_name, p_name = variable_names
+    with active_stage("cdf_decode"), CDF(cdf_path) as handle:
+        times = np.asarray(handle.varget(t_name))
+        data = np.asarray(handle.varget(d_name))
+        energy_raw = np.asarray(handle.varget(e_name))
+        pitch_raw = np.asarray(handle.varget(p_name))
+    energy = energy_raw[0, 0, :] if energy_raw.ndim == 3 else energy_raw
+    pitch_angle = pitch_raw[0, :, 0] if pitch_raw.ndim == 3 else pitch_raw
+    if data.shape[1] == len(energy) and data.shape[2] == len(pitch_angle):
+        data = np.transpose(data, (0, 2, 1))
+    return {
+        "times": times,
+        "data": np.ascontiguousarray(data, dtype=np.float32),
+        "energy": energy,
+        "pitch_angle": pitch_angle,
+    }

@@ -1,6 +1,9 @@
 """FAST mission layer: pitch-angle/instrument grids, extrema, batch driver."""
 
-from configurable_spectrograms_tpu.fast.batch_directory import FAST_plot_spectrograms_directory
+from configurable_spectrograms_tpu.fast.batch_directory import (
+    FAST_plot_spectrograms_directory,
+    FAST_plot_spectrograms_multi,
+)
 from configurable_spectrograms_tpu.fast.extrema import compute_global_extrema, extrema_overrides
 from configurable_spectrograms_tpu.fast.plotting import (
     FAST_plot_instrument_grid,
@@ -10,6 +13,7 @@ from configurable_spectrograms_tpu.fast.process_orbit import FAST_process_single
 
 __all__ = [
     "FAST_plot_spectrograms_directory",
+    "FAST_plot_spectrograms_multi",
     "compute_global_extrema",
     "extrema_overrides",
     "FAST_plot_instrument_grid",

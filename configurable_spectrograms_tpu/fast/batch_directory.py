@@ -176,6 +176,127 @@ def _install_interrupt_escalation(shutdown_flag: dict) -> None:
             log_exception("[WARN] Could not register signal handlers", exc, level="message")
 
 
+def _consume_result(
+    fut: concurrent.futures.Future,
+    orbit: int,
+    ledger: _ProgressLedger,
+    results: list[dict[str, Any]],
+    echo: bool,
+) -> None:
+    """Fold one completed orbit future into *results* and the ledger."""
+    try:
+        result = fut.result()
+    except Exception as exc:
+        log_exception(f"[BATCH] Orbit {orbit} generated an exception", exc, level="error")
+        result = {"orbit": orbit, "status": "error", "errors": [str(exc)]}
+        results.append(result)
+        # Exceptions that escaped the worker get an extra unknown_* key
+        # (reference fast/batch_directory.py:266-290).
+        if ledger.path is not None:
+            state = ledger.state()
+            state[ledger.cursor_key] = orbit
+            add_to_orbit_list(state, ledger.error_key, orbit)
+            reason = classify_error_reason(str(exc))
+            add_to_orbit_list(state, f"unknown_{ledger.y_scale}_{ledger.z_scale}_error-{reason}", orbit)
+            add_to_orbit_list(state, f"{ledger.y_scale}_{ledger.z_scale}_error-{reason}", orbit)
+            ledger.write(state)
+        return
+    results.append(result)
+    if echo:
+        from tqdm import tqdm
+
+        tqdm.write(f"[BATCH] Completed orbit {orbit}: {result.get('status')}")
+    ledger.record(orbit, result)
+
+
+def _run_job_pool(
+    jobs: list[tuple[tuple, int, Any]],
+    max_workers: int,
+    shutdown: dict,
+    consume,
+    bar_desc: str,
+    show_bar: bool,
+    on_drained=None,
+) -> None:
+    """Run ``FAST_process_single_orbit`` jobs on a thread pool.
+
+    *jobs* entries are ``(worker_args, orbit, context)``; *consume* is
+    called as ``consume(future, orbit, context)`` on the calling thread for
+    each completion (so ledger folding stays single-threaded).  Reproduces
+    the reference driver's responsive 0.2 s wait loop and interrupt
+    behavior (reference fast/batch_directory.py:336-433): on shutdown or
+    ``KeyboardInterrupt`` the pool is cancelled and ``KeyboardInterrupt``
+    propagates; *on_drained* (if given) runs after the wait loop but
+    before the shutdown re-raise, mirroring the driver's pre-raise
+    force-flush.
+    """
+    executor: concurrent.futures.Executor | None = None
+    # Optional device trace for the whole plotting pass: set CST_PROFILE_DIR
+    # to drop an XPlane trace viewable in TensorBoard/XProf (the reference's
+    # only observability was wall-clock [TIMING] lines, SURVEY.md section 5).
+    from configurable_spectrograms_tpu.utils.timing import device_trace
+
+    profile_dir = os.environ.get("CST_PROFILE_DIR")
+    try:
+        from configurable_spectrograms_tpu.render.figure import recommended_workers
+
+        executor = concurrent.futures.ThreadPoolExecutor(
+            max_workers=recommended_workers(max_workers)
+        )
+        future_meta: dict[concurrent.futures.Future, tuple[int, Any]] = {}
+        for args, orbit, ctx in jobs:
+            if shutdown["flag"]:
+                break
+            future_meta[executor.submit(FAST_process_single_orbit, *args)] = (orbit, ctx)
+        outstanding = set(future_meta)
+
+        bar = None
+        if show_bar:
+            from tqdm import tqdm
+
+            bar = tqdm(total=len(outstanding), desc=bar_desc, unit="orbit", leave=False)
+        try:
+            with device_trace(profile_dir):
+                while outstanding and not shutdown["flag"]:
+                    done, _ = concurrent.futures.wait(
+                        outstanding, timeout=0.2, return_when=concurrent.futures.FIRST_COMPLETED
+                    )
+                    for fut in done:
+                        outstanding.discard(fut)
+                        orbit, ctx = future_meta[fut]
+                        consume(fut, orbit, ctx)
+                        if bar is not None:
+                            bar.set_postfix(orbit=orbit)
+                            bar.update(1)
+        finally:
+            if bar is not None:
+                bar.close()
+
+        if on_drained is not None:
+            on_drained()
+
+        if shutdown["flag"]:
+            log_exception("[INTERRUPT] Shutdown requested; cancelling remaining futures.", level="message")
+            for fut in outstanding:
+                fut.cancel()
+            executor.shutdown(wait=False, cancel_futures=True)
+            raise KeyboardInterrupt
+    except KeyboardInterrupt as exc:
+        log_exception(
+            f"[INTERRUPT] KeyboardInterrupt caught. Shutting down workers... Exception: {exc}",
+            level="message",
+        )
+        if executor is not None:
+            executor.shutdown(wait=False, cancel_futures=True)
+        raise
+    finally:
+        if executor is not None:
+            try:
+                executor.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                pass
+
+
 def FAST_plot_spectrograms_directory(
     directory_path: str = FAST_CDF_DATA_FOLDER_PATH,
     output_base: str = FAST_OUTPUT_BASE,
@@ -272,104 +393,24 @@ def FAST_plot_spectrograms_directory(
             cusp_marker_kwargs,
         )
 
-    jobs: list[tuple] = []
+    jobs: list[tuple[tuple, int, Any]] = []
     for orbit in pending_orbits:
-        jobs.append(worker_args(orbit, None))
+        jobs.append((worker_args(orbit, None), orbit, None))
         if global_extrema is not None:
-            jobs.append(worker_args(orbit, global_extrema))
+            jobs.append((worker_args(orbit, global_extrema), orbit, None))
 
     results: list[dict[str, Any]] = []
     show_bar = bool(use_tqdm) if use_tqdm is not None else False
 
-    def consume(fut: concurrent.futures.Future, orbit: int) -> None:
-        try:
-            result = fut.result()
-        except Exception as exc:
-            log_exception(f"[BATCH] Orbit {orbit} generated an exception", exc, level="error")
-            result = {"orbit": orbit, "status": "error", "errors": [str(exc)]}
-            results.append(result)
-            # Exceptions that escaped the worker get an extra unknown_* key
-            # (reference fast/batch_directory.py:266-290).
-            if progress_json_path is not None:
-                state = ledger.state()
-                state[ledger.cursor_key] = orbit
-                add_to_orbit_list(state, ledger.error_key, orbit)
-                reason = classify_error_reason(str(exc))
-                add_to_orbit_list(state, f"unknown_{y_scale}_{z_scale}_error-{reason}", orbit)
-                add_to_orbit_list(state, f"{y_scale}_{z_scale}_error-{reason}", orbit)
-                ledger.write(state)
-            return
-        results.append(result)
-        if verbose and show_bar:
-            from tqdm import tqdm
-
-            tqdm.write(f"[BATCH] Completed orbit {orbit}: {result.get('status')}")
-        ledger.record(orbit, result)
-
-    executor: concurrent.futures.Executor | None = None
-    # Optional device trace for the whole plotting pass: set CST_PROFILE_DIR
-    # to drop an XPlane trace viewable in TensorBoard/XProf (the reference's
-    # only observability was wall-clock [TIMING] lines, SURVEY.md section 5).
-    from configurable_spectrograms_tpu.utils.timing import device_trace
-
-    profile_dir = os.environ.get("CST_PROFILE_DIR")
-    try:
-        from configurable_spectrograms_tpu.render.figure import recommended_workers
-
-        executor = concurrent.futures.ThreadPoolExecutor(
-            max_workers=recommended_workers(max_workers)
-        )
-        future_orbit: dict[concurrent.futures.Future, int] = {}
-        for args in jobs:
-            if shutdown["flag"]:
-                break
-            future_orbit[executor.submit(FAST_process_single_orbit, *args)] = args[0]
-        outstanding = set(future_orbit)
-
-        bar = None
-        if show_bar:
-            from tqdm import tqdm
-
-            bar = tqdm(total=len(outstanding), desc=f"Plotting - {y_scale} / {z_scale}",
-                       unit="orbit", leave=False)
-        try:
-            with device_trace(profile_dir):
-                while outstanding and not shutdown["flag"]:
-                    done, _ = concurrent.futures.wait(
-                        outstanding, timeout=0.2, return_when=concurrent.futures.FIRST_COMPLETED
-                    )
-                    for fut in done:
-                        outstanding.discard(fut)
-                        consume(fut, future_orbit[fut])
-                        if bar is not None:
-                            bar.set_postfix(orbit=future_orbit[fut])
-                            bar.update(1)
-        finally:
-            if bar is not None:
-                bar.close()
-
-        ledger.write(ledger.state(), force=True)
-
-        if shutdown["flag"]:
-            log_exception("[INTERRUPT] Shutdown requested; cancelling remaining futures.", level="message")
-            for fut in outstanding:
-                fut.cancel()
-            executor.shutdown(wait=False, cancel_futures=True)
-            raise KeyboardInterrupt
-    except KeyboardInterrupt as exc:
-        log_exception(
-            f"[INTERRUPT] KeyboardInterrupt caught. Shutting down workers... Exception: {exc}",
-            level="message",
-        )
-        if executor is not None:
-            executor.shutdown(wait=False, cancel_futures=True)
-        raise
-    finally:
-        if executor is not None:
-            try:
-                executor.shutdown(wait=False, cancel_futures=True)
-            except Exception:
-                pass
+    _run_job_pool(
+        jobs,
+        max_workers,
+        shutdown,
+        lambda fut, orbit, _ctx: _consume_result(fut, orbit, ledger, results, verbose and show_bar),
+        f"Plotting - {y_scale} / {z_scale}",
+        show_bar,
+        on_drained=lambda: ledger.write(ledger.state(), force=True),
+    )
 
     ledger.write(ledger.state(), force=True)
     flush_log_buffer(force=True)
@@ -377,6 +418,184 @@ def FAST_plot_spectrograms_directory(
     if retry_timeouts and not shutdown["flag"]:
         results = _retry_timeouts_once(results, orbit_map, worker_args, max_workers, ledger)
     return results
+
+
+def _normalize_combo(combo) -> tuple[str, str, str]:
+    """Accept ``(y, z, colormap)`` triples or ScaleCombo-like objects."""
+    if hasattr(combo, "y_scale"):
+        return (combo.y_scale, combo.z_scale, combo.colormap)
+    y_scale, z_scale, colormap = combo
+    return (str(y_scale), str(z_scale), str(colormap))
+
+
+def FAST_plot_spectrograms_multi(
+    directory_path: str = FAST_CDF_DATA_FOLDER_PATH,
+    combos: tuple = (
+        ("linear", "linear", "viridis"),
+        ("linear", "log", "cividis"),
+        ("log", "linear", "plasma"),
+        ("log", "log", "inferno"),
+    ),
+    output_base: str = FAST_OUTPUT_BASE,
+    zoom_duration_minutes: float = DEFAULT_ZOOM_WINDOW_MINUTES,
+    instrument_order: tuple[str, ...] = _INSTRUMENT_KEYS,
+    verbose: bool = True,
+    progress_json_path: str | None = FAST_PLOTTING_PROGRESS_JSON,
+    ignore_progress_json: bool = False,
+    use_tqdm: bool | None = None,
+    cusp_marker_style: str = "both",
+    cusp_marker_kwargs: dict | None = None,
+    max_workers: int = 4,
+    orbit_timeout_seconds: int | float = 60,
+    instrument_timeout_seconds: int | float = 30,
+    retry_timeouts: bool = True,
+    flush_batch_size: int = 10,
+    log_flush_batch_size: int | None = None,
+    max_processing_percentile: float | None = None,
+    override_plots: bool = True,
+    extrema_json_path: str | None = None,
+) -> list[dict[str, Any]]:
+    """Orbit-major scheduling of several scale combos over one directory.
+
+    Produces byte-identical outputs, progress keys, and resume semantics
+    to running :func:`FAST_plot_spectrograms_directory` once per combo
+    (the reference flagship's loop, reference
+    batch_multi_plot_FAST_spectrograms.py:88-103), but interleaves the
+    work orbit-major: every combo's raw/given jobs for an orbit run
+    adjacently, so a decoded CDF is reused by all of them while resident
+    (reuse distance = one orbit instead of the whole archive).  Combo-major
+    re-decodes the archive once per combo whenever it exceeds the dataset
+    cache budget (``CST_DATASET_CACHE_BYTES``); orbit-major decodes each
+    file once per run regardless of archive size — the host feeder keeps
+    the render path (and on the device backend, the chip) fed instead of
+    re-reading CDFs.
+
+    Per-combo progress cursors, error lists, and taxonomy keys fold into
+    ONE shared state for the progress JSON so interleaved completions from
+    different combos never clobber each other's keys; a run interrupted
+    under either scheduling resumes correctly under the other.  Returns
+    the per-orbit result dicts grouped in combo order (matching the
+    sequential loop's concatenation).
+    """
+    shutdown = {"flag": False}
+    _install_interrupt_escalation(shutdown)
+
+    normalized = [_normalize_combo(c) for c in combos]
+    filtered_orbits_dataframe = load_filtered_orbits()
+    configure_log_batch(log_flush_batch_size or flush_batch_size)
+
+    extrema_by_combo: list[dict | None] = []
+    for y_scale, z_scale, _cmap in normalized:
+        if max_processing_percentile is None:
+            extrema_by_combo.append(None)
+            continue
+        extrema_kwargs = {} if extrema_json_path is None else {"extrema_json_path": extrema_json_path}
+        extrema_by_combo.append(
+            compute_global_extrema(
+                directory_path,
+                y_scale,
+                z_scale,
+                instrument_order,
+                compute_mins=False,
+                **extrema_kwargs,
+                max_percentile=float(max_processing_percentile),
+                log_floor_cutoff=0.1,
+                log_floor_value=-1.0,
+                flush_batch_size=flush_batch_size,
+            )
+        )
+
+    orbit_map = discover_orbit_files(directory_path, instrument_order)
+    orbits_sorted = sorted(orbit_map)
+
+    # One shared state dict behind every combo's ledger: interleaved
+    # completions write the same progress file, and independent disk-seeded
+    # snapshots would let the last flush clobber the other combos' updates.
+    ledgers: list[_ProgressLedger] = []
+    shared_state: dict[str, Any] | None = None
+    for y_scale, z_scale, _cmap in normalized:
+        ledger = _ProgressLedger(progress_json_path, y_scale, z_scale, flush_batch_size)
+        if shared_state is None:
+            shared_state = ledger.state()
+        else:
+            ledger._state = shared_state
+        ledgers.append(ledger)
+
+    pending_by_combo: list[set[int]] = []
+    for ledger in ledgers:
+        last_done, error_orbits = ledger.load_resume_state(ignore_progress_json)
+        if last_done is not None:
+            pending = {o for o in orbits_sorted if o > last_done and o not in error_orbits}
+        else:
+            pending = {o for o in orbits_sorted if o not in error_orbits}
+        log_exception(
+            f"[RESUME] {ledger.y_scale}/{ledger.z_scale}: {len(orbits_sorted) - len(pending)} "
+            f"orbits already done, {len(pending)} pending, "
+            f"{len(error_orbits)} error orbits skipped.",
+            level="message",
+        )
+        pending_by_combo.append(pending)
+
+    def worker_args(orbit: int, combo_index: int, extrema: dict | None) -> tuple:
+        y_scale, z_scale, colormap = normalized[combo_index]
+        return (
+            orbit,
+            orbit_map[orbit],
+            filtered_orbits_dataframe,
+            zoom_duration_minutes,
+            y_scale,
+            z_scale,
+            instrument_order,
+            colormap,
+            output_base,
+            orbit_timeout_seconds,
+            instrument_timeout_seconds,
+            extrema,
+            override_plots,
+            cusp_marker_style,
+            cusp_marker_kwargs,
+        )
+
+    jobs: list[tuple[tuple, int, Any]] = []
+    for orbit in orbits_sorted:
+        for i in range(len(normalized)):
+            if orbit not in pending_by_combo[i]:
+                continue
+            jobs.append((worker_args(orbit, i, None), orbit, i))
+            if extrema_by_combo[i] is not None:
+                jobs.append((worker_args(orbit, i, extrema_by_combo[i]), orbit, i))
+
+    results_by_combo: list[list[dict[str, Any]]] = [[] for _ in normalized]
+    show_bar = bool(use_tqdm) if use_tqdm is not None else False
+    echo = verbose and show_bar
+
+    def force_flush() -> None:
+        if ledgers and shared_state is not None:
+            ledgers[0].write(shared_state, force=True)
+
+    _run_job_pool(
+        jobs,
+        max_workers,
+        shutdown,
+        lambda fut, orbit, i: _consume_result(fut, orbit, ledgers[i], results_by_combo[i], echo),
+        f"Plotting - orbit-major ({len(normalized)} combos)",
+        show_bar,
+        on_drained=force_flush,
+    )
+
+    force_flush()
+    flush_log_buffer(force=True)
+
+    if retry_timeouts and not shutdown["flag"]:
+        for i, ledger in enumerate(ledgers):
+            results_by_combo[i] = _retry_timeouts_once(
+                results_by_combo[i],
+                orbit_map,
+                lambda orbit, extrema, i=i: worker_args(orbit, i, extrema),
+                max_workers,
+                ledger,
+            )
+    return [result for combo_results in results_by_combo for result in combo_results]
 
 
 def _retry_timeouts_once(

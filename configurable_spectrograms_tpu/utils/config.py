@@ -69,6 +69,12 @@ class FastBatchConfig:
     max_processing_percentile: float | None = 99
     override_plots: bool = False
     verbose: bool = False
+    #: "orbit-major" (default) interleaves every combo's jobs per orbit so a
+    #: decoded CDF serves all combos while resident — combo-major re-decodes
+    #: the archive once per combo whenever it exceeds the dataset cache
+    #: budget.  "combo-major" reproduces the reference flagship's loop shape
+    #: (outputs and progress state are identical either way).
+    schedule: str = "orbit-major"
 
     def replace(self, **changes: Any) -> "FastBatchConfig":
         return dataclasses.replace(self, **changes)
@@ -76,7 +82,34 @@ class FastBatchConfig:
     def run(self) -> list[dict[str, Any]]:
         from configurable_spectrograms_tpu.fast.batch_directory import (
             FAST_plot_spectrograms_directory,
+            FAST_plot_spectrograms_multi,
         )
+
+        if self.schedule not in ("orbit-major", "combo-major"):
+            raise ValueError(
+                f"schedule must be 'orbit-major' or 'combo-major', got {self.schedule!r}"
+            )
+        if self.schedule == "orbit-major" and len(self.combos) > 1:
+            return FAST_plot_spectrograms_multi(
+                self.directory_path,
+                combos=self.combos,
+                output_base=self.output_base,
+                zoom_duration_minutes=self.zoom_duration_minutes,
+                instrument_order=self.instrument_order,
+                verbose=self.verbose,
+                progress_json_path=self.progress_json_path,
+                ignore_progress_json=self.ignore_progress_json,
+                use_tqdm=self.use_tqdm,
+                cusp_marker_style=self.cusp_marker_style,
+                cusp_marker_kwargs=self.cusp_marker_kwargs,
+                max_workers=self.max_workers,
+                orbit_timeout_seconds=self.orbit_timeout_seconds,
+                instrument_timeout_seconds=self.instrument_timeout_seconds,
+                retry_timeouts=self.retry_timeouts,
+                flush_batch_size=self.flush_batch_size,
+                max_processing_percentile=self.max_processing_percentile,
+                override_plots=self.override_plots,
+            )
 
         results: list[dict[str, Any]] = []
         for combo in self.combos:

@@ -185,6 +185,109 @@ def test_oversized_dataset_load_leaves_cache_intact(tmp_path, monkeypatch):
     assert len(cdf_utils._dataset_cache) == n_before
 
 
+def test_dataset_load_single_flight(tmp_path, monkeypatch):
+    """Concurrent misses on one file decode it once; waiters share the arrays."""
+    import threading
+
+    from configurable_spectrograms_tpu.data import cdf_utils
+    from configurable_spectrograms_tpu.data.synthetic import synth_fast_cdf
+
+    monkeypatch.setattr(cdf_utils, "_dataset_cache", {})
+    monkeypatch.setattr(cdf_utils, "_dataset_cache_bytes", 0)
+    monkeypatch.setattr(cdf_utils, "_dataset_inflight", {})
+    monkeypatch.setattr(cdf_utils, "_dataset_cache_stats", {"hits": 0, "misses": 0, "waits": 0})
+    path = str(tmp_path / "one.cdf")
+    synth_fast_cdf(path, 1, "ees", n_time=64, n_angle=8, n_energy=16)
+
+    real_decode = cdf_utils._decode_fast_cdf
+    barrier = threading.Barrier(4)
+    decode_calls = []
+
+    def slow_decode(p, names):
+        decode_calls.append(p)
+        return real_decode(p, names)
+
+    monkeypatch.setattr(cdf_utils, "_decode_fast_cdf", slow_decode)
+
+    results = [None] * 4
+
+    def load(i):
+        barrier.wait()
+        results[i] = cdf_utils.load_fast_cdf_dataset(path)
+
+    threads = [threading.Thread(target=load, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(decode_calls) == 1
+    stats = cdf_utils.dataset_cache_stats()
+    assert stats["misses"] == 1
+    assert stats["waits"] + stats["hits"] == 3
+    # Everyone shares the loader's arrays (no duplicate cubes in memory).
+    assert all(r["data"] is results[0]["data"] for r in results[1:])
+
+
+def test_dataset_load_single_flight_loader_failure_recovers(tmp_path, monkeypatch):
+    """If the decoding thread dies, a waiter takes over instead of hanging."""
+    import threading
+
+    from configurable_spectrograms_tpu.data import cdf_utils
+    from configurable_spectrograms_tpu.data.synthetic import synth_fast_cdf
+
+    monkeypatch.setattr(cdf_utils, "_dataset_cache", {})
+    monkeypatch.setattr(cdf_utils, "_dataset_cache_bytes", 0)
+    monkeypatch.setattr(cdf_utils, "_dataset_inflight", {})
+    monkeypatch.setattr(cdf_utils, "_dataset_cache_stats", {"hits": 0, "misses": 0, "waits": 0})
+    path = str(tmp_path / "one.cdf")
+    synth_fast_cdf(path, 1, "ees", n_time=32, n_angle=8, n_energy=16)
+
+    real_decode = cdf_utils._decode_fast_cdf
+    started = threading.Event()
+    release = threading.Event()
+    calls = []
+
+    def decode(p, names):
+        calls.append(p)
+        if len(calls) == 1:
+            started.set()
+            release.wait(timeout=10)
+            raise OSError("simulated decode failure")
+        return real_decode(p, names)
+
+    monkeypatch.setattr(cdf_utils, "_decode_fast_cdf", decode)
+
+    outcome: dict[str, object] = {}
+
+    def first():
+        try:
+            cdf_utils.load_fast_cdf_dataset(path)
+        except OSError as exc:
+            outcome["first"] = exc
+
+    def second():
+        started.wait(timeout=10)
+        # Now guaranteed to join as a waiter on the first thread's event.
+        outcome["second"] = cdf_utils.load_fast_cdf_dataset(path)
+
+    t1 = threading.Thread(target=first)
+    t2 = threading.Thread(target=second)
+    t1.start()
+    started.wait(timeout=10)
+    t2.start()
+    import time
+
+    time.sleep(0.2)  # let the second thread park on the in-flight event
+    release.set()
+    t1.join(timeout=10)
+    t2.join(timeout=10)
+    assert not t1.is_alive() and not t2.is_alive()
+    assert isinstance(outcome["first"], OSError)
+    assert isinstance(outcome["second"], dict) and "data" in outcome["second"]
+    assert len(calls) == 2
+    assert cdf_utils._dataset_inflight == {}
+
+
 def test_synth_nondefault_instrument_varies_per_orbit(tmp_path):
     """esv (beyond the default four) must get distinct data per orbit and
     a hash()-free default seed (reproducible across processes)."""
