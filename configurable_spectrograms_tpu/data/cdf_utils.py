@@ -260,15 +260,11 @@ def load_fast_cdf_dataset(
     else:
         event = None
 
+    if event is None:
+        return _decode_fast_cdf(cdf_path, variable_names)
     try:
         result = _decode_fast_cdf(cdf_path, variable_names)
-    except BaseException:
-        if event is not None:
-            with _dataset_cache_lock:
-                _dataset_inflight.pop(cache_key, None)
-            event.set()
-        raise
-    if event is not None:
+        event.result = result  # waiters get the arrays even when uncacheable
         entry_bytes = sum(a.nbytes for a in result.values())
         global _dataset_cache_bytes
         with _dataset_cache_lock:
@@ -281,10 +277,15 @@ def load_fast_cdf_dataset(
                     _dataset_cache_bytes -= sum(a.nbytes for a in evicted.values())
                 _dataset_cache[cache_key] = result
                 _dataset_cache_bytes += entry_bytes
+        return result
+    finally:
+        # The unregister + wake MUST run on every exit -- including an
+        # async KeyboardInterrupt or MemoryError raised between the decode
+        # and the cache insert -- or the stale never-set Event would make
+        # every future load of this file block forever in event.wait().
+        with _dataset_cache_lock:
             _dataset_inflight.pop(cache_key, None)
-        event.result = result  # waiters get the arrays even when uncacheable
         event.set()
-    return result
 
 
 def _decode_fast_cdf(cdf_path: str, variable_names: tuple[str, ...]) -> dict[str, np.ndarray]:

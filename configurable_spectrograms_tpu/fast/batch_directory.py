@@ -176,6 +176,67 @@ def _install_interrupt_escalation(shutdown_flag: dict) -> None:
             log_exception("[WARN] Could not register signal handlers", exc, level="message")
 
 
+def _extrema_for_combo(
+    directory_path: str,
+    y_scale: str,
+    z_scale: str,
+    instrument_order: tuple[str, ...],
+    max_processing_percentile: float | None,
+    extrema_json_path: str | None,
+    flush_batch_size: int,
+) -> dict | None:
+    """The optional global-extrema pre-pass for one scale combo.
+
+    One shared implementation for both drivers so the extrema arguments
+    (including the reference's fixed log floors, reference
+    fast/batch_directory.py:159-171) can never drift between them.
+    """
+    if max_processing_percentile is None:
+        return None
+    extrema_kwargs = {} if extrema_json_path is None else {"extrema_json_path": extrema_json_path}
+    return compute_global_extrema(
+        directory_path,
+        y_scale,
+        z_scale,
+        instrument_order,
+        compute_mins=False,
+        **extrema_kwargs,
+        max_percentile=float(max_processing_percentile),
+        log_floor_cutoff=0.1,
+        log_floor_value=-1.0,
+        flush_batch_size=flush_batch_size,
+    )
+
+
+def _pending_orbits(
+    ledger: _ProgressLedger,
+    orbits_sorted: list[int],
+    ignore_progress_json: bool,
+    label: str = "",
+) -> list[int]:
+    """Orbits still to plot for *ledger*'s combo, honoring cursor + errors.
+
+    The skip rule (strictly past the cursor, minus recorded error orbits)
+    is shared by both drivers — reference fast/batch_directory.py:177-213.
+    """
+    last_done, error_orbits = ledger.load_resume_state(ignore_progress_json)
+    if last_done is not None:
+        pending = [o for o in orbits_sorted if o > last_done and o not in error_orbits]
+        log_exception(
+            f"[RESUME] {label}Skipping {len(orbits_sorted) - len(pending)} orbits "
+            f"(up to orbit {last_done}). {len(error_orbits)} error orbits will also be skipped.",
+            level="message",
+        )
+    else:
+        pending = [o for o in orbits_sorted if o not in error_orbits]
+        log_exception(
+            f"[RESUME] {label}No previous progress found. Starting from the first orbit. "
+            f"{len(error_orbits)} error orbits will be skipped if present.",
+            level="message",
+        )
+    return pending
+
+
 def _consume_result(
     fut: concurrent.futures.Future,
     orbit: int,
@@ -338,41 +399,20 @@ def FAST_plot_spectrograms_directory(
     filtered_orbits_dataframe = load_filtered_orbits()
     configure_log_batch(log_flush_batch_size or flush_batch_size)
 
-    global_extrema = None
-    if max_processing_percentile is not None:
-        extrema_kwargs = {} if extrema_json_path is None else {"extrema_json_path": extrema_json_path}
-        global_extrema = compute_global_extrema(
-            directory_path,
-            y_scale,
-            z_scale,
-            instrument_order,
-            compute_mins=False,
-            **extrema_kwargs,
-            max_percentile=float(max_processing_percentile),
-            log_floor_cutoff=0.1,
-            log_floor_value=-1.0,
-            flush_batch_size=flush_batch_size,
-        )
+    global_extrema = _extrema_for_combo(
+        directory_path,
+        y_scale,
+        z_scale,
+        instrument_order,
+        max_processing_percentile,
+        extrema_json_path,
+        flush_batch_size,
+    )
 
     orbit_map = discover_orbit_files(directory_path, instrument_order)
     orbits_sorted = sorted(orbit_map)
     ledger = _ProgressLedger(progress_json_path, y_scale, z_scale, flush_batch_size)
-    last_done, error_orbits = ledger.load_resume_state(ignore_progress_json)
-
-    if last_done is not None:
-        pending_orbits = [o for o in orbits_sorted if o > last_done and o not in error_orbits]
-        log_exception(
-            f"[RESUME] Skipping {len(orbits_sorted) - len(pending_orbits)} orbits "
-            f"(up to orbit {last_done}). {len(error_orbits)} error orbits will also be skipped.",
-            level="message",
-        )
-    else:
-        pending_orbits = [o for o in orbits_sorted if o not in error_orbits]
-        log_exception(
-            f"[RESUME] No previous progress found. Starting from the first orbit. "
-            f"{len(error_orbits)} error orbits will be skipped if present.",
-            level="message",
-        )
+    pending_orbits = _pending_orbits(ledger, orbits_sorted, ignore_progress_json)
 
     def worker_args(orbit: int, extrema: dict | None) -> tuple:
         return (
@@ -484,26 +524,18 @@ def FAST_plot_spectrograms_multi(
     filtered_orbits_dataframe = load_filtered_orbits()
     configure_log_batch(log_flush_batch_size or flush_batch_size)
 
-    extrema_by_combo: list[dict | None] = []
-    for y_scale, z_scale, _cmap in normalized:
-        if max_processing_percentile is None:
-            extrema_by_combo.append(None)
-            continue
-        extrema_kwargs = {} if extrema_json_path is None else {"extrema_json_path": extrema_json_path}
-        extrema_by_combo.append(
-            compute_global_extrema(
-                directory_path,
-                y_scale,
-                z_scale,
-                instrument_order,
-                compute_mins=False,
-                **extrema_kwargs,
-                max_percentile=float(max_processing_percentile),
-                log_floor_cutoff=0.1,
-                log_floor_value=-1.0,
-                flush_batch_size=flush_batch_size,
-            )
+    extrema_by_combo = [
+        _extrema_for_combo(
+            directory_path,
+            y_scale,
+            z_scale,
+            instrument_order,
+            max_processing_percentile,
+            extrema_json_path,
+            flush_batch_size,
         )
+        for y_scale, z_scale, _cmap in normalized
+    ]
 
     orbit_map = discover_orbit_files(directory_path, instrument_order)
     orbits_sorted = sorted(orbit_map)
@@ -521,20 +553,17 @@ def FAST_plot_spectrograms_multi(
             ledger._state = shared_state
         ledgers.append(ledger)
 
-    pending_by_combo: list[set[int]] = []
-    for ledger in ledgers:
-        last_done, error_orbits = ledger.load_resume_state(ignore_progress_json)
-        if last_done is not None:
-            pending = {o for o in orbits_sorted if o > last_done and o not in error_orbits}
-        else:
-            pending = {o for o in orbits_sorted if o not in error_orbits}
-        log_exception(
-            f"[RESUME] {ledger.y_scale}/{ledger.z_scale}: {len(orbits_sorted) - len(pending)} "
-            f"orbits already done, {len(pending)} pending, "
-            f"{len(error_orbits)} error orbits skipped.",
-            level="message",
+    pending_by_combo: list[set[int]] = [
+        set(
+            _pending_orbits(
+                ledger,
+                orbits_sorted,
+                ignore_progress_json,
+                label=f"{ledger.y_scale}/{ledger.z_scale}: ",
+            )
         )
-        pending_by_combo.append(pending)
+        for ledger in ledgers
+    ]
 
     def worker_args(orbit: int, combo_index: int, extrema: dict | None) -> tuple:
         y_scale, z_scale, colormap = normalized[combo_index]
