@@ -8,6 +8,8 @@ extrema pre-pass, and existing plots skipped
 (reference batch_multi_plot_FAST_spectrograms.py:58-112).
 """
 
+import os
+
 from configurable_spectrograms_tpu.cli import run_cli
 from configurable_spectrograms_tpu.data.orbit_discovery import extract_orbit_and_instrument
 from configurable_spectrograms_tpu.fast.batch_directory import FAST_plot_spectrograms_directory
@@ -67,8 +69,12 @@ def main() -> None:
     propagates out of the driver).
     """
     set_logfile_path(get_logfile_path(FAST_LOGFILE_PREFIX, FAST_LOGFILE_DATETIME_MARKER_PATH))
+    # The reference CLI is flagless (reference
+    # batch_multi_plot_FAST_spectrograms.py:79-103), so the scheduling
+    # choice rides an env knob instead of a new argument.
+    schedule = os.environ.get("CST_BATCH_SCHEDULE", "orbit-major")
     try:
-        FastBatchConfig().run()
+        FastBatchConfig(schedule=schedule).run()
     except KeyboardInterrupt:
         log_exception("[INTERRUPT] Batch plotting aborted by user.", level="message")
         raise

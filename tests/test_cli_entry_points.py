@@ -140,6 +140,38 @@ def test_batch_cli_runs_all_scale_combos(tmp_path, synth_archive, monkeypatch):
     assert (tmp_path / "FAST_calculated_extrema.json").exists()
 
 
+def test_batch_cli_schedule_env_knob(monkeypatch, tmp_path):
+    """``CST_BATCH_SCHEDULE`` selects the multi-combo schedule for the
+    flagless flagship CLI (default orbit-major; ``combo-major`` restores
+    the reference's loop shape, reference
+    batch_multi_plot_FAST_spectrograms.py:79-103)."""
+    import batch_multi_plot_FAST_spectrograms as cli
+
+    monkeypatch.chdir(tmp_path)
+    captured = {}
+
+    class _Cfg:
+        def __init__(self, **kw):
+            captured.update(kw)
+
+        def run(self):
+            return []
+
+    monkeypatch.setattr(cli, "FastBatchConfig", _Cfg)
+    try:
+        monkeypatch.delenv("CST_BATCH_SCHEDULE", raising=False)
+        cli.main()
+        assert captured["schedule"] == "orbit-major"
+        monkeypatch.setenv("CST_BATCH_SCHEDULE", "combo-major")
+        cli.main()
+        assert captured["schedule"] == "combo-major"
+    finally:
+        from configurable_spectrograms_tpu.utils.logging import flush_log_buffer, set_logfile_path
+
+        flush_log_buffer()
+        set_logfile_path(None)
+
+
 def test_run_cli_prints_systemexit_message(tmp_path):
     """sys.exit("message") semantics survive run_cli's os._exit path: the
     message reaches stderr and the exit code maps to 1."""
