@@ -72,7 +72,7 @@ def main() -> None:
     # The reference CLI is flagless (reference
     # batch_multi_plot_FAST_spectrograms.py:79-103), so the scheduling
     # choice rides an env knob instead of a new argument.
-    schedule = os.environ.get("CST_BATCH_SCHEDULE", "orbit-major")
+    schedule = os.environ.get("CST_BATCH_SCHEDULE") or "orbit-major"
     try:
         FastBatchConfig(schedule=schedule).run()
     except KeyboardInterrupt:

@@ -237,34 +237,40 @@ def load_fast_cdf_dataset(
     except OSError:
         mtime = None
     cache_key = (cdf_path, mtime, tuple(variable_names))
-    if mtime is not None:
-        while True:
-            with _dataset_cache_lock:
-                cached = _dataset_cache.get(cache_key)
-                if cached is not None:
-                    _dataset_cache_stats["hits"] += 1
-                    return cached
-                event = _dataset_inflight.get(cache_key)
-                if event is None:
-                    event = threading.Event()
-                    _dataset_inflight[cache_key] = event
-                    _dataset_cache_stats["misses"] += 1
-                    break  # this thread is the loader
-                _dataset_cache_stats["waits"] += 1
-            event.wait()
-            shared = getattr(event, "result", None)
-            if shared is not None:
-                return shared
-            # The loader failed (its exception propagates on its own
-            # thread); loop back so one waiter becomes the new loader.
-    else:
-        event = None
-
-    if event is None:
-        return _decode_fast_cdf(cdf_path, variable_names)
+    my_event = None
     try:
+        if mtime is not None:
+            while True:
+                with _dataset_cache_lock:
+                    cached = _dataset_cache.get(cache_key)
+                    if cached is not None:
+                        _dataset_cache_stats["hits"] += 1
+                        return cached
+                    other = _dataset_inflight.get(cache_key)
+                    if other is None:
+                        # Registration happens inside this function's
+                        # try so the finally below unregisters + wakes on
+                        # EVERY exit -- including an async
+                        # KeyboardInterrupt or MemoryError raised before
+                        # the decode even starts -- or the stale
+                        # never-set Event would make every future load of
+                        # this file block forever in event.wait().
+                        my_event = threading.Event()
+                        _dataset_inflight[cache_key] = my_event
+                        _dataset_cache_stats["misses"] += 1
+                        break  # this thread is the loader
+                    _dataset_cache_stats["waits"] += 1
+                other.wait()
+                shared = getattr(other, "result", None)
+                if shared is not None:
+                    return shared
+                # The loader failed (its exception propagates on its own
+                # thread); loop back so one waiter becomes the new loader.
+
         result = _decode_fast_cdf(cdf_path, variable_names)
-        event.result = result  # waiters get the arrays even when uncacheable
+        if my_event is None:
+            return result  # mtime unavailable: uncacheable, no waiters
+        my_event.result = result  # waiters get the arrays even when uncacheable
         entry_bytes = sum(a.nbytes for a in result.values())
         global _dataset_cache_bytes
         with _dataset_cache_lock:
@@ -279,13 +285,15 @@ def load_fast_cdf_dataset(
                 _dataset_cache_bytes += entry_bytes
         return result
     finally:
-        # The unregister + wake MUST run on every exit -- including an
-        # async KeyboardInterrupt or MemoryError raised between the decode
-        # and the cache insert -- or the stale never-set Event would make
-        # every future load of this file block forever in event.wait().
-        with _dataset_cache_lock:
-            _dataset_inflight.pop(cache_key, None)
-        event.set()
+        if my_event is not None:
+            try:
+                with _dataset_cache_lock:
+                    _dataset_inflight.pop(cache_key, None)
+            finally:
+                # set() runs even if an async exception lands during the
+                # pop, so waiters already parked on the popped event
+                # still wake (and retry as loaders on a None result).
+                my_event.set()
 
 
 def _decode_fast_cdf(cdf_path: str, variable_names: tuple[str, ...]) -> dict[str, np.ndarray]:

@@ -452,7 +452,6 @@ def FAST_plot_spectrograms_directory(
         on_drained=lambda: ledger.write(ledger.state(), force=True),
     )
 
-    ledger.write(ledger.state(), force=True)
     flush_log_buffer(force=True)
 
     if retry_timeouts and not shutdown["flag"]:
@@ -506,9 +505,13 @@ def FAST_plot_spectrograms_multi(
     (reuse distance = one orbit instead of the whole archive).  Combo-major
     re-decodes the archive once per combo whenever it exceeds the dataset
     cache budget (``CST_DATASET_CACHE_BYTES``); orbit-major decodes each
-    file once per run regardless of archive size — the host feeder keeps
-    the render path (and on the device backend, the chip) fed instead of
-    re-reading CDFs.
+    file once per plotting pass regardless of archive size — the host
+    feeder keeps the render path (and on the device backend, the chip)
+    fed instead of re-reading CDFs.  (The extrema pre-pass, when
+    ``max_processing_percentile`` is set, makes its own scan of the
+    archive up front — one decode sweep for the linear/linear stats the
+    log combos derive from — so a cold cache sees at most two decode
+    sweeps per run, never one per combo.)
 
     Per-combo progress cursors, error lists, and taxonomy keys fold into
     ONE shared state for the progress JSON so interleaved completions from
@@ -612,7 +615,6 @@ def FAST_plot_spectrograms_multi(
         on_drained=force_flush,
     )
 
-    force_flush()
     flush_log_buffer(force=True)
 
     if retry_timeouts and not shutdown["flag"]:
