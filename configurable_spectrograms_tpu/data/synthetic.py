@@ -8,7 +8,9 @@ structurally-faithful FAST ESA L2 instrument files:
   with the per-bin energies broadcast across time/angle, ``pitch_angle``
   (T, A, E) likewise -- matching the layout documented in the reference's
   ``FAST CDF variables.txt`` (angle dim 32 or 64, energy dim 48 or 96,
-  time dim varying per orbit) and consumed by ``load_fast_cdf_dataset``.
+  time dim varying per orbit; shipped verbatim at the repo root alongside
+  ``FAST_Cusp_Indices.csv`` -- it is mission data, like the cusp CSV) and
+  consumed by ``load_fast_cdf_dataset``.
 * descending energy bins (FAST ESA sweeps high->low), NaN fill regions,
   and a cusp-like enhancement so percentile color bounds are exercised.
 * FAST CDAWeb-style file names
