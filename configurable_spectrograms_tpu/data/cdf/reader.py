@@ -17,7 +17,6 @@ file's encoding field.
 
 from __future__ import annotations
 
-import gzip
 import struct
 from dataclasses import dataclass, field
 from typing import Any

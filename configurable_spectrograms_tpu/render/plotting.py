@@ -22,7 +22,7 @@ from configurable_spectrograms_tpu.constants import (
     PLOT_FIGURE_HEIGHT_INCHES,
     PLOT_FIGURE_WIDTH_INCHES,
 )
-from configurable_spectrograms_tpu.render.figure import (  # Axes re-exported: make_spectrogram returns one
+from configurable_spectrograms_tpu.render.figure import (  # noqa: F401 - Axes re-exported: make_spectrogram returns one
     AXIS_LABEL_PT,
     Axes,
     PanelData,

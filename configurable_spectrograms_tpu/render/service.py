@@ -73,7 +73,7 @@ class RenderCoalescer:
             threading.Thread(target=self._run, daemon=True, name="render-coalescer").start()
 
     def render(self, panels: list, tile_h: int, tile_w: int) -> list[dict]:
-        from configurable_spectrograms_tpu.render.figure import device_render_panels
+        from configurable_spectrograms_tpu.render.dispatch import device_render_panels
 
         if os.environ.get("CST_RENDER_COALESCE", "1") == "0" or not panels:
             return device_render_panels(panels, tile_h, tile_w)
@@ -118,7 +118,7 @@ class RenderCoalescer:
         threading.Thread(target=_drain, daemon=True, name="render-drain").start()
 
     def _run(self) -> None:
-        from configurable_spectrograms_tpu.render.figure import enqueue_render_panels
+        from configurable_spectrograms_tpu.render.dispatch import enqueue_render_panels
 
         batch: list[_Request] = []
         try:

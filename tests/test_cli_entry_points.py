@@ -10,7 +10,6 @@ import os
 import sys
 
 import numpy as np
-import pytest
 
 
 def _run_main(monkeypatch, module, argv):

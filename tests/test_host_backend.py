@@ -63,7 +63,7 @@ def test_host_quantize_matches_oracle(rng, y_scale, z_scale):
 def test_host_backend_full_figure(monkeypatch, rng, tmp_path):
     """CST_RENDER_BACKEND=host renders a full figure identical in structure."""
     from configurable_spectrograms_tpu.data.synthetic import synth_instrument_arrays
-    from configurable_spectrograms_tpu.render import figure as figure_mod
+    from configurable_spectrograms_tpu.render import dispatch as figure_mod
     from configurable_spectrograms_tpu.render.plotting import generic_plot_multirow_optional_zoom
 
     a = synth_instrument_arrays(rng, n_time=80, n_angle=8, n_energy=16)
@@ -93,7 +93,7 @@ def test_auto_backend_calibration_flip(monkeypatch, rng):
     import time
 
     from configurable_spectrograms_tpu.data.synthetic import synth_instrument_arrays
-    from configurable_spectrograms_tpu.render import figure as figure_mod
+    from configurable_spectrograms_tpu.render import dispatch as figure_mod
     from configurable_spectrograms_tpu.render.plotting import generic_plot_multirow_optional_zoom
 
     a = synth_instrument_arrays(rng, n_time=60, n_angle=6, n_energy=16)

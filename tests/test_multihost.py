@@ -14,7 +14,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
 
 _WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -15,7 +15,7 @@ import pytest
 jax = pytest.importorskip("jax")
 
 from configurable_spectrograms_tpu.ops.extrema_ops import batched_file_stats  # noqa: E402
-from configurable_spectrograms_tpu.render import figure  # noqa: E402
+from configurable_spectrograms_tpu.render import dispatch as figure  # noqa: E402
 from configurable_spectrograms_tpu.render.figure import PanelData, device_render_panels  # noqa: E402
 from configurable_spectrograms_tpu.render.tile import TimeWindow  # noqa: E402
 

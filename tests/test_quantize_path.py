@@ -117,7 +117,7 @@ def test_device_cube_cache_reuse_and_eviction(monkeypatch):
 
     import numpy as np
 
-    from configurable_spectrograms_tpu.render import figure as figure_mod
+    from configurable_spectrograms_tpu.render import dispatch as figure_mod
 
     figure_mod._DEVICE_CUBE_CACHE.clear()
 

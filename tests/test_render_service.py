@@ -110,7 +110,7 @@ def test_multi_bucket_readbacks_overlap(rng, monkeypatch):
     item 1: pipelined dispatch)."""
     import time
 
-    from configurable_spectrograms_tpu.render import figure as figure_mod
+    from configurable_spectrograms_tpu.render import dispatch as figure_mod
     from configurable_spectrograms_tpu.render import link as link_mod
 
     # The artificial delay would otherwise trip the one-shot host/device
@@ -147,7 +147,7 @@ def test_multi_bucket_readbacks_overlap(rng, monkeypatch):
 def test_bucket_readback_error_propagates(rng, monkeypatch):
     """A real exception (not a hang) inside one bucket's readback must fail
     the render call rather than silently dropping panels."""
-    from configurable_spectrograms_tpu.render import figure as figure_mod
+    from configurable_spectrograms_tpu.render import dispatch as figure_mod
     from configurable_spectrograms_tpu.render import link as link_mod
 
     monkeypatch.setitem(link_mod._BACKEND, "mode", "auto")
@@ -167,7 +167,7 @@ def test_watchdog_trip_uses_landed_siblings(rng, monkeypatch):
     the host -- results must be complete and correct either way."""
     import time
 
-    from configurable_spectrograms_tpu.render import figure as figure_mod
+    from configurable_spectrograms_tpu.render import dispatch as figure_mod
     from configurable_spectrograms_tpu.render import link as link_mod
 
     panels = _two_bucket_panels(rng)
@@ -241,7 +241,7 @@ def test_coalescer_drainer_failure_fails_futures(rng, monkeypatch):
     pooled request's future (not hang them).  Uses a FRESH coalescer so its
     dispatcher thread binds the patched enqueue function (the process-wide
     coalescer's thread may already be running with the real one)."""
-    from configurable_spectrograms_tpu.render import figure as figure_mod
+    from configurable_spectrograms_tpu.render import dispatch as figure_mod
     from configurable_spectrograms_tpu.render import service as service_mod
 
     class ExplodingPending:
@@ -273,7 +273,7 @@ def test_coalescer_overlaps_batches(rng, monkeypatch):
     complete in well under the 1.0 s a serialized dispatcher would take."""
     import time
 
-    from configurable_spectrograms_tpu.render import figure as figure_mod
+    from configurable_spectrograms_tpu.render import dispatch as figure_mod
     from configurable_spectrograms_tpu.render import link as link_mod
     from configurable_spectrograms_tpu.render import service as service_mod
 
@@ -315,7 +315,7 @@ def test_sibling_batches_fast_trip_after_watchdog(rng, monkeypatch):
     (round-3 interaction review finding)."""
     import time
 
-    from configurable_spectrograms_tpu.render import figure as figure_mod
+    from configurable_spectrograms_tpu.render import dispatch as figure_mod
     from configurable_spectrograms_tpu.render import link as link_mod
 
     monkeypatch.setitem(link_mod._BACKEND, "mode", "auto")

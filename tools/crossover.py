@@ -62,7 +62,7 @@ def main() -> int:
 
     from bench import _build_archive, _ours_pass, _ours_setup, _progress
 
-    from configurable_spectrograms_tpu.render import figure, link
+    from configurable_spectrograms_tpu.render import dispatch as figure, link
 
     _progress("probing device link")
     link.probe_device_link()

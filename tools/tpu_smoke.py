@@ -15,7 +15,6 @@ too degraded to run the device path.
 from __future__ import annotations
 
 import json
-import sys
 
 import numpy as np
 
