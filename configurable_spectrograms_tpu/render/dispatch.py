@@ -32,7 +32,11 @@ from configurable_spectrograms_tpu.render.link import (
     _host_backend_active,
     force_host_after_dispatch_failure,
     maybe_reprobe_device_link,
+    note_device_batch,
+    note_host_group,
+    prefer_host_for_latency,
     probe_device_link,
+    take_probation,
 )
 from configurable_spectrograms_tpu.render.tile import (
     TimeWindow,
@@ -84,13 +88,24 @@ class PanelData:
 def _render_group_host(panels: list[PanelData], idxs: list[int], tile_h: int, tile_w: int,
                        y_scale: str, z_scale: str, lo_pct: float, hi_pct: float,
                        results: list) -> None:
-    """Pure-numpy group rasterization (no device involved)."""
+    """Pure-numpy group rasterization (no device involved).
+
+    Every call is timed into the link-layer rate meter
+    (:func:`..render.link.note_host_group`): the slow-dispatch detector
+    and the latency policy compare device throughput against *measured*
+    host rates, and any host render -- backend runs, fallbacks, probation
+    groups -- is a measurement.
+    """
+    import time as _time
+
     from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
     from configurable_spectrograms_tpu.render.host_quantize import (
         cached_collapse,
         host_clean,
         host_quantize,
     )
+
+    _host_t0 = _time.perf_counter()
 
     # The shared NaN pass per cube runs at most once per group, and only
     # if some mask actually misses the cross-render collapse cache.
@@ -140,6 +155,7 @@ def _render_group_host(panels: list[PanelData], idxs: list[int], tile_h: int, ti
             "n_kept": q["n_kept"],
             "empty": q["empty"],
         }
+    note_host_group(len(idxs), _time.perf_counter() - _host_t0)
 
 
 #: Diagnostics for the last device dispatch (tests assert the production
@@ -704,6 +720,16 @@ class PendingRender:
             with active_stage("host_quantize"):
                 _render_group_host(self.panels, g.idxs, self.tile_h, self.tile_w,
                                    g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, self.results)
+        if not watchdog_tripped:
+            # Every bucket landed on the device: feed the slow-dispatch
+            # detector (link.note_device_batch) with this batch's panel
+            # count and completion time.  Watchdog trips already forced
+            # the host backend, so they carry no extra signal.
+            note_device_batch(
+                sum(len(g.idxs) for g in self.dispatches),
+                self.enqueued_ts,
+                _time.monotonic(),
+            )
         return self.results
 
     def _handle_completed(self, g: _GroupDispatch, first: bool = True) -> None:
@@ -788,7 +814,28 @@ class PendingRender:
         _finish_group(self.panels, g, packed, self.tile_h, self.tile_w, self.results)
 
 
-def enqueue_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> PendingRender:
+def _latency_upload_bytes(groups: dict[tuple, list[int]], panels: list[PanelData]) -> int:
+    """Bytes of padded cube that a device render would have to upload.
+
+    Cubes already resident on device (the cube cache) cost nothing; only
+    un-resident cubes ride the link, so the latency estimate charges
+    exactly those.
+    """
+    seen: set[tuple] = set()
+    total = 0
+    for (Tp, Ap, Ep, *_rest), idxs in groups.items():
+        for i in idxs:
+            key = (id(panels[i].cube), Tp, Ap, Ep)
+            if key in seen:
+                continue
+            seen.add(key)
+            if _DEVICE_CUBE_CACHE.get(key) is None:
+                total += Tp * Ap * Ep * 4
+    return total
+
+
+def enqueue_render_panels(panels: list[PanelData], tile_h: int, tile_w: int,
+                          prefer_latency: bool = False) -> PendingRender:
     """Group, upload, and enqueue panel rasterization; readback is deferred.
 
     Panels group into (T, A, E, scale-combo) padding buckets; each bucket
@@ -827,12 +874,19 @@ def enqueue_render_panels(panels: list[PanelData], tile_h: int, tile_w: int) -> 
 
     probe_device_link()
     maybe_reprobe_device_link()
+    # Latency-aware routing: a lone small render (single-plot CLIs, the GUI
+    # single-day page) optimizes time-to-PNG, not throughput -- when the
+    # measured link round trips would cost more than redoing the panels on
+    # the host, the whole call renders host-side (VERDICT round-3 item 1b).
+    latency_host = prefer_latency and not _host_backend_active() and prefer_host_for_latency(
+        len(panels), _latency_upload_bytes(groups, panels)
+    )
     results: list[dict | None] = [None] * len(panels)
     dispatches: list[_GroupDispatch] = []
     from configurable_spectrograms_tpu.utils.timing import active_stage
 
     for (Tp, Ap, Ep, y_scale, z_scale, lo_pct, hi_pct, explicit), idxs in groups.items():
-        if _host_backend_active():
+        if _host_backend_active() or latency_host or take_probation():
             with active_stage("host_quantize"):
                 _render_group_host(panels, idxs, tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct, results)
             continue

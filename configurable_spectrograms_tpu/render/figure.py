@@ -188,6 +188,7 @@ def save_image(image: Image.Image, path: str, compress_level: int = 3) -> None:
     if is_png:
         with active_stage("png_encode"):
             from configurable_spectrograms_tpu.render.fastpng import write_png_rgb
+            from configurable_spectrograms_tpu.utils.writeback import note_written
 
             # Compositor-rendered figures carry their numpy canvas: encode it
             # directly (zero copies -- the native encoder drops RGBA's alpha).
@@ -196,9 +197,11 @@ def save_image(image: Image.Image, path: str, compress_level: int = 3) -> None:
                 rgb = image if image.mode == "RGB" else image.convert("RGB")
                 arr = np.asarray(rgb)
             if write_png_rgb(arr, path, compress_level):
+                note_written(path)
                 return
             img = image if image.mode == "RGB" else image.convert("RGB")
             img.save(path, format="PNG", compress_level=compress_level)
+            note_written(path)
     else:
         # Formats without alpha (JPEG, BMP) reject RGBA; flatten first.
         fmt_needs_rgb = os.path.splitext(path)[1].lower() in (".jpg", ".jpeg", ".bmp")

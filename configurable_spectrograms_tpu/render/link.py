@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import threading
+from collections import deque
 from typing import Any
 
 import numpy as np
@@ -90,6 +91,196 @@ _MIN_LINK_MBPS = 1.0
 #: whichever is faster.  Direct-attached devices read back in ~1 ms/panel and
 #: never pay the calibration; only degraded links (e.g. a slow relay) do.
 _CALIBRATE_XFER_SEC_PER_PANEL = 0.02
+
+
+# ---------------------------------------------------------------------------
+# mid-batch throughput meter: slow-dispatch fallback + latency routing
+# ---------------------------------------------------------------------------
+
+#: Rolling throughput state for the slow-dispatch detector and the
+#: latency-aware backend policy.  ``host_panels``/``host_sec`` accumulate a
+#: windowed host-rate measurement (from real host renders -- fallbacks,
+#: host-backend runs, probation groups); ``last_done_ts`` supports
+#: incremental per-batch device rates that are NOT inflated by pipelining
+#: (each batch is charged only the wall time past the previous batch's
+#: completion, or past its own enqueue after an idle gap).
+_RATE = {
+    "last_done_ts": 0.0,
+    "slow_streak": 0,
+    "host_panels": 0.0,
+    "host_sec": 0.0,
+    "probation": False,
+    #: Recent healthy device seconds/panel samples (deque); their median is
+    #: the self-baseline a stall is measured against.
+    "device_spp": deque(maxlen=16),
+}
+_RATE_LOCK = threading.Lock()
+
+#: Consecutive slow device batches before the fallback trips.
+_SLOW_STREAK_K = int(os.environ.get("CST_SLOW_DISPATCH_STREAK", 3))
+#: The device must sustain at least this fraction of the measured host
+#: rate; below it for K consecutive batches, the remainder of the run goes
+#: host-side.  0.7 tolerates ordinary noise (device and host are within
+#: ~15% of each other on link-bound setups) while catching the observed
+#: 5-10x mid-run link stalls.
+_SLOW_FACTOR = float(os.environ.get("CST_SLOW_DISPATCH_FACTOR", 0.7))
+#: Without a host measurement yet, device seconds/panel above this marks a
+#: batch slow (17 panels/s -- far under any healthy backend here) and
+#: triggers a probation host render to get a real host number.
+_SLOW_ABS_SEC_PER_PANEL = float(os.environ.get("CST_SLOW_PANEL_SEC", 0.06))
+#: Fallback host seconds/panel for the latency policy before any host
+#: render has been measured in this process.
+_DEFAULT_HOST_SEC_PER_PANEL = 0.015
+
+
+def _host_sec_per_panel() -> float | None:
+    """Measured host seconds/panel (windowed mean), or None if unmeasured."""
+    with _RATE_LOCK:
+        if _RATE["host_panels"] < 4:
+            return None
+        return _RATE["host_sec"] / _RATE["host_panels"]
+
+
+def note_host_group(n_panels: int, seconds: float) -> None:
+    """Record one timed host-backend group render (feeds the rate meter)."""
+    if n_panels <= 0 or seconds <= 0:
+        return
+    with _RATE_LOCK:
+        # Exponential window: old measurements fade so a machine-load shift
+        # doesn't pin the comparator to stale numbers.
+        _RATE["host_panels"] = 0.8 * _RATE["host_panels"] + n_panels
+        _RATE["host_sec"] = 0.8 * _RATE["host_sec"] + seconds
+
+
+def take_probation() -> bool:
+    """True exactly once after the detector requested a host probe render.
+
+    The caller routes that one group to the (timed) host backend, which
+    both produces the results and measures the host rate the comparator
+    needs.  No-op unless the detector armed it.
+    """
+    with _RATE_LOCK:
+        if _RATE["probation"]:
+            _RATE["probation"] = False
+            return True
+        return False
+
+
+def note_device_batch(n_panels: int, enqueued_ts: float, done_ts: float) -> None:
+    """Fold one completed device batch into the slow-dispatch detector.
+
+    Effective rate is incremental: the batch is charged ``done_ts`` minus
+    the later of (previous batch completion, own enqueue), so pipelined
+    batches that overlap are not each billed the shared wall clock, and
+    idle gaps between renders are not billed to the device.
+
+    Two gates must BOTH agree before the process falls back to the host
+    backend (``why_host="slow"``):
+
+    1. *Self-degradation*: the batch's seconds/panel exceeds 3x the median
+       of recent healthy device batches (or the absolute
+       ``_SLOW_ABS_SEC_PER_PANEL`` bootstrap when no baseline exists yet).
+       Stage-time comparisons against the host alone would false-trip --
+       the host meter times only the quantize stage, while the device
+       path's end-to-end win comes from freeing the host CPU for
+       compositing/encode -- so a trip additionally requires the device
+       to have demonstrably degraded relative to ITSELF.
+    2. *Host replacement is faster*: the measured host quantize rate beats
+       the degraded device rate by ``_SLOW_FACTOR``.  With no host
+       measurement yet, a probation host render is armed instead of
+       tripping blind (it produces real results AND the measurement).
+
+    Sustained for ``_SLOW_STREAK_K`` consecutive batches (or one severe
+    4x-over-threshold batch), the remainder of the run renders host-side;
+    the periodic link reprobe can restore the device later.
+    """
+    if n_panels <= 0:
+        return
+    import time as _time
+
+    with _RATE_LOCK:
+        start = max(_RATE["last_done_ts"], enqueued_ts)
+        _RATE["last_done_ts"] = max(_RATE["last_done_ts"], done_ts)
+        span = done_ts - start
+        if span <= 0:
+            return
+        spp = span / n_panels
+        samples = _RATE["device_spp"]
+        baseline = sorted(samples)[len(samples) // 2] if samples else None
+        threshold = max(
+            3.0 * baseline if baseline is not None else 0.0, _SLOW_ABS_SEC_PER_PANEL
+        )
+        if spp <= threshold:
+            _RATE["slow_streak"] = 0
+            samples.append(spp)  # healthy sample feeds the self-baseline
+            return
+        _RATE["slow_streak"] += 1
+        severe = spp > 4 * threshold
+        if _RATE["slow_streak"] < _SLOW_STREAK_K and not severe:
+            return
+        _RATE["slow_streak"] = 0
+        host_spp = (
+            _RATE["host_sec"] / _RATE["host_panels"] if _RATE["host_panels"] >= 4 else None
+        )
+        if host_spp is None:
+            # Degraded, but no host number to compare against: render the
+            # NEXT group host-side (timed) and re-evaluate.
+            _RATE["probation"] = True
+            return
+        if spp <= host_spp / _SLOW_FACTOR:
+            return  # degraded, but the host would be no faster
+        measured_spp, measured_host = spp, host_spp
+    from configurable_spectrograms_tpu.utils.logging import log_error
+
+    with _BACKEND_LOCK:
+        if _BACKEND["mode"] != "auto" or _BACKEND["forced_host"]:
+            return
+        _BACKEND["forced_host"] = True
+        _BACKEND["why_host"] = "slow"
+        _BACKEND["last_probe_ts"] = _time.monotonic()  # full interval before reprobe
+    log_error(
+        f"[BACKEND] device throughput degraded: {1.0 / measured_spp:.1f} panels/s "
+        f"effective vs {1.0 / measured_host:.1f} host quantize panels/s; finishing "
+        "on the host backend (reprobe may restore the device)"
+    )
+
+
+def reset_rate_state() -> None:
+    """Clear the throughput meter (backend promotion, tests, bench passes)."""
+    with _RATE_LOCK:
+        _RATE["last_done_ts"] = 0.0
+        _RATE["slow_streak"] = 0
+        _RATE["probation"] = False
+        _RATE["device_spp"].clear()
+
+
+def prefer_host_for_latency(n_panels: int, upload_bytes: int) -> bool:
+    """Latency-aware backend choice for a single-figure render.
+
+    Batch renders choose by throughput (the slow-dispatch detector above);
+    a lone figure -- the single-plot CLIs, the GUI single-day page --
+    cares about time-to-PNG, where every link round trip is on the
+    critical path.  Estimate one figure's device latency from the probe's
+    measured link numbers (two round trips + the un-resident cube upload)
+    against the measured (or default) host rate, and route to whichever
+    is faster.  Direct-attached chips (sub-ms round trip) always choose
+    the device; relay-style links choose the host.  ``CST_LATENCY_POLICY=0``
+    disables (device stays preferred whenever healthy).
+    """
+    if os.environ.get("CST_LATENCY_POLICY", "1") == "0":
+        return False
+    if _BACKEND["mode"] != "auto" or _BACKEND["forced_host"]:
+        return False  # explicit modes and forced-host are decided elsewhere
+    steady = _BACKEND.get("link_steady_dt")
+    if steady is None:
+        return False  # no link measurement: keep the default (device)
+    mbps = _BACKEND.get("link_mbps")
+    host_spp = _host_sec_per_panel() or _DEFAULT_HOST_SEC_PER_PANEL
+    host_est = host_spp * max(1, n_panels)
+    device_est = 2.0 * steady + 0.005
+    if mbps:
+        device_est += upload_bytes / (mbps * 1e6)
+    return device_est > host_est
 
 
 def _link_roundtrip_probe() -> dict:
@@ -179,8 +370,16 @@ def _apply_probe_outcome(outcome: dict, context: str, started_ts: float | None =
     mbps = outcome.get("mbps")
     slow = outcome.get("ok") and mbps is not None and mbps < _PRESELECT_MBPS
     stale = False
+    promoted = False
     with _BACKEND_LOCK:
         _BACKEND["last_probe_ts"] = _time.monotonic()
+        if outcome.get("ok"):
+            # Measured link numbers feed the latency-aware backend policy
+            # (prefer_host_for_latency) regardless of mode.
+            if outcome.get("steady_dt") is not None:
+                _BACKEND["link_steady_dt"] = outcome["steady_dt"]
+            if mbps is not None:
+                _BACKEND["link_mbps"] = mbps
         if _BACKEND["mode"] != "auto":
             return
         if not outcome.get("ok"):
@@ -196,11 +395,13 @@ def _apply_probe_outcome(outcome: dict, context: str, started_ts: float | None =
         ):
             stale = True  # healthy, but predates a real transfer hang
         else:
-            promote = _BACKEND["forced_host"]
+            promoted = _BACKEND["forced_host"]
             _BACKEND["forced_host"] = False
             _BACKEND["why_host"] = None
-            if promote:
+            if promoted:
                 _BACKEND["calibrated"] = False  # re-calibrate on the live link
+    if promoted:
+        reset_rate_state()  # a restored link starts with a clean meter
     if not outcome.get("ok"):
         log_error(
             f"[BACKEND] device link {context}: failed ({outcome.get('why')}); "

@@ -46,6 +46,11 @@ def _max_inflight() -> int:
         return 3
 
 
+#: A lone coalesced request at most this many panels wide counts as a
+#: latency-sensitive render (one multirow figure is 8-10 panels).
+_LATENCY_MAX_PANELS = 16
+
+
 class RenderCoalescer:
     """Single-dispatcher render queue (see module docstring)."""
 
@@ -136,11 +141,25 @@ class RenderCoalescer:
                 by_geometry: dict[tuple[int, int], list[_Request]] = {}
                 for req in batch:
                     by_geometry.setdefault((req.tile_h, req.tile_w), []).append(req)
+                # A drain of exactly one small request with nothing queued
+                # behind it is a latency-sensitive render (a single-plot
+                # CLI, the GUI single-day page, or the lone head of a
+                # batch): let the dispatch layer route it to whichever
+                # backend answers fastest rather than by throughput.
+                with self._lock:
+                    queue_empty = not self._queue
+                prefer_latency = (
+                    queue_empty
+                    and len(batch) == 1
+                    and len(batch[0].panels) <= _LATENCY_MAX_PANELS
+                )
                 for (tile_h, tile_w), reqs in by_geometry.items():
                     all_panels = [p for r in reqs for p in r.panels]
                     self._inflight.acquire()
                     try:
-                        pending = enqueue_render_panels(all_panels, tile_h, tile_w)
+                        pending = enqueue_render_panels(
+                            all_panels, tile_h, tile_w, prefer_latency=prefer_latency
+                        )
                     except Exception as exc:
                         self._inflight.release()
                         for r in reqs:

@@ -24,6 +24,20 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _reset_link_rate_meter():
+    """The slow-dispatch detector and host-rate meter are process-global
+    (render/link.py); leaked probation/streak state from one test must not
+    route another test's renders."""
+    yield
+    from configurable_spectrograms_tpu.render import link
+
+    link.reset_rate_state()
+    with link._RATE_LOCK:
+        link._RATE["host_panels"] = 0.0
+        link._RATE["host_sec"] = 0.0
+
+
 @pytest.fixture
 def rng():
     """Function-scoped so every test draws the SAME deterministic stream

@@ -252,7 +252,7 @@ def test_coalescer_drainer_failure_fails_futures(rng, monkeypatch):
             raise RuntimeError("drain exploded")
 
     monkeypatch.setattr(
-        figure_mod, "enqueue_render_panels", lambda panels, th, tw: ExplodingPending()
+        figure_mod, "enqueue_render_panels", lambda panels, th, tw, **kw: ExplodingPending()
     )
     fresh = service_mod.RenderCoalescer()
     # EVERY pooled request's future must receive the exception, not just
