@@ -417,6 +417,7 @@ def run_qt() -> int:
         QLineEdit,
         QPushButton,
         QSizePolicy,
+        QSlider,
         QStackedWidget,
         QVBoxLayout,
         QWidget,
@@ -515,19 +516,72 @@ def run_qt() -> int:
 
     state: dict[str, ActionRunner | None] = {"runner": None}
 
+    def _percentile_slider_section(layout, entry: QLineEdit) -> None:
+        """Linked noise-cutoff percentile slider + entry + hint note (the
+        reference's _percentile_slider_section, reference
+        GUI_batch_download_plot_FAST.py:655-698): the 0-100 slider and the
+        numeric entry stay in sync both ways, and the note explains what
+        the cutoff does to the shared color bounds."""
+        row = QHBoxLayout()
+        slider = QSlider(Qt.Horizontal)
+        slider.setObjectName("percentileSlider")
+        slider.setRange(0, 100)
+        slider.setFixedHeight(32)
+        slider.setMaximumWidth(400)
+        note = QLabel()
+        note.setObjectName("noteText")
+        note.setWordWrap(True)
+
+        def _note_text(value: float) -> str:
+            if value <= 0:
+                return "0: no shared bounds pre-pass; every figure scales to its own data."
+            return (f"Shared color bounds clip the top {100 - value:g}% of pooled "
+                    f"samples (z_max at the {value:g}th percentile) across the archive.")
+
+        def _from_slider(v: int) -> None:
+            if entry.text() != str(v):
+                entry.setText(str(v))
+            note.setText(_note_text(v))
+
+        def _from_entry() -> None:
+            try:
+                v = min(100, max(0, int(float(entry.text() or "0"))))
+            except ValueError:
+                v = slider.value()
+            entry.setText(str(v))
+            slider.setValue(v)
+            note.setText(_note_text(v))
+
+        slider.valueChanged.connect(_from_slider)
+        entry.editingFinished.connect(_from_entry)
+        try:
+            slider.setValue(int(float(entry.text())))
+        except ValueError:
+            pass
+        note.setText(_note_text(slider.value()))
+        row.addWidget(slider)
+        layout.addLayout(row)
+        layout.addWidget(note)
+
     def _page(fields: list[tuple[str, str]], run_label: str, make_runner,
-              progress_path=None, chip_fields: dict[str, list[str]] | None = None):
+              progress_path=None, chip_fields: dict | None = None,
+              percentile_field: str | None = None):
         page = QWidget()
         layout = QVBoxLayout(page)
         edits: dict[str, QLineEdit] = {}
         chip_groups: dict[str, list[ToggleChip]] = {}
         for name, options in (chip_fields or {}).items():
+            # options: list (all pre-checked, the reference's instrument
+            # chips) or (list, checked_set) (the year chips, reference
+            # GUI:74,763-764 -- only valid 1996-2009 years are offered, so
+            # the range is validated by construction).
+            options, checked = (options if isinstance(options, tuple) else (options, set(options)))
             row = QHBoxLayout()
             row.addWidget(QLabel(name))
             group = []
             for opt in options:
-                chip = ToggleChip(opt)
-                chip.setChecked(True)  # the reference pre-selects all
+                chip = ToggleChip(str(opt))
+                chip.setChecked(str(opt) in {str(c) for c in checked})
                 group.append(chip)
                 row.addWidget(chip)
             chip_groups[name] = group
@@ -549,6 +603,8 @@ def run_qt() -> int:
                 )
                 row.addWidget(btn)
             layout.addLayout(row)
+            if name == percentile_field:
+                _percentile_slider_section(layout, edit)
         status = QLabel("")
         progress = QLabel("")
         bridge = _Bridge(page)  # parented: lives as long as the page
@@ -596,17 +652,29 @@ def run_qt() -> int:
         layout.addWidget(progress)
         return page
 
+    def _download_runner(v):
+        years = [int(y) for y in v["Years"].split()]
+        instruments = v["Instruments"].split()
+        if not years:
+            raise ValueError("select at least one year (1996-2009)")
+        if not instruments:
+            raise ValueError("select at least one instrument")
+        return ActionRunner(download_in_process, (years, instruments, v["Data folder"]))
+
     _add_page(
         "\u2b07",
         "Download",
         _page(
-            [("Years", "2000"), ("Data folder", "./FAST_data/")],
+            [("Data folder", "./FAST_data/")],
             "Download",
-            lambda v: ActionRunner(
-                download_in_process,
-                ([int(y) for y in v["Years"].split()], v["Instruments"].split(), v["Data folder"]),
-            ),
-            chip_fields={"Instruments": ["ees", "eeb", "ies", "ieb"]},
+            _download_runner,
+            chip_fields={
+                "Instruments": ["ees", "eeb", "ies", "ieb"],
+                # Year chips: only the FAST coverage window 1996-2009 is
+                # offered (reference GUI:74 MIN_YEAR/MAX_YEAR; selectable
+                # chips instead of a free-text field, reference GUI:763-764).
+                "Years": ([str(y) for y in range(1996, 2010)], {"2000"}),
+            },
         ),
     )
     from configurable_spectrograms_tpu.fast.constants import FAST_PLOTTING_PROGRESS_JSON
@@ -634,6 +702,7 @@ def run_qt() -> int:
                  float(v["Percentile"]) if v["Percentile"] else None, v["Cusp style"], False),
             ),
             progress_path=FAST_PLOTTING_PROGRESS_JSON,
+            percentile_field="Percentile",
         ),
     )
     _add_page(

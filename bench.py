@@ -346,49 +346,56 @@ def main() -> None:
 
         prev_mode_pair = (_BACKEND["mode"], _BACKEND["forced_host"])
 
-        def _device_pass_auto() -> tuple[float, bool]:
+        def _device_pass_auto() -> tuple[float, dict]:
             """One timed device pass in PRODUCTION auto mode.
 
-            The slow-dispatch detector and watchdogs are armed, so a
-            mid-pass link stall flips the remainder to the host backend
-            instead of crawling -- the pass completes near host rate and
-            ``fellback`` records it (VERDICT round-3 item 1a).  The
-            one-shot calibration is pre-satisfied: the bench measures both
-            backends explicitly, and the continuous detector is the
-            production guard being exercised.
+            Exactly the auto policy a production run gets: a fresh link
+            probe first (its bandwidth preselection honored -- a link the
+            probe measures under the floor renders the pass host-side,
+            as production would), then the slow-dispatch detector, the
+            adaptive soft drain cap, and the watchdogs all armed.  A
+            mid-pass stall flips the remainder to the host backend
+            instead of crawling (VERDICT round-3 item 1a); ``info``
+            records both the preselection and any mid-pass trip.  The
+            one-shot calibration is pre-satisfied: the bench measures
+            both backends explicitly, and the continuous detector is the
+            production guard being exercised.  Healthy-pass baselines
+            carry across passes (keep_baseline) so a stall-from-the-first
+            -batch pass still has evidence to detect against.
             """
+            outcome = _link._link_roundtrip_probe()
             with _BACKEND_LOCK_:
                 _BACKEND["mode"], _BACKEND["forced_host"] = "auto", False
                 _BACKEND["why_host"] = None
                 _BACKEND["calibrated"] = True
-            _link.reset_rate_state()
+            _link._apply_probe_outcome(outcome, "bench pre-pass")
+            preselected = bool(_BACKEND["forced_host"])
+            if preselected:
+                _progress(f"pre-pass probe pre-selected host ({_BACKEND['why_host']}, "
+                          f"{outcome.get('mbps') or 0:.1f} MB/s)")
+            _link.reset_rate_state(keep_baseline=True)
             try:
                 rate = _ours_pass(render_one, jobs, dirs["ours_device"])
-                fellback = bool(_BACKEND["forced_host"])
+                info = {
+                    "preselected": preselected,
+                    "tripped": bool(_BACKEND["forced_host"]) and not preselected,
+                }
             finally:
                 with _BACKEND_LOCK_:
                     _BACKEND["mode"], _BACKEND["forced_host"] = prev_mode_pair
                     _BACKEND["why_host"] = None
-            return rate, fellback
+            return rate, info
 
         rates: dict[str, list[float]] = {"device": [], "host": [], "baseline": []}
-        device_fallback_passes: list[bool] = []
+        device_pass_info: list[dict] = []
         try:
             for i in range(PASSES):
                 if device_ok and _BACKEND["mode"] in ("auto", "device"):
-                    # Re-arm between passes: a previous pass's mid-run
-                    # fallback must not silently turn the rest of the
-                    # device column into host measurements.
-                    if device_fallback_passes and device_fallback_passes[-1]:
-                        _progress("reprobing link after mid-pass fallback")
-                        outcome = _link._link_roundtrip_probe()
-                        if not outcome.get("ok"):
-                            _progress("link still down; keeping device passes (auto mode will fall back)")
                     _progress(f"pass {i + 1}/{PASSES}: device backend (auto, detector armed)")
-                    rate, fellback = _device_pass_auto()
+                    rate, info = _device_pass_auto()
                     rates["device"].append(rate)
-                    device_fallback_passes.append(fellback)
-                    if fellback:
+                    device_pass_info.append(info)
+                    if info["tripped"]:
                         _progress(f"pass {i + 1}: slow-dispatch fallback tripped mid-pass "
                                   f"(pass still completed at {rate:.1f} panels/s)")
                 prev = _BACKEND["mode"]
@@ -478,7 +485,7 @@ def main() -> None:
                     "device_panels_per_sec": round(results["device"][0], 2) if results["device"] else None,
                     "host_panels_per_sec": round(results["host"][0], 2) if results["host"] else None,
                     "device_measured_late": device_measured_late,
-                    "device_fallback_passes": device_fallback_passes,
+                    "device_pass_info": device_pass_info,
                     "passes": {
                         k: [round(r, 2) for r in v] for k, v in rates.items()
                     },

@@ -144,6 +144,7 @@ class Qt:
     ColorScheme = _ColorScheme
     AlignCenter = _AlignmentFlag(0x84)
     WA_TransparentForMouseEvents = 51
+    Horizontal, Vertical = 1, 2
 
 
 class QTimer:
@@ -244,6 +245,12 @@ class QWidget(QObject):
 
     def setFixedHeight(self, h: int) -> None:
         self._fixed_height = h
+
+    def setMaximumWidth(self, w: int) -> None:
+        self._max_width = w
+
+    def setWordWrap(self, on: bool) -> None:
+        pass
 
     def setSizePolicy(self, *a) -> None:
         pass
@@ -356,6 +363,8 @@ class QLabel(QWidget):
 
 
 class QLineEdit(QWidget):
+    editingFinished = Signal()
+
     def __init__(self, text: str = "", parent=None):
         super().__init__(parent)
         self._text = text
@@ -365,6 +374,43 @@ class QLineEdit(QWidget):
 
     def setText(self, text: str) -> None:
         self._text = str(text)
+
+    def setAlignment(self, flag) -> None:
+        pass
+
+    # -- test helper: what a user typing then leaving the field does -------
+    def type_text(self, text: str) -> None:
+        self._text = str(text)
+        self.editingFinished.emit()
+
+
+class QSlider(QWidget):
+    """Horizontal slider stand-in (PySide6 QSlider's used surface)."""
+
+    valueChanged = Signal(int)
+
+    def __init__(self, orientation=None, parent=None):
+        super().__init__(parent)
+        self._min, self._max, self._value = 0, 99, 0
+
+    def setRange(self, lo: int, hi: int) -> None:
+        self._min, self._max = int(lo), int(hi)
+        self._value = min(max(self._value, self._min), self._max)
+
+    def minimum(self) -> int:
+        return self._min
+
+    def maximum(self) -> int:
+        return self._max
+
+    def setValue(self, value: int) -> None:
+        value = min(max(int(value), self._min), self._max)
+        if value != self._value:
+            self._value = value
+            self.valueChanged.emit(value)
+
+    def value(self) -> int:
+        return self._value
 
 
 class QPushButton(QWidget):
@@ -555,6 +601,7 @@ _QTWIDGETS = (
     "QLineEdit",
     "QPushButton",
     "QSizePolicy",
+    "QSlider",
     "QStackedWidget",
     "QTabWidget",
     "QVBoxLayout",

@@ -114,6 +114,13 @@ def init_distributed(
     ICI within a slice and DCN across hosts) need one call; arguments are
     auto-detected from the cluster environment when omitted.  Single-host
     runs never need this.
+
+    Multi-host scoping (deliberate, see docs/deployment.md): under
+    ``jax.distributed`` the RENDER dispatch still shards over local
+    devices only (:func:`data_parallel_mesh`); hosts partition the
+    archive at the orbit level, and the extrema reduction is the single
+    cross-host collective.  Both behaviors run under two real processes
+    in ``tests/multihost_worker.py``.
     """
     import jax
 

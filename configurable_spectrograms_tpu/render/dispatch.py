@@ -30,8 +30,11 @@ from configurable_spectrograms_tpu.render.link import (
     _bounded_call,
     _dispatch_timeout,
     _host_backend_active,
+    bucket_soft_timeout,
     force_host_after_dispatch_failure,
+    force_host_slow,
     maybe_reprobe_device_link,
+    note_bucket_drain,
     note_device_batch,
     note_host_group,
     prefer_host_for_latency,
@@ -671,6 +674,11 @@ class PendingRender:
         # deadline RESETS after every bucket that lands, so N serialized
         # transfers that are each within budget never trip the watchdog
         # (a single shared deadline would mark a slow-but-alive link dead).
+        # In auto mode each bucket additionally carries the ADAPTIVE soft
+        # cap (link.bucket_soft_timeout): a batch-level detector cannot see
+        # inside one giant stalled drain, so exceeding ~6x the healthy
+        # median drain trips the slow fallback long before the hard
+        # watchdog would.
         deadline = _time.monotonic() + timeout
         watchdog_tripped = False
         for i, g in enumerate(self.dispatches):
@@ -680,11 +688,12 @@ class PendingRender:
                 and _BACKEND["forced_host"]
                 and _BACKEND["last_dispatch_failure_ts"] >= self.enqueued_ts
             ):
-                # A sibling batch's transfer already hung on this link
-                # after ours were enqueued: don't sit out our own full
-                # watchdog budget per bucket -- use whatever already
+                # A sibling batch's transfer already hung (or slow-tripped)
+                # on this link after ours were enqueued: don't sit out our
+                # own full budget per bucket -- use whatever already
                 # landed, host-render the rest immediately.
                 watchdog_tripped = True
+            soft_expired = False
             with active_stage("device_readback"):
                 if watchdog_tripped:
                     # A transfer already hung on this link; don't wait the
@@ -692,13 +701,30 @@ class PendingRender:
                     # that already landed, host-render the rest.
                     ok = g.done.wait(timeout=0.05) and g.error is None
                 else:
-                    ok = g.done.wait(timeout=max(0.0, deadline - _time.monotonic())) and g.error is None
+                    hard_left = max(0.0, deadline - _time.monotonic())
+                    budget = hard_left
+                    if _BACKEND["mode"] == "auto":
+                        budget = min(hard_left, bucket_soft_timeout())
+                    ok = g.done.wait(timeout=budget) and g.error is None
+                    soft_expired = not ok and g.error is None and budget < hard_left
             if ok:
                 deadline = _time.monotonic() + timeout
+                note_bucket_drain(g.xfer)
                 self._handle_completed(g, first=(i == 0))
                 continue
             if g.error is not None:
                 raise g.error
+            if soft_expired and not watchdog_tripped:
+                watchdog_tripped = True
+                force_host_slow(
+                    "[BACKEND] device bucket drain exceeded the adaptive soft cap "
+                    f"({bucket_soft_timeout():.1f}s); finishing on the host backend "
+                    "(reprobe may restore the device)"
+                )
+                with active_stage("host_quantize"):
+                    _render_group_host(self.panels, g.idxs, self.tile_h, self.tile_w,
+                                       g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, self.results)
+                continue
             # The link died between the bounded preflight and this
             # transfer.  A hung jax transfer never returns, so without
             # this bound the coalescer thread -- and every worker

@@ -113,11 +113,15 @@ _RATE = {
     #: Recent healthy device seconds/panel samples (deque); their median is
     #: the self-baseline a stall is measured against.
     "device_spp": deque(maxlen=16),
+    #: Recent healthy per-bucket drain times (seconds): the base for the
+    #: adaptive soft drain cap that bounds how long one stalled bucket can
+    #: hide inside a batch.
+    "drain_s": deque(maxlen=32),
 }
 _RATE_LOCK = threading.Lock()
 
 #: Consecutive slow device batches before the fallback trips.
-_SLOW_STREAK_K = int(os.environ.get("CST_SLOW_DISPATCH_STREAK", 3))
+_SLOW_STREAK_K = int(os.environ.get("CST_SLOW_DISPATCH_STREAK", 2))
 #: The device must sustain at least this fraction of the measured host
 #: rate; below it for K consecutive batches, the remainder of the run goes
 #: host-side.  0.7 tolerates ordinary noise (device and host are within
@@ -128,6 +132,11 @@ _SLOW_FACTOR = float(os.environ.get("CST_SLOW_DISPATCH_FACTOR", 0.7))
 #: batch slow (17 panels/s -- far under any healthy backend here) and
 #: triggers a probation host render to get a real host number.
 _SLOW_ABS_SEC_PER_PANEL = float(os.environ.get("CST_SLOW_PANEL_SEC", 0.06))
+#: Bootstrap soft cap (seconds) for ONE bucket's device drain before the
+#: self-baseline exists; with a baseline the cap adapts to 6x the median
+#: healthy drain (floor 2 s).  The 300 s hard watchdog stays the bound for
+#: explicit CST_RENDER_BACKEND=device runs.
+_SOFT_DRAIN_BOOTSTRAP_SEC = float(os.environ.get("CST_DEVICE_SOFT_TIMEOUT", 15.0))
 #: Fallback host seconds/panel for the latency policy before any host
 #: render has been measured in this process.
 _DEFAULT_HOST_SEC_PER_PANEL = 0.015
@@ -150,6 +159,53 @@ def note_host_group(n_panels: int, seconds: float) -> None:
         # doesn't pin the comparator to stale numbers.
         _RATE["host_panels"] = 0.8 * _RATE["host_panels"] + n_panels
         _RATE["host_sec"] = 0.8 * _RATE["host_sec"] + seconds
+
+
+def force_host_slow(message: str) -> None:
+    """Trip the slow-dispatch fallback: host backend for the rest of the run.
+
+    Stamps ``last_dispatch_failure_ts`` so sibling batches already enqueued
+    on the same degraded link fast-trip in their own drains instead of each
+    sitting out its own budget (the round-4 pass-1 failure mode), and
+    ``last_probe_ts`` so the reprobe waits a full interval before retrying.
+    """
+    import time as _time
+
+    from configurable_spectrograms_tpu.utils.logging import log_error
+
+    with _BACKEND_LOCK:
+        if _BACKEND["mode"] != "auto" or _BACKEND["forced_host"]:
+            return
+        _BACKEND["forced_host"] = True
+        _BACKEND["why_host"] = "slow"
+        now = _time.monotonic()
+        _BACKEND["last_dispatch_failure_ts"] = now
+        _BACKEND["last_probe_ts"] = now
+    log_error(message)
+
+
+def note_bucket_drain(seconds: float) -> None:
+    """Record one healthy bucket drain time (feeds the adaptive soft cap)."""
+    if seconds > 0:
+        with _RATE_LOCK:
+            _RATE["drain_s"].append(seconds)
+
+
+def bucket_soft_timeout() -> float:
+    """Soft cap (seconds) for one device bucket's drain in auto mode.
+
+    A batch-level detector cannot see inside a single slow drain -- one
+    giant stalled bucket hides until it completes (round-4 bench pass 2
+    drained at 4.75 panels/s with zero detector events).  The cap adapts:
+    6x the median healthy drain (floor 2 s), or the bootstrap value before
+    any baseline exists.  Exceeding it with the host fallback available is
+    treated exactly like a slow trip.
+    """
+    with _RATE_LOCK:
+        drains = sorted(_RATE["drain_s"])
+    if not drains:
+        return _SOFT_DRAIN_BOOTSTRAP_SEC
+    return max(2.0, 6.0 * drains[len(drains) // 2])
 
 
 def take_probation() -> bool:
@@ -196,8 +252,6 @@ def note_device_batch(n_panels: int, enqueued_ts: float, done_ts: float) -> None
     """
     if n_panels <= 0:
         return
-    import time as _time
-
     with _RATE_LOCK:
         start = max(_RATE["last_done_ts"], enqueued_ts)
         _RATE["last_done_ts"] = max(_RATE["last_done_ts"], done_ts)
@@ -215,7 +269,7 @@ def note_device_batch(n_panels: int, enqueued_ts: float, done_ts: float) -> None
             samples.append(spp)  # healthy sample feeds the self-baseline
             return
         _RATE["slow_streak"] += 1
-        severe = spp > 4 * threshold
+        severe = spp > 2 * threshold
         if _RATE["slow_streak"] < _SLOW_STREAK_K and not severe:
             return
         _RATE["slow_streak"] = 0
@@ -230,28 +284,27 @@ def note_device_batch(n_panels: int, enqueued_ts: float, done_ts: float) -> None
         if spp <= host_spp / _SLOW_FACTOR:
             return  # degraded, but the host would be no faster
         measured_spp, measured_host = spp, host_spp
-    from configurable_spectrograms_tpu.utils.logging import log_error
-
-    with _BACKEND_LOCK:
-        if _BACKEND["mode"] != "auto" or _BACKEND["forced_host"]:
-            return
-        _BACKEND["forced_host"] = True
-        _BACKEND["why_host"] = "slow"
-        _BACKEND["last_probe_ts"] = _time.monotonic()  # full interval before reprobe
-    log_error(
+    force_host_slow(
         f"[BACKEND] device throughput degraded: {1.0 / measured_spp:.1f} panels/s "
         f"effective vs {1.0 / measured_host:.1f} host quantize panels/s; finishing "
         "on the host backend (reprobe may restore the device)"
     )
 
 
-def reset_rate_state() -> None:
-    """Clear the throughput meter (backend promotion, tests, bench passes)."""
+def reset_rate_state(keep_baseline: bool = False) -> None:
+    """Clear the throughput meter (backend promotion, tests, bench passes).
+
+    ``keep_baseline=True`` preserves the healthy-device self-baselines
+    (``device_spp``/``drain_s``) -- a re-armed run that stalls from its
+    very first batch still needs prior healthy evidence to detect against.
+    """
     with _RATE_LOCK:
         _RATE["last_done_ts"] = 0.0
         _RATE["slow_streak"] = 0
         _RATE["probation"] = False
-        _RATE["device_spp"].clear()
+        if not keep_baseline:
+            _RATE["device_spp"].clear()
+            _RATE["drain_s"].clear()
 
 
 def prefer_host_for_latency(n_panels: int, upload_bytes: int) -> bool:

@@ -168,12 +168,19 @@ def test_download_page_chips_feed_the_runner(gui, monkeypatch, tmp_path):
         stack = win.findChildren(headless_qt.QStackedWidget)[0]
         page = stack.widget(0)
         chips = _chips_by_text(page, headless_qt)
-        assert set(chips) == {"ees", "eeb", "ies", "ieb"}
-        assert all(c.isChecked() for c in chips.values())
+        # Instrument chips (all pre-checked) + year chips: only the FAST
+        # coverage window 1996-2009 is offered (reference GUI:74), with
+        # 2000 pre-selected -- the year range is valid by construction.
+        year_texts = {str(y) for y in range(1996, 2010)}
+        assert set(chips) == {"ees", "eeb", "ies", "ieb"} | year_texts
+        assert all(chips[i].isChecked() for i in ("ees", "eeb", "ies", "ieb"))
+        assert chips["2000"].isChecked()
+        assert not any(chips[y].isChecked() for y in year_texts - {"2000"})
         chips["ieb"].click()  # deselect one instrument
         assert chips["ieb"].property("selected") == "false"
+        chips["2000"].click()  # swap the year selection to 2001
+        chips["2001"].click()
         edits = _edits_by_name(page, headless_qt)
-        edits["Years"].setText("2001")
         edits["Data folder"].setText(str(tmp_path))
         status, _ = _page_labels(page, headless_qt)
         _button(page, headless_qt, "Download").click()
@@ -183,6 +190,58 @@ def test_download_page_chips_feed_the_runner(gui, monkeypatch, tmp_path):
     recorded = json.loads(marker.read_text())
     assert recorded["args"][0] == [2001]
     assert sorted(recorded["args"][1]) == ["eeb", "ees", "ies"]  # no ieb
+
+
+def test_download_page_requires_a_year(gui, monkeypatch, tmp_path):
+    """Deselecting every year chip must refuse to start (the reference CLI
+    validates the 1996-2009 range, reference FAST_CDF_download.py:40-68;
+    the chips make out-of-range impossible and empty-selection an error)."""
+    from configurable_spectrograms_tpu.gui import headless_qt
+
+    def hook(app):
+        win = app.topLevelWidgets()[0]
+        stack = win.findChildren(headless_qt.QStackedWidget)[0]
+        page = stack.widget(0)
+        chips = _chips_by_text(page, headless_qt)
+        chips["2000"].click()  # now no year selected
+        status, _ = _page_labels(page, headless_qt)
+        _button(page, headless_qt, "Download").click()
+        assert status.text().startswith("Invalid input:")
+        assert "year" in status.text()
+
+    _run(gui, headless_qt, hook)
+
+
+def test_plot_page_percentile_slider_linked(gui):
+    """The noise-percentile slider and its entry stay in sync both ways and
+    the hint note tracks the value (reference GUI:655-698)."""
+    from configurable_spectrograms_tpu.gui import headless_qt
+
+    def hook(app):
+        win = app.topLevelWidgets()[0]
+        stack = win.findChildren(headless_qt.QStackedWidget)[0]
+        page = stack.widget(1)
+        sliders = [w for w in page.findChildren(headless_qt.QSlider)]
+        assert len(sliders) == 1
+        slider = sliders[0]
+        assert (slider.minimum(), slider.maximum()) == (0, 100)
+        edits = _edits_by_name(page, headless_qt)
+        entry = edits["Percentile"]
+        assert slider.value() == 99  # seeded from the field default
+        note = next(w for w in page.findChildren(headless_qt.QLabel)
+                    if w.objectName() == "noteText")
+        assert "top 1%" in note.text()
+        slider.setValue(95)  # slider -> entry
+        assert entry.text() == "95"
+        assert "top 5%" in note.text()
+        entry.type_text("80")  # entry -> slider
+        assert slider.value() == 80
+        entry.type_text("250")  # out of range clamps
+        assert slider.value() == 100 and entry.text() == "100"
+        entry.type_text("not-a-number")  # rejected, keeps the last value
+        assert slider.value() == 100
+
+    _run(gui, headless_qt, hook)
 
 
 def test_plot_page_start_progress_and_stop(gui, monkeypatch, tmp_path):

@@ -251,6 +251,44 @@ def test_probation_group_renders_host_and_measures(rng):
     pending2.wait()
 
 
+def test_soft_drain_cap_adapts_to_healthy_baseline():
+    assert link.bucket_soft_timeout() == link._SOFT_DRAIN_BOOTSTRAP_SEC
+    for _ in range(5):
+        link.note_bucket_drain(0.1)
+    assert link.bucket_soft_timeout() == pytest.approx(2.0)  # floor
+    for _ in range(20):
+        link.note_bucket_drain(1.0)
+    assert link.bucket_soft_timeout() == pytest.approx(6.0)
+
+
+def test_soft_cap_trips_one_giant_stalled_bucket(rng, monkeypatch):
+    """A single slow drain must not hide until it completes (round-4 bench
+    pass 2: 4.75 panels/s with zero detector events): the adaptive soft
+    cap abandons it and host-renders within ~the cap, far inside the
+    300 s hard watchdog."""
+    for _ in range(5):
+        link.note_bucket_drain(0.1)  # healthy baseline -> 2 s cap
+    monkeypatch.setattr(dispatch, "_readback", lambda out_dev: time.sleep(600))
+    t0 = time.monotonic()
+    results = dispatch.device_render_panels([_panel(rng)], 16, 24)
+    elapsed = time.monotonic() - t0
+    assert all(r is not None and "rgba" in r for r in results)  # host fallback
+    assert elapsed < 10, f"soft cap did not bound the drain ({elapsed:.1f}s)"
+    assert link._BACKEND["forced_host"] is True
+    assert link._BACKEND["why_host"] == "slow"
+    # The trip stamps the failure ts so sibling batches fast-trip.
+    assert link._BACKEND["last_dispatch_failure_ts"] > 0
+
+
+def test_slow_trip_stamps_failure_ts_for_siblings():
+    link.note_host_group(8, 0.08)
+    t = _seed_healthy_device()
+    before = link._BACKEND["last_dispatch_failure_ts"]
+    link.note_device_batch(8, t, t + 8 * 0.5)  # severe -> trips
+    assert link._BACKEND["forced_host"] is True
+    assert link._BACKEND["last_dispatch_failure_ts"] > before
+
+
 def test_slow_dispatch_end_to_end_fallback(rng, monkeypatch):
     """Slow-but-completing readbacks (the observed mid-run relay stalls)
     flip the process to the host backend within K batches -- the
