@@ -292,6 +292,25 @@ def _pack_lanes(u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts,
     return np.concatenate([p.reshape(n, -1) for p in parts], axis=1)
 
 
+def _render_kernel() -> str:
+    """``CST_RENDER_KERNEL``: ``xla`` (default) or ``pallas``.
+
+    ``pallas`` routes explicit-bounds log-z buckets through the fused
+    one-HBM-pass collapse+quantize kernel
+    (:func:`..ops.pallas_kernels.fused_quantize_pallas`, 1.24x the XLA
+    chain on real v5e, 344 GB/s effective -- docs/budget.md).  Intended
+    for direct-attached single-chip deployments where chip compute is on
+    the critical path; on relay-style links the ~0.05 ms/figure gain is
+    invisible (and the kernel's 128-lane padding costs upload bytes), so
+    XLA stays the default.  Scope: explicit z bounds (the given-extrema
+    production half; percentile bounds need the sort the kernel omits),
+    log z (the linear path's degenerate-bounds fallback semantics live in
+    the XLA program), unsharded dispatch (a manual kernel cannot be
+    GSPMD-partitioned across a mesh).
+    """
+    return os.environ.get("CST_RENDER_KERNEL", "xla")
+
+
 @functools.lru_cache(maxsize=None)
 def _batched_quantize_fn(spec_key):
     """Build (and cache) the jitted collapse+quantize program for a scale combo.
@@ -316,13 +335,14 @@ def _batched_quantize_fn(spec_key):
 
     from configurable_spectrograms_tpu.ops.spectrogram import (
         RenderSpec,
+        _kept_energy_order,
         collapse_cube,
         quantize_matrix,
     )
 
     import jax.numpy as jnp
 
-    y_scale, z_scale, lo_pct, hi_pct, explicit_bounds, gather_w, Ap, Ep, sharded = spec_key
+    y_scale, z_scale, lo_pct, hi_pct, explicit_bounds, gather_w, Ap, Ep, sharded, kernel = spec_key
     spec = RenderSpec(8, 8, y_scale, z_scale, lo_pct, hi_pct)
     W = max(gather_w, 1)
     off_f32 = 5 * 4
@@ -344,11 +364,36 @@ def _batched_quantize_fn(spec_key):
         ev = row[off_u8 + Ap : off_u8 + Ap + Ep].astype(bool)
         zbev = row[off_u8 + Ap + Ep : off_u8 + Ap + 2 * Ep].astype(bool)
 
-        m = collapse_cube(cubes[u], pm, tv)
-        q = quantize_matrix(
-            m, en, ev, tv, ts, tc, zb, spec,
-            zb_e_valid=zbev, zb_full_time=zbft, skip_percentile=explicit_bounds,
-        )
+        if kernel == "pallas":
+            # One-HBM-pass fused collapse+quantize (see _render_kernel);
+            # the remaining metadata (kept-column order, empty flag) is
+            # cheap XLA from the kernel's col_all_nan output, matching
+            # _analyze_matrix's rules exactly.
+            from configurable_spectrograms_tpu.ops.pallas_kernels import (
+                fused_quantize_pallas,
+            )
+
+            out = fused_quantize_pallas(
+                cubes[u], pm, ev, tv, ts, tc, zb, z_scale=z_scale, t_tile=64
+            )
+            kept_pos, n_kept, flip, y0, y1 = _kept_energy_order(out["col_all_nan"], ev, en)
+            q = {
+                "idx": out["idx"],
+                "kept_pos": kept_pos.astype(jnp.int32),
+                "n_kept": n_kept,
+                "flip": flip,
+                "y0": y0,
+                "y1": y1,
+                "vmin": out["vmin"],
+                "vmax": zb[1],
+                "empty": (n_kept == 0) | (tc <= 0),
+            }
+        else:
+            m = collapse_cube(cubes[u], pm, tv)
+            q = quantize_matrix(
+                m, en, ev, tv, ts, tc, zb, spec,
+                zb_e_valid=zbev, zb_full_time=zbft, skip_percentile=explicit_bounds,
+            )
         idx = q["idx"]
         if gather_w:
             # When the time axis is longer than the pixel width, only <= W
@@ -378,7 +423,14 @@ def _batched_quantize_fn(spec_key):
         meta_bytes = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(-1)
         return jnp.concatenate([idx.reshape(-1), meta_bytes])
 
-    batched = jax.vmap(one, in_axes=(0, None))
+    if kernel == "pallas":
+        # pallas_call's phase/grid logic must not be rewritten by vmap's
+        # batching rule: map lanes sequentially instead (chip compute is
+        # ~1 ms/cube; a bucket's lanes cost single-digit ms).
+        def batched(rows, cubes):
+            return jax.lax.map(lambda r: one(r, cubes), rows)
+    else:
+        batched = jax.vmap(one, in_axes=(0, None))
     if not sharded:
         return jax.jit(batched)
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -417,6 +469,9 @@ class _GroupDispatch:
     #: All panels in the bucket carry explicit z bounds (part of the bucket
     #: key), selecting the sort-free compiled program.
     explicit: bool = False
+    #: Route this bucket through the fused Pallas kernel (see
+    #: :func:`_render_kernel`; requires explicit log-z and Ep%128==0).
+    use_pallas: bool = False
     out_dev: object = None
     # drain-side state (filled by the readback thread)
     done: object = None  # threading.Event
@@ -427,7 +482,7 @@ class _GroupDispatch:
 
 def _prepare_group(panels: list[PanelData], idxs: list[int], Tp: int, Ap: int, Ep: int,
                    y_scale: str, z_scale: str, lo_pct: float, hi_pct: float,
-                   explicit: bool, tile_w: int, mesh) -> tuple[_GroupDispatch, tuple]:
+                   explicit: bool, tile_w: int, mesh, use_pallas: bool = False) -> tuple[_GroupDispatch, tuple]:
     """Build the padded host-side lane arrays for one bucket (no device work)."""
     n = len(idxs)
     n_lanes = n
@@ -490,7 +545,7 @@ def _prepare_group(panels: list[PanelData], idxs: list[int], Tp: int, Ap: int, E
             t_maps[j, :tile_w] = cols
 
     g = _GroupDispatch(idxs, n_lanes, Tp, Ap, Ep, y_scale, z_scale, lo_pct, hi_pct,
-                       t_starts, t_counts, gather_w, explicit)
+                       t_starts, t_counts, gather_w, explicit, use_pallas)
     inputs = (u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
               zb_e_valids, zb_full, t_maps, unique_cubes)
     return g, inputs
@@ -510,7 +565,7 @@ def _enqueue_group(g: _GroupDispatch, inputs: tuple, mesh) -> object:
     cubes = _stack_cubes(unique_cubes, g.Tp, g.Ap, g.Ep, mesh)
     fn = _batched_quantize_fn(
         (g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, g.explicit, g.gather_w,
-         g.Ap, g.Ep, mesh is not None)
+         g.Ap, g.Ep, mesh is not None, "pallas" if g.use_pallas else "xla")
     )
     rows = _pack_lanes(u_idx, masks, t_valids, energies, e_valids, t_starts,
                        t_counts, z_bounds, zb_e_valids, zb_full, t_maps)
@@ -883,18 +938,25 @@ def enqueue_render_panels(panels: list[PanelData], tile_h: int, tile_w: int,
     if not panels:
         return PendingRender(panels, tile_h, tile_w, [], [])
     groups: dict[tuple, list[int]] = {}
+    want_pallas = _render_kernel() == "pallas"
     for i, p in enumerate(panels):
         T, A, E = p.cube.shape
+        explicit = p.z_min is not None and p.z_max is not None
+        # The fused Pallas route (see _render_kernel) needs Ep%128==0; the
+        # extra NaN padding is free on a direct-attached chip and the
+        # bucket key keeps the routed and unrouted programs distinct.
+        use_pallas = want_pallas and explicit and p.z_scale == "log"
         key = (
             _bucket(T, 256, 64),
             _bucket(A, 8, 8),
-            _bucket(E, 8, 8),
+            _bucket(E, 128, 128) if use_pallas else _bucket(E, 8, 8),
             p.y_scale,
             p.z_scale,
             float(p.low_percentile),
             float(p.high_percentile),
             # Explicit-bounds panels compile a sort-free program.
-            p.z_min is not None and p.z_max is not None,
+            explicit,
+            use_pallas,
         )
         groups.setdefault(key, []).append(i)
 
@@ -911,14 +973,19 @@ def enqueue_render_panels(panels: list[PanelData], tile_h: int, tile_w: int,
     dispatches: list[_GroupDispatch] = []
     from configurable_spectrograms_tpu.utils.timing import active_stage
 
-    for (Tp, Ap, Ep, y_scale, z_scale, lo_pct, hi_pct, explicit), idxs in groups.items():
+    for (Tp, Ap, Ep, y_scale, z_scale, lo_pct, hi_pct, explicit, use_pallas), idxs in groups.items():
         if _host_backend_active() or latency_host or take_probation():
             with active_stage("host_quantize"):
                 _render_group_host(panels, idxs, tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct, results)
             continue
         mesh = _render_mesh()
+        if use_pallas and mesh is not None:
+            # A manual kernel cannot be GSPMD-partitioned over the mesh;
+            # sharded dispatch keeps the vmapped XLA program (the wider
+            # Ep bucket is harmless there).
+            use_pallas = False
         g, inputs = _prepare_group(panels, idxs, Tp, Ap, Ep, y_scale, z_scale,
-                                   lo_pct, hi_pct, explicit, tile_w, mesh)
+                                   lo_pct, hi_pct, explicit, tile_w, mesh, use_pallas)
         timeout = _dispatch_timeout()
         with active_stage("device_dispatch"):
             ok, out_dev = _bounded_call(lambda g=g, inputs=inputs: _enqueue_group(g, inputs, mesh), timeout)

@@ -81,3 +81,79 @@ def test_fused_quantize_pallas_shape_gate():
             jnp.zeros((100, 4, 120)), jnp.ones(4, bool), jnp.ones(120, bool),
             100, 0, 100, jnp.asarray([0.0, 1.0]),
         )
+
+
+def test_render_kernel_pallas_production_switch(rng, monkeypatch):
+    """CST_RENDER_KERNEL=pallas routes explicit-bounds log-z buckets through
+    the fused kernel inside the production dispatch (VERDICT round-3
+    item 3) with results identical to the default XLA program; percentile
+    and linear-z buckets keep the XLA path."""
+    from configurable_spectrograms_tpu.render import dispatch, link
+    from configurable_spectrograms_tpu.render.tile import TimeWindow
+
+    monkeypatch.setitem(link._BACKEND, "mode", "device")
+    monkeypatch.setitem(link._BACKEND, "forced_host", False)
+    monkeypatch.setenv("CST_DATA_MESH", "0")  # single-device: the pallas scope
+
+    def panels():
+        out = []
+        for k in range(3):
+            T, A, E = 48 + k, 6, 12
+            cube = (rng.random((T, A, E)) * 1e3).astype(np.float32)
+            cube[rng.random((T, A, E)) < 0.05] = np.nan
+            out.append(dispatch.PanelData(
+                cube=cube, pitch_mask=np.ones(A, bool),
+                energy=np.geomspace(4000, 10, E).astype(np.float32),
+                times=np.arange(T, dtype=np.float64),
+                window=TimeWindow(0, T, (0.0, float(T - 1)), (0.0, float(T - 1))),
+                y_min=0.0, y_max=4000.0,
+                z_min=1.0, z_max=900.0,  # explicit bounds: the routed case
+                y_scale="log", z_scale="log", colormap="inferno",
+                x_is_unix=False, z_label="Counts",
+            ))
+        # One percentile-bounds panel: must stay on the XLA program.
+        p = out[0]
+        q = dispatch.PanelData(**{**p.__dict__, "z_min": None, "z_max": None})
+        return out + [q]
+
+    ps = panels()
+    base = dispatch.device_render_panels(ps, 16, 24)
+    monkeypatch.setenv("CST_RENDER_KERNEL", "pallas")
+    dispatch._batched_quantize_fn.cache_clear()
+    routed = dispatch.device_render_panels(ps, 16, 24)
+    dispatch._batched_quantize_fn.cache_clear()
+    for b, r in zip(base, routed):
+        assert b.keys() == r.keys()
+        np.testing.assert_array_equal(b["rgba"], r["rgba"])
+        assert b["vmin"] == pytest.approx(r["vmin"])
+        assert b["vmax"] == pytest.approx(r["vmax"])
+
+
+def test_render_kernel_pallas_stays_xla_when_sharded(rng, monkeypatch):
+    """Under a mesh the manual kernel cannot be partitioned: the dispatch
+    must keep the sharded XLA program (and still span all devices)."""
+    import jax
+
+    from configurable_spectrograms_tpu.render import dispatch, link
+    from configurable_spectrograms_tpu.render.tile import TimeWindow
+
+    monkeypatch.setitem(link._BACKEND, "mode", "device")
+    monkeypatch.setitem(link._BACKEND, "forced_host", False)
+    monkeypatch.setenv("CST_DATA_MESH", "1")
+    monkeypatch.setenv("CST_RENDER_KERNEL", "pallas")
+    dispatch._batched_quantize_fn.cache_clear()
+    T, A, E = 48, 6, 12
+    cube = (rng.random((T, A, E)) * 1e3).astype(np.float32)
+    panel = dispatch.PanelData(
+        cube=cube, pitch_mask=np.ones(A, bool),
+        energy=np.geomspace(4000, 10, E).astype(np.float32),
+        times=np.arange(T, dtype=np.float64),
+        window=TimeWindow(0, T, (0.0, float(T - 1)), (0.0, float(T - 1))),
+        y_min=0.0, y_max=4000.0, z_min=1.0, z_max=900.0,
+        y_scale="log", z_scale="log", colormap="inferno",
+        x_is_unix=False, z_label="Counts",
+    )
+    results = dispatch.device_render_panels([panel], 16, 24)
+    assert "rgba" in results[0]
+    assert dispatch.LAST_DISPATCH["devices"] == len(jax.devices())
+    dispatch._batched_quantize_fn.cache_clear()

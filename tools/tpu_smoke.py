@@ -130,6 +130,55 @@ def main() -> int:
         for key in ("vmin", "vmax", "y0", "y1", "n_kept", "empty"):
             if not np.isclose(float(d[key]), float(h[key]), rtol=1e-6, atol=0):
                 mismatches.append({"panel": i, "what": key, "device": float(d[key]), "host": float(h[key])})
+    # Pallas production-switch row (CST_RENDER_KERNEL=pallas): re-render the
+    # explicit-bounds log-z panels -- the routed scope -- through the fused
+    # one-HBM-pass kernel and hold it to the same +-1-colormap-bin contract
+    # against the host, with a steady-state ms/cube figure for the routed
+    # device pass (docs/budget.md quotes the kernel-only microbench; this is
+    # the end-to-end production path).
+    pallas_report = None
+    if jax.default_backend() == "tpu":
+        routed = [p for p in panels if p.z_min is not None and p.z_scale == "log"]
+        routed_host = [h for p, h in zip(panels, host) if p.z_min is not None and p.z_scale == "log"]
+        import os as _os
+        import time as _time
+
+        from configurable_spectrograms_tpu.render import dispatch as _dispatch
+
+        _os.environ["CST_RENDER_KERNEL"] = "pallas"
+        _dispatch._batched_quantize_fn.cache_clear()
+        figure._BACKEND["mode"] = "device"
+        try:
+            device_render_panels(routed, 48, 96)  # compile warmup
+            t0 = _time.perf_counter()
+            routed_dev = device_render_panels(routed, 48, 96)
+            dt = _time.perf_counter() - t0
+            bad = 0
+            max_delta = 0
+            for d, h in zip(routed_dev, routed_host):
+                diff_mask = (d["rgba"] != h["rgba"]).any(axis=-1)
+                for y, x in zip(*np.nonzero(diff_mask)):
+                    di = index_of.get(tuple(int(c) for c in d["rgba"][y, x]))
+                    hi = index_of.get(tuple(int(c) for c in h["rgba"][y, x]))
+                    delta = 999 if di is None or hi is None else abs(di - hi)
+                    max_delta = max(max_delta, delta)
+                    if delta > 1:
+                        bad += 1
+            pallas_report = {
+                "kernel": "pallas",
+                "panels": len(routed),
+                "ms_per_cube": round(dt * 1e3 / max(len(routed), 1), 3),
+                "max_colormap_bin_delta": max_delta,
+            }
+            if bad:
+                mismatches.append({"what": "pallas kernel beyond +-1 bin", "bad_pixels": bad})
+        except Exception as exc:  # keep the one-JSON-line contract on link decay
+            pallas_report = {"kernel": "pallas", "status": "skipped", "reason": str(exc)[:200]}
+        finally:
+            _os.environ.pop("CST_RENDER_KERNEL", None)
+            _dispatch._batched_quantize_fn.cache_clear()
+            figure._BACKEND["mode"] = "auto"
+
     print(
         json.dumps(
             {
@@ -137,6 +186,7 @@ def main() -> int:
                 "panels": len(panels),
                 "backend": jax.default_backend(),
                 "panel_reports": reports,
+                "pallas_kernel": pallas_report,
                 "mismatches": mismatches,
             }
         )
