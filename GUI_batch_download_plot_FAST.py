@@ -533,32 +533,49 @@ def run_qt() -> int:
         note.setWordWrap(True)
 
         def _note_text(value: float) -> str:
-            if value <= 0:
-                return "0: no shared bounds pre-pass; every figure scales to its own data."
-            return (f"Shared color bounds clip the top {100 - value:g}% of pooled "
-                    f"samples (z_max at the {value:g}th percentile) across the archive.")
+            # Reference hint wording (reference GUI:1437-1443); the value
+            # always reaches the extrema pre-pass as a float -- there is no
+            # disable-at-0 mode, exactly as in the reference's PlotWorker.
+            return (f"Current value: {value:.1f}  — pixels above this "
+                    "percentile of the data range are clipped as noise. "
+                    "It is suggested to keep this above 90.")
+
+        # The committed value survives invalid entry text (reference
+        # _on_entry_changed restores self.max_processing_percentile).
+        committed = {"v": 90.0}
 
         def _from_slider(v: int) -> None:
+            committed["v"] = float(v)
             if entry.text() != str(v):
                 entry.setText(str(v))
-            note.setText(_note_text(v))
+            note.setText(_note_text(float(v)))
 
         def _from_entry() -> None:
+            # Reference semantics (reference GUI:1424-1435): keep the
+            # FLOAT (99.5 stays 99.5), clamp to 0-100, restore the last
+            # committed value on junk, round only the slider position, and
+            # rewrite the entry as %.1f.
             try:
-                v = min(100, max(0, int(float(entry.text() or "0"))))
+                v = min(100.0, max(0.0, float(entry.text().strip())))
             except ValueError:
-                v = slider.value()
-            entry.setText(str(v))
-            slider.setValue(v)
+                v = committed["v"]
+            committed["v"] = v
+            slider.blockSignals(True)
+            slider.setValue(int(round(v)))
+            slider.blockSignals(False)
+            entry.setText(f"{v:.1f}")
             note.setText(_note_text(v))
 
         slider.valueChanged.connect(_from_slider)
         entry.editingFinished.connect(_from_entry)
         try:
-            slider.setValue(int(float(entry.text())))
+            committed["v"] = min(100.0, max(0.0, float(entry.text())))
+            slider.blockSignals(True)
+            slider.setValue(int(round(committed["v"])))
+            slider.blockSignals(False)
         except ValueError:
             pass
-        note.setText(_note_text(slider.value()))
+        note.setText(_note_text(committed["v"]))
         row.addWidget(slider)
         layout.addLayout(row)
         layout.addWidget(note)
@@ -694,7 +711,7 @@ def run_qt() -> int:
         "Plot",
         _page(
             [("Data folder", "./FAST_data/"), ("Output folder", "./FAST_plots/"),
-             ("Percentile", "99"), ("Scale combos", "all"), ("Cusp style", "both")],
+             ("Percentile", "90.0"), ("Scale combos", "all"), ("Cusp style", "both")],
             "Plot",
             lambda v: ActionRunner(
                 plot_in_process,

@@ -51,6 +51,8 @@ class _BoundSignal:
             self._slots.remove(slot)
 
     def emit(self, *args) -> None:
+        if getattr(self._owner, "_signals_blocked", False):
+            return  # QObject.blockSignals(True) swallows emissions, as in Qt
         app = QApplication.instance()
         if app is not None and threading.current_thread() is not app._gui_thread:
             app._post(lambda: self._deliver(*args))
@@ -130,6 +132,12 @@ class QObject:
 
     def property(self, name: str):
         return self._properties.get(name)
+
+    def blockSignals(self, block: bool) -> bool:
+        """Suppress signal emission while *block* is True (Qt semantics)."""
+        prev = getattr(self, "_signals_blocked", False)
+        self._signals_blocked = bool(block)
+        return prev
 
 
 class _ColorScheme:

@@ -30,6 +30,8 @@ from configurable_spectrograms_tpu.render.link import (
     _bounded_call,
     _dispatch_timeout,
     _host_backend_active,
+    _host_sec_per_panel,
+    _SLOW_FACTOR,
     bucket_soft_timeout,
     force_host_after_dispatch_failure,
     force_host_slow,
@@ -478,6 +480,11 @@ class _GroupDispatch:
     packed: np.ndarray | None = None
     error: BaseException | None = None
     xfer: float = 0.0
+    #: perf_counter stamp when the readback landed; the soft-cap baseline
+    #: charges each bucket only the wall time past its predecessor's
+    #: completion (``xfer`` alone is cumulative under concurrent drains
+    #: and would inflate the baseline by the batch's bucket count).
+    done_ts: float = 0.0
 
 
 def _prepare_group(panels: list[PanelData], idxs: list[int], Tp: int, Ap: int, Ep: int,
@@ -693,6 +700,7 @@ class PendingRender:
         import threading
         import time as _time
 
+        self._drain_t0 = _time.perf_counter()
         for g in self.dispatches:
             g.done = threading.Event()
 
@@ -703,7 +711,8 @@ class PendingRender:
                 except BaseException as exc:
                     g.error = exc
                 finally:
-                    g.xfer = _time.perf_counter() - t0
+                    g.done_ts = _time.perf_counter()
+                    g.xfer = g.done_ts - t0
                     g.done.set()
 
             threading.Thread(target=_read, daemon=True, name="device-readback").start()
@@ -736,6 +745,13 @@ class PendingRender:
         # watchdog would.
         deadline = _time.monotonic() + timeout
         watchdog_tripped = False
+        # Incremental drain accounting: all readback threads start together
+        # and the device serializes buckets, so a bucket's ``xfer`` (thread
+        # start -> landed) includes every predecessor's compute+transfer.
+        # The soft-cap baseline must see per-bucket cost, not cumulative
+        # wall clock -- charge each bucket only the time past the previous
+        # completion.
+        prev_done = self._drain_t0
         for i, g in enumerate(self.dispatches):
             if (
                 not watchdog_tripped
@@ -761,19 +777,55 @@ class PendingRender:
                     if _BACKEND["mode"] == "auto":
                         budget = min(hard_left, bucket_soft_timeout())
                     ok = g.done.wait(timeout=budget) and g.error is None
-                    soft_expired = not ok and g.error is None and budget < hard_left
+                    if not ok and g.error is None and budget < hard_left:
+                        # Soft cap expired.  The same two-gate rule as
+                        # note_device_batch applies before abandoning the
+                        # device: the cap spent so far is only a LOWER
+                        # bound on this bucket's cost, so the host
+                        # replacement must beat that bound to justify a
+                        # switch.  When it cannot (or there is no host
+                        # measurement to compare against on this bucket's
+                        # own evidence -- see below), a slow device is
+                        # still the fastest backend available: wait out
+                        # the hard budget instead of crawling on the host.
+                        host_spp = _host_sec_per_panel()
+                        implied_spp = budget / max(len(g.idxs), 1)
+                        if host_spp is not None and implied_spp <= host_spp / _SLOW_FACTOR:
+                            ok = (
+                                g.done.wait(timeout=max(0.0, deadline - _time.monotonic()))
+                                and g.error is None
+                            )
+                        else:
+                            soft_expired = True
             if ok:
                 deadline = _time.monotonic() + timeout
-                note_bucket_drain(g.xfer)
+                if not watchdog_tripped:
+                    # Skip recording after a trip: those buckets' timings
+                    # are stall-inflated, not healthy baselines.
+                    note_bucket_drain(g.done_ts - prev_done)
+                prev_done = max(prev_done, g.done_ts)
                 self._handle_completed(g, first=(i == 0))
                 continue
             if g.error is not None:
                 raise g.error
             if soft_expired and not watchdog_tripped:
+                host_spp = _host_sec_per_panel()
+                if host_spp is None:
+                    # Degraded beyond the soft cap but no host measurement
+                    # yet: render THIS bucket host-side (which times the
+                    # host, arming the comparison for the next bucket)
+                    # without flipping the whole process on no evidence --
+                    # the probation analog of note_device_batch's gate 2.
+                    with active_stage("host_quantize"):
+                        _render_group_host(self.panels, g.idxs, self.tile_h, self.tile_w,
+                                           g.y_scale, g.z_scale, g.lo_pct, g.hi_pct,
+                                           self.results)
+                    continue
                 watchdog_tripped = True
                 force_host_slow(
                     "[BACKEND] device bucket drain exceeded the adaptive soft cap "
-                    f"({bucket_soft_timeout():.1f}s); finishing on the host backend "
+                    f"({bucket_soft_timeout():.1f}s) with the host replacement "
+                    "measurably faster; finishing on the host backend "
                     "(reprobe may restore the device)"
                 )
                 with active_stage("host_quantize"):
@@ -939,13 +991,26 @@ def enqueue_render_panels(panels: list[PanelData], tile_h: int, tile_w: int,
         return PendingRender(panels, tile_h, tile_w, [], [])
     groups: dict[tuple, list[int]] = {}
     want_pallas = _render_kernel() == "pallas"
+    if want_pallas and _render_mesh() is not None:
+        # A manual kernel cannot be GSPMD-partitioned over the mesh, and
+        # deciding here (before bucketing) keeps sharded deployments on
+        # the narrow Ep=_bucket(E,8,8) buckets -- the 128-lane pad would
+        # otherwise inflate every cube upload ~2.7x for a kernel that
+        # never runs.
+        want_pallas = False
     for i, p in enumerate(panels):
         T, A, E = p.cube.shape
         explicit = p.z_min is not None and p.z_max is not None
         # The fused Pallas route (see _render_kernel) needs Ep%128==0; the
         # extra NaN padding is free on a direct-attached chip and the
         # bucket key keeps the routed and unrouted programs distinct.
-        use_pallas = want_pallas and explicit and p.z_scale == "log"
+        # The kernel's contract also needs finite bounds with
+        # vmax > vmin (ops/pallas_kernels.fused_quantize_pallas); the XLA
+        # program keeps handling degenerate/inverted explicit bounds.
+        use_pallas = (
+            want_pallas and explicit and p.z_scale == "log"
+            and np.isfinite(p.z_min) and np.isfinite(p.z_max) and p.z_max > p.z_min
+        )
         key = (
             _bucket(T, 256, 64),
             _bucket(A, 8, 8),
@@ -979,10 +1044,10 @@ def enqueue_render_panels(panels: list[PanelData], tile_h: int, tile_w: int,
                 _render_group_host(panels, idxs, tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct, results)
             continue
         mesh = _render_mesh()
-        if use_pallas and mesh is not None:
-            # A manual kernel cannot be GSPMD-partitioned over the mesh;
-            # sharded dispatch keeps the vmapped XLA program (the wider
-            # Ep bucket is harmless there).
+        if use_pallas and mesh is not None:  # pragma: no cover - defensive
+            # Bucketing already demoted pallas under a mesh (above); this
+            # guard only matters if the mesh appeared between the two
+            # _render_mesh() calls.
             use_pallas = False
         g, inputs = _prepare_group(panels, idxs, Tp, Ap, Ep, y_scale, z_scale,
                                    lo_pct, hi_pct, explicit, tile_w, mesh, use_pallas)

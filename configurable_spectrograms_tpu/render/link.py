@@ -246,9 +246,10 @@ def note_device_batch(n_panels: int, enqueued_ts: float, done_ts: float) -> None
        measurement yet, a probation host render is armed instead of
        tripping blind (it produces real results AND the measurement).
 
-    Sustained for ``_SLOW_STREAK_K`` consecutive batches (or one severe
-    4x-over-threshold batch), the remainder of the run renders host-side;
-    the periodic link reprobe can restore the device later.
+    Sustained for ``_SLOW_STREAK_K`` consecutive batches (default 2), or
+    one severe batch at more than 2x the threshold, the remainder of the
+    run renders host-side; the periodic link reprobe can restore the
+    device later.
     """
     if n_panels <= 0:
         return

@@ -227,19 +227,24 @@ def test_plot_page_percentile_slider_linked(gui):
         assert (slider.minimum(), slider.maximum()) == (0, 100)
         edits = _edits_by_name(page, headless_qt)
         entry = edits["Percentile"]
-        assert slider.value() == 99  # seeded from the field default
+        assert slider.value() == 90  # seeded from the field default (reference GUI:96)
         note = next(w for w in page.findChildren(headless_qt.QLabel)
                     if w.objectName() == "noteText")
-        assert "top 1%" in note.text()
+        assert "Current value: 90.0" in note.text()
         slider.setValue(95)  # slider -> entry
         assert entry.text() == "95"
-        assert "top 5%" in note.text()
+        assert "Current value: 95.0" in note.text()
         entry.type_text("80")  # entry -> slider
         assert slider.value() == 80
+        # Fractional percentiles survive (reference _on_entry_changed keeps
+        # the float and rewrites the entry as %.1f, reference GUI:1424-1435).
+        entry.type_text("99.5")
+        assert slider.value() == 100 and entry.text() == "99.5"
+        assert "Current value: 99.5" in note.text()
         entry.type_text("250")  # out of range clamps
-        assert slider.value() == 100 and entry.text() == "100"
-        entry.type_text("not-a-number")  # rejected, keeps the last value
-        assert slider.value() == 100
+        assert slider.value() == 100 and entry.text() == "100.0"
+        entry.type_text("not-a-number")  # rejected, restores the committed value
+        assert slider.value() == 100 and entry.text() == "100.0"
 
     _run(gui, headless_qt, hook)
 

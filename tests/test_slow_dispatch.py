@@ -263,11 +263,12 @@ def test_soft_drain_cap_adapts_to_healthy_baseline():
 
 def test_soft_cap_trips_one_giant_stalled_bucket(rng, monkeypatch):
     """A single slow drain must not hide until it completes (round-4 bench
-    pass 2: 4.75 panels/s with zero detector events): the adaptive soft
-    cap abandons it and host-renders within ~the cap, far inside the
-    300 s hard watchdog."""
+    pass 2: 4.75 panels/s with zero detector events): with the host
+    measurably faster, the adaptive soft cap abandons it and host-renders
+    within ~the cap, far inside the 300 s hard watchdog."""
     for _ in range(5):
         link.note_bucket_drain(0.1)  # healthy baseline -> 2 s cap
+    link.note_host_group(8, 0.08)  # measured host: 0.01 s/panel, far faster
     monkeypatch.setattr(dispatch, "_readback", lambda out_dev: time.sleep(600))
     t0 = time.monotonic()
     results = dispatch.device_render_panels([_panel(rng)], 16, 24)
@@ -278,6 +279,47 @@ def test_soft_cap_trips_one_giant_stalled_bucket(rng, monkeypatch):
     assert link._BACKEND["why_host"] == "slow"
     # The trip stamps the failure ts so sibling batches fast-trip.
     assert link._BACKEND["last_dispatch_failure_ts"] > 0
+
+
+def test_soft_cap_expiry_without_host_evidence_does_not_force(rng, monkeypatch):
+    """Two-gate rule on the drain path: a soft-cap expiry with NO host
+    measurement host-renders that bucket (producing the measurement) but
+    must not flip the whole process to the host backend on no evidence."""
+    for _ in range(5):
+        link.note_bucket_drain(0.1)
+    assert link._host_sec_per_panel() is None
+    monkeypatch.setattr(dispatch, "_readback", lambda out_dev: time.sleep(600))
+    t0 = time.monotonic()
+    results = dispatch.device_render_panels([_panel(rng)], 16, 24)
+    elapsed = time.monotonic() - t0
+    assert all(r is not None and "rgba" in r for r in results)
+    assert elapsed < 10, f"soft cap did not bound the drain ({elapsed:.1f}s)"
+    assert link._BACKEND["forced_host"] is False  # probation-style, not a trip
+    assert link._RATE["host_panels"] > 0  # the host render fed the meter
+
+
+def test_soft_cap_expiry_waits_when_host_is_slower(rng, monkeypatch):
+    """When the measured host replacement would be no faster than even the
+    stalled drain's lower bound, the drain waits out the hard budget on
+    the device instead of crawling on the host."""
+    for _ in range(5):
+        link.note_bucket_drain(0.05)  # healthy baseline -> 2 s cap
+    link.note_host_group(8, 400.0)  # pathological host: 50 s/panel
+
+    def _slow_readback(out_dev):
+        time.sleep(4.0)
+        return np.asarray(out_dev)
+
+    monkeypatch.setattr(dispatch, "_readback", _slow_readback)
+    t0 = time.monotonic()
+    # Two shape-distinct panels -> two buckets, so the "alone" bandwidth
+    # heuristic (which would see the simulated 4 s transfer as a dead
+    # link) stays out of the way; this test pins only the soft-cap wait.
+    results = dispatch.device_render_panels([_panel(rng), _panel(rng, n_e=24)], 16, 24)
+    elapsed = time.monotonic() - t0
+    assert all(r is not None and "rgba" in r for r in results)
+    assert elapsed >= 3.5, "the drain should have waited past the soft cap"
+    assert link._BACKEND["forced_host"] is False
 
 
 def test_slow_trip_stamps_failure_ts_for_siblings():
