@@ -22,6 +22,18 @@ def data_parallel_mesh() -> Mesh | None:
     """
     if os.environ.get("CST_DATA_MESH", "1") == "0":
         return None
+    # Building the mesh enumerates devices, and under a remote-attached
+    # plugin (axon) ``jax.local_devices()`` performs the backend handshake
+    # in THIS thread with no bound -- on a dead link it hangs the caller
+    # forever (observed: a CST_RENDER_BACKEND=host batch driver wedged in
+    # its extrema pre-pass).  Route through the link preflight first: it
+    # probes from a bounded daemon thread, and a forced/pre-selected host
+    # backend never needs the mesh at all.
+    from configurable_spectrograms_tpu.render import link
+
+    link.probe_device_link()
+    if link._host_backend_active():
+        return None
     return _cached_data_mesh()
 
 

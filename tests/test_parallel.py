@@ -124,3 +124,25 @@ def test_init_distributed_forwards_arguments(monkeypatch):
         {},
         {"coordinator_address": "h:1234", "num_processes": 4, "process_id": 1},
     ]
+
+
+def test_data_parallel_mesh_never_enumerates_devices_on_host_backend(monkeypatch):
+    """A forced/pre-selected host backend must get ``None`` WITHOUT touching
+    ``jax.local_devices()``: under a remote-attached plugin (axon) device
+    enumeration performs the backend handshake unbounded in the calling
+    thread, and on a dead link it wedged a CST_RENDER_BACKEND=host batch
+    driver's extrema pre-pass forever (round-4 scale run)."""
+    from configurable_spectrograms_tpu.parallel import mesh as mesh_mod
+    from configurable_spectrograms_tpu.render import link
+
+    monkeypatch.setitem(link._BACKEND, "mode", "host")
+    mesh_mod._cached_data_mesh.cache_clear()
+
+    def _boom():  # the hang, made loud
+        raise AssertionError("jax.local_devices() must not be called on the host backend")
+
+    monkeypatch.setattr(mesh_mod.jax, "local_devices", _boom)
+    try:
+        assert mesh_mod.data_parallel_mesh() is None
+    finally:
+        mesh_mod._cached_data_mesh.cache_clear()
