@@ -74,23 +74,29 @@ def file_extrema_stats(cube: jax.Array, t_valid: jax.Array) -> dict[str, jax.Arr
     return {"counts": counts, "hist": sorted_bincount(flat_bins, HIST_BINS)}
 
 
-@functools.lru_cache(maxsize=2)
-def _batched_stats_fn(sharded: bool):
+@functools.lru_cache(maxsize=4)
+def _batched_stats_fn(sharded: bool, mesh=None):
     """The (cached) jitted per-file stats program, optionally mesh-sharded.
 
     When sharded, files partition over the data-parallel mesh's ``data``
     axis: the per-file reduction needs zero collectives, so each chip scans
     its shard of the archive -- the extrema pre-pass's multi-chip fan-out
     (the host-pooled equivalent is reference fast/extrema.py:245-285).
+    Production callers pass the mesh they already captured:
+    ``data_parallel_mesh()`` is backend-state-dependent (it returns None
+    once the host backend is forced), so re-resolving it here could
+    disagree with the caller's padding mid-flip and raise.
     """
     batched = jax.vmap(file_extrema_stats)
     if not sharded:
         return jax.jit(batched)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from configurable_spectrograms_tpu.parallel.mesh import data_parallel_mesh
+    if mesh is None:
+        from configurable_spectrograms_tpu.parallel.mesh import data_parallel_mesh
 
-    lane = NamedSharding(data_parallel_mesh(), P("data"))
+        mesh = data_parallel_mesh()
+    lane = NamedSharding(mesh, P("data"))
     return jax.jit(batched, in_shardings=(lane, lane), out_shardings=lane)
 
 
@@ -192,7 +198,7 @@ def batched_file_stats(cubes: list[np.ndarray]) -> list[dict[str, np.ndarray]]:
             args = (jax.device_put(batch, lane_sh), jax.device_put(t_valids, lane_sh))
         else:
             args = (jnp.asarray(batch), jnp.asarray(t_valids))
-        out = _batched_stats_fn(mesh is not None)(*args)
+        out = _batched_stats_fn(mesh is not None, mesh)(*args)
         LAST_DISPATCH["lanes"] = n_lanes
         LAST_DISPATCH["devices"] = len(getattr(out["counts"].sharding, "device_set", ())) or 1
         return np.asarray(out["counts"]), np.asarray(out["hist"])

@@ -314,7 +314,7 @@ def _render_kernel() -> str:
 
 
 @functools.lru_cache(maxsize=None)
-def _batched_quantize_fn(spec_key):
+def _batched_quantize_fn(spec_key, mesh=None):
     """Build (and cache) the jitted collapse+quantize program for a scale combo.
 
     Cubes are passed once (deduplicated) and gathered per panel lane, so a
@@ -437,7 +437,12 @@ def _batched_quantize_fn(spec_key):
         return jax.jit(batched)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    mesh = _render_mesh()
+    if mesh is None:
+        # Test/direct callers; production passes the mesh it already
+        # captured -- _render_mesh() is backend-state-dependent (None once
+        # the host backend is forced) and re-resolving it here could
+        # disagree with the caller's lane padding mid-flip and raise.
+        mesh = _render_mesh()
     lane = NamedSharding(mesh, P("data"))
     replicated = NamedSharding(mesh, P())
     return jax.jit(batched, in_shardings=(lane, replicated), out_shardings=lane)
@@ -572,7 +577,8 @@ def _enqueue_group(g: _GroupDispatch, inputs: tuple, mesh) -> object:
     cubes = _stack_cubes(unique_cubes, g.Tp, g.Ap, g.Ep, mesh)
     fn = _batched_quantize_fn(
         (g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, g.explicit, g.gather_w,
-         g.Ap, g.Ep, mesh is not None, "pallas" if g.use_pallas else "xla")
+         g.Ap, g.Ep, mesh is not None, "pallas" if g.use_pallas else "xla"),
+        mesh,
     )
     rows = _pack_lanes(u_idx, masks, t_valids, energies, e_valids, t_starts,
                        t_counts, z_bounds, zb_e_valids, zb_full, t_maps)
@@ -745,6 +751,7 @@ class PendingRender:
         # watchdog would.
         deadline = _time.monotonic() + timeout
         watchdog_tripped = False
+        probation_used = False
         # Incremental drain accounting: all readback threads start together
         # and the device serializes buckets, so a bucket's ``xfer`` (thread
         # start -> landed) includes every predecessor's compute+transfer.
@@ -820,6 +827,16 @@ class PendingRender:
                         _render_group_host(self.panels, g.idxs, self.tile_h, self.tile_w,
                                            g.y_scale, g.z_scale, g.lo_pct, g.hi_pct,
                                            self.results)
+                    # The stall + host render consumed shared budget/clock:
+                    # give the next bucket a fresh hard deadline (every
+                    # completion path does) and advance the incremental
+                    # drain origin so the stalled window is never recorded
+                    # as a later bucket's "healthy" drain time; flag the
+                    # batch so its wall clock (inflated by the stall and
+                    # the host render) stays out of the device meter.
+                    deadline = _time.monotonic() + timeout
+                    prev_done = _time.perf_counter()
+                    probation_used = True
                     continue
                 watchdog_tripped = True
                 force_host_slow(
@@ -853,11 +870,14 @@ class PendingRender:
             with active_stage("host_quantize"):
                 _render_group_host(self.panels, g.idxs, self.tile_h, self.tile_w,
                                    g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, self.results)
-        if not watchdog_tripped:
+        if not watchdog_tripped and not probation_used:
             # Every bucket landed on the device: feed the slow-dispatch
             # detector (link.note_device_batch) with this batch's panel
             # count and completion time.  Watchdog trips already forced
-            # the host backend, so they carry no extra signal.
+            # the host backend (no extra signal), and a probation batch's
+            # wall clock is inflated by the stall wait + the host render
+            # of host-rendered panels -- billing it to the device meter
+            # would let one transient stall trip the run on bad data.
             note_device_batch(
                 sum(len(g.idxs) for g in self.dispatches),
                 self.enqueued_ts,

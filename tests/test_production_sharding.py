@@ -258,7 +258,7 @@ def test_hung_extrema_dispatch_falls_back_to_host(rng, monkeypatch):
     monkeypatch.setitem(figure._BACKEND, "probed", True)
     monkeypatch.setenv("CST_DEVICE_DISPATCH_TIMEOUT", "1")
 
-    def hung_fn(sharded):
+    def hung_fn(sharded, mesh=None):
         def run(batch, t_valids):
             time.sleep(600)
 
