@@ -220,6 +220,29 @@ def _padded_device_cube(cube: np.ndarray, Tp: int, Ap: int, Ep: int):
     return _DEVICE_CUBE_CACHE.insert(key, arr, (cube,))
 
 
+def _stack_cache_key(unique_cubes: list[np.ndarray], Tp: int, Ap: int, Ep: int, mesh) -> tuple:
+    """Cache key of one bucket's assembled device stack (single source of
+    truth for :func:`_stack_cubes` and the upload estimators)."""
+    return ("stack", tuple(id(c) for c in unique_cubes), Tp, Ap, Ep,
+            tuple(d.id for d in mesh.devices.flat) if mesh is not None else None)
+
+
+def _group_upload_bytes(unique_cubes: list[np.ndarray], Tp: int, Ap: int, Ep: int, mesh) -> int:
+    """Bytes this bucket's dispatch would ship over the link right now.
+
+    A resident assembled stack costs nothing; otherwise each un-resident
+    cube pays its padded size.  (The packed lane rows are a few KB and
+    ignored.)
+    """
+    if _DEVICE_CUBE_CACHE.get(_stack_cache_key(unique_cubes, Tp, Ap, Ep, mesh)) is not None:
+        return 0
+    total = 0
+    for c in unique_cubes:
+        if _DEVICE_CUBE_CACHE.get((id(c), Tp, Ap, Ep)) is None:
+            total += Tp * Ap * Ep * 4
+    return total
+
+
 def _stack_cubes(unique_cubes: list[np.ndarray], Tp: int, Ap: int, Ep: int, mesh):
     """The (n_unique, Tp, Ap, Ep) dispatch input, preferring resident cubes.
 
@@ -241,8 +264,7 @@ def _stack_cubes(unique_cubes: list[np.ndarray], Tp: int, Ap: int, Ep: int, mesh
     import jax
     import jax.numpy as jnp
 
-    stack_key = ("stack", tuple(id(c) for c in unique_cubes), Tp, Ap, Ep,
-                 tuple(d.id for d in mesh.devices.flat) if mesh is not None else None)
+    stack_key = _stack_cache_key(unique_cubes, Tp, Ap, Ep, mesh)
     hit = _DEVICE_CUBE_CACHE.get(stack_key)
     if hit is not None:
         return hit
@@ -479,6 +501,9 @@ class _GroupDispatch:
     #: Route this bucket through the fused Pallas kernel (see
     #: :func:`_render_kernel`; requires explicit log-z and Ep%128==0).
     use_pallas: bool = False
+    #: Fresh H2D bytes this bucket's dispatch shipped (0 on cache hits);
+    #: sizes the drain soft cap's upload allowance.
+    upload_bytes: int = 0
     out_dev: object = None
     # drain-side state (filled by the readback thread)
     done: object = None  # threading.Event
@@ -574,6 +599,7 @@ def _enqueue_group(g: _GroupDispatch, inputs: tuple, mesh) -> object:
     """
     (u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts, z_bounds,
      zb_e_valids, zb_full, t_maps, unique_cubes) = inputs
+    g.upload_bytes = _group_upload_bytes(unique_cubes, g.Tp, g.Ap, g.Ep, mesh)
     cubes = _stack_cubes(unique_cubes, g.Tp, g.Ap, g.Ep, mesh)
     fn = _batched_quantize_fn(
         (g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, g.explicit, g.gather_w,
@@ -772,6 +798,7 @@ class PendingRender:
                 # landed, host-render the rest immediately.
                 watchdog_tripped = True
             soft_expired = False
+            stall_waited = False
             with active_stage("device_readback"):
                 if watchdog_tripped:
                     # A transfer already hung on this link; don't wait the
@@ -782,7 +809,10 @@ class PendingRender:
                     hard_left = max(0.0, deadline - _time.monotonic())
                     budget = hard_left
                     if _BACKEND["mode"] == "auto":
-                        budget = min(hard_left, bucket_soft_timeout())
+                        budget = min(
+                            hard_left,
+                            bucket_soft_timeout(len(g.idxs), g.upload_bytes),
+                        )
                     ok = g.done.wait(timeout=budget) and g.error is None
                     if not ok and g.error is None and budget < hard_left:
                         # Soft cap expired.  The same two-gate rule as
@@ -798,6 +828,7 @@ class PendingRender:
                         host_spp = _host_sec_per_panel()
                         implied_spp = budget / max(len(g.idxs), 1)
                         if host_spp is not None and implied_spp <= host_spp / _SLOW_FACTOR:
+                            stall_waited = True
                             ok = (
                                 g.done.wait(timeout=max(0.0, deadline - _time.monotonic()))
                                 and g.error is None
@@ -806,10 +837,12 @@ class PendingRender:
                             soft_expired = True
             if ok:
                 deadline = _time.monotonic() + timeout
-                if not watchdog_tripped:
-                    # Skip recording after a trip: those buckets' timings
-                    # are stall-inflated, not healthy baselines.
-                    note_bucket_drain(g.done_ts - prev_done)
+                if not watchdog_tripped and not stall_waited:
+                    # Skip recording after a trip or a waited-out stall:
+                    # those buckets' timings are stall-inflated, not
+                    # healthy baselines (recording them would balloon the
+                    # adaptive cap and hide the next genuine stall).
+                    note_bucket_drain(g.done_ts - prev_done, len(g.idxs))
                 prev_done = max(prev_done, g.done_ts)
                 self._handle_completed(g, first=(i == 0))
                 continue
@@ -841,7 +874,8 @@ class PendingRender:
                 watchdog_tripped = True
                 force_host_slow(
                     "[BACKEND] device bucket drain exceeded the adaptive soft cap "
-                    f"({bucket_soft_timeout():.1f}s) with the host replacement "
+                    f"({bucket_soft_timeout(len(g.idxs), g.upload_bytes):.1f}s) "
+                    "with the host replacement "
                     "measurably faster; finishing on the host backend "
                     "(reprobe may restore the device)"
                 )
@@ -974,16 +1008,22 @@ def _latency_upload_bytes(groups: dict[tuple, list[int]], panels: list[PanelData
     un-resident cubes ride the link, so the latency estimate charges
     exactly those.
     """
-    seen: set[tuple] = set()
+    mesh = _render_mesh() if not _host_backend_active() else None
     total = 0
     for (Tp, Ap, Ep, *_rest), idxs in groups.items():
+        # First-appearance order matches _prepare_group's unique_cubes, so
+        # the assembled-stack key here is the one _stack_cubes would hit.
+        # Checking only per-cube keys under-credits repeat renders: FIFO
+        # eviction drops the older cube entries before their newer stack
+        # entry, which alone still makes the dispatch zero-upload.
+        unique: list[np.ndarray] = []
+        seen: set[int] = set()
         for i in idxs:
-            key = (id(panels[i].cube), Tp, Ap, Ep)
-            if key in seen:
-                continue
-            seen.add(key)
-            if _DEVICE_CUBE_CACHE.get(key) is None:
-                total += Tp * Ap * Ep * 4
+            c = panels[i].cube
+            if id(c) not in seen:
+                seen.add(id(c))
+                unique.append(c)
+        total += _group_upload_bytes(unique, Tp, Ap, Ep, mesh)
     return total
 
 

@@ -159,6 +159,12 @@ def note_host_group(n_panels: int, seconds: float) -> None:
         # doesn't pin the comparator to stale numbers.
         _RATE["host_panels"] = 0.8 * _RATE["host_panels"] + n_panels
         _RATE["host_sec"] = 0.8 * _RATE["host_sec"] + seconds
+        if _RATE["probation"] and _RATE["host_panels"] >= 4:
+            # Probation exists solely to obtain a host measurement; if one
+            # arrived by another path (latency routing, a forced-host
+            # group), don't later host-render a device-eligible group on
+            # the stale flag.
+            _RATE["probation"] = False
 
 
 def force_host_slow(message: str) -> None:
@@ -184,28 +190,44 @@ def force_host_slow(message: str) -> None:
     log_error(message)
 
 
-def note_bucket_drain(seconds: float) -> None:
-    """Record one healthy bucket drain time (feeds the adaptive soft cap)."""
+def note_bucket_drain(seconds: float, n_panels: int = 1) -> None:
+    """Record one healthy bucket drain (feeds the adaptive soft cap).
+
+    Samples are normalized to seconds/panel so the cap scales with the
+    bucket being waited on: a flat time bound sized by small cache-hit
+    buckets would trip on a legitimately larger bucket.
+    """
     if seconds > 0:
         with _RATE_LOCK:
-            _RATE["drain_s"].append(seconds)
+            _RATE["drain_s"].append(seconds / max(n_panels, 1))
 
 
-def bucket_soft_timeout() -> float:
+#: Link rate (MB/s) the soft cap budgets fresh uploads against: the cap
+#: must tolerate a bucket whose drain legitimately waits behind its own
+#: cold cube uploads on a slow-but-usable link.  Below ~2 MB/s the device
+#: is losing to the host anyway (CROSSOVER_r03: host wins at 2 MB/s).
+_SOFT_CAP_UPLOAD_MBPS = float(os.environ.get("CST_SOFT_CAP_MBPS", 2.0))
+
+
+def bucket_soft_timeout(n_panels: int = 1, upload_bytes: int = 0) -> float:
     """Soft cap (seconds) for one device bucket's drain in auto mode.
 
     A batch-level detector cannot see inside a single slow drain -- one
     giant stalled bucket hides until it completes (round-4 bench pass 2
     drained at 4.75 panels/s with zero detector events).  The cap adapts:
-    6x the median healthy drain (floor 2 s), or the bootstrap value before
-    any baseline exists.  Exceeding it with the host fallback available is
+    6x the median healthy seconds/panel scaled by THIS bucket's panel
+    count, plus an allowance for the bucket's own fresh cube uploads at
+    the worst usable link rate (floor 2 s; the bootstrap value before any
+    baseline exists).  Exceeding it with the host fallback available is
     treated exactly like a slow trip.
     """
+    upload_sec = upload_bytes / (_SOFT_CAP_UPLOAD_MBPS * 1e6) if upload_bytes > 0 else 0.0
     with _RATE_LOCK:
         drains = sorted(_RATE["drain_s"])
     if not drains:
-        return _SOFT_DRAIN_BOOTSTRAP_SEC
-    return max(2.0, 6.0 * drains[len(drains) // 2])
+        return _SOFT_DRAIN_BOOTSTRAP_SEC + upload_sec
+    spp = drains[len(drains) // 2]
+    return max(2.0, 6.0 * spp * max(n_panels, 1)) + upload_sec
 
 
 def take_probation() -> bool:
@@ -262,8 +284,15 @@ def note_device_batch(n_panels: int, enqueued_ts: float, done_ts: float) -> None
         spp = span / n_panels
         samples = _RATE["device_spp"]
         baseline = sorted(samples)[len(samples) // 2] if samples else None
+        # The self-baseline is capped at the absolute slow mark: without
+        # the cap, a link that degrades GRADUALLY ratchets the median up
+        # (each batch within 3x of the drifted median is re-admitted as
+        # "healthy") and the detector never fires -- the same 4.75
+        # panels/s symptom, re-entered slowly.  With it, a device under
+        # ~5.5 panels/s is always self-degraded, whatever the history.
         threshold = max(
-            3.0 * baseline if baseline is not None else 0.0, _SLOW_ABS_SEC_PER_PANEL
+            3.0 * min(baseline, _SLOW_ABS_SEC_PER_PANEL) if baseline is not None else 0.0,
+            _SLOW_ABS_SEC_PER_PANEL,
         )
         if spp <= threshold:
             _RATE["slow_streak"] = 0

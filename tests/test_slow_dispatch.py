@@ -261,6 +261,43 @@ def test_soft_drain_cap_adapts_to_healthy_baseline():
     assert link.bucket_soft_timeout() == pytest.approx(6.0)
 
 
+def test_soft_cap_scales_with_bucket_size_and_uploads():
+    """The cap is per-panel-normalized and budgets fresh uploads: a
+    legitimately larger (or cold-upload) bucket must not trip a cap sized
+    by small cache-hit buckets."""
+    for _ in range(5):
+        link.note_bucket_drain(0.4, n_panels=8)  # healthy 0.05 s/panel
+    assert link.bucket_soft_timeout(1, 0) == pytest.approx(2.0)  # floor
+    assert link.bucket_soft_timeout(10, 0) == pytest.approx(3.0)  # 6*0.05*10
+    # +5 s allowance for 10 MB of fresh cubes at the 2 MB/s worst rate.
+    assert link.bucket_soft_timeout(10, 10_000_000) == pytest.approx(8.0)
+
+
+def test_detector_baseline_ratchet_is_bounded():
+    """A gradually degrading link must still trip gate 1: the self-baseline
+    median is capped at the absolute slow mark, so history cannot ratchet
+    the threshold above 3x _SLOW_ABS_SEC_PER_PANEL."""
+    for _ in range(16):
+        link._RATE["device_spp"].append(1.0)  # drifted-up "healthy" history
+    t = 100.0
+    for _ in range(3):  # spp = 0.2 s/panel (5 panels/s): always degraded
+        link.note_device_batch(10, t, t + 2.0)
+        t += 10.0
+    # No host measurement yet -> the two-gate rule arms probation.
+    assert link._RATE["probation"] is True
+    assert link._BACKEND["forced_host"] is False
+
+
+def test_probation_disarms_once_host_is_measured_elsewhere():
+    """A host measurement arriving by another path (latency routing, a
+    forced-host group) consumes the pending probation: its only purpose
+    was to obtain that measurement."""
+    link._RATE["probation"] = True
+    link.note_host_group(8, 0.08)
+    assert link._RATE["probation"] is False
+    assert link.take_probation() is False
+
+
 def test_soft_cap_trips_one_giant_stalled_bucket(rng, monkeypatch):
     """A single slow drain must not hide until it completes (round-4 bench
     pass 2: 4.75 panels/s with zero detector events): with the host
