@@ -68,7 +68,14 @@ def percentile_ranks(n: int, q: float) -> tuple[int, int, np.float32]:
     many float32 ulps.  Returns ``(k_lo, k_hi, gamma32)`` with the bound
     clamping numpy's ``_get_indexes`` applies.
     """
-    q32 = np.float32(np.true_divide(q, 100))
+    # numpy's own expression (percentile/nanpercentile both divide by the
+    # ARRAY dtype's 100): weak promotion casts the python-float q to
+    # float32 BEFORE the division, so the float32 division rounds once --
+    # `np.float32(q / 100.0)` (float64 divide, then cast) double-rounds
+    # and drifts the virtual index for arbitrary q (fuzz: 66/4000
+    # mismatches vs np.percentile; this form: 0/8000).  The q=1/99-style
+    # presets coincide either way.
+    q32 = np.true_divide(q, np.float32(100))
     vi = q32 * np.float32(n - 1)
     if vi >= n - 1:
         return n - 1, n - 1, np.float32(0.0)

@@ -20,6 +20,10 @@ from __future__ import annotations
 
 import numpy as np
 
+from configurable_spectrograms_tpu.ops.exact_percentile import (
+    numpy_lerp_percentile,
+    percentile_ranks,
+)
 from configurable_spectrograms_tpu.utils.resident_cache import ResidentCache
 
 #: Cross-render collapse cache: a batch renders each cube's category
@@ -160,16 +164,35 @@ def host_quantize(
             vmin, vmax = hit
         else:
             pool = matrix[zb_sel & ~np.isnan(matrix)]
-            # Two scalar percentile calls on one shared pool: scalar-q
-            # np.percentile interpolates in the input dtype (float32) while
-            # array-q promotes to float64, so combining the calls would change
-            # vmin/vmax in the last ulp and break bit-exactness with the
-            # reference (caught by tests/test_reference_parity.py).
+
+            # Both bounds from ONE partition pass.  Two scalar np.percentile
+            # calls each re-partition a fresh copy of the pool (the top cost
+            # of the whole host quantize stage); instead the four order
+            # statistics are selected together and interpolated with the
+            # verified float32 mirror of numpy's scalar-q arithmetic
+            # (ops/exact_percentile.percentile_ranks/numpy_lerp_percentile:
+            # scalar-q np.percentile interpolates float32 pools entirely in
+            # float32, so this stays bit-exact with the reference -- pinned
+            # by tests/test_reference_parity.py and the golden figures).
+            def _pct(q: float, part: np.ndarray) -> float:
+                k_lo, k_hi, gamma = percentile_ranks(part.size, q)
+                return numpy_lerp_percentile(part[k_lo], part[k_hi], gamma)
+
+            if pool.size and (zmin_arg is None or zmax_arg is None):
+                ranks: set[int] = set()
+                for q in ([low_pct] if zmin_arg is None else []) + (
+                    [high_pct] if zmax_arg is None else []
+                ):
+                    k_lo, k_hi, _ = percentile_ranks(pool.size, q)
+                    ranks.update((k_lo, k_hi))
+                part = np.partition(pool, sorted(ranks))
+            else:
+                part = pool
             vmin = float(zmin_arg) if zmin_arg is not None else (
-                float(np.percentile(pool, low_pct)) if pool.size else np.nan
+                _pct(low_pct, part) if pool.size else np.nan
             )
             vmax = float(zmax_arg) if zmax_arg is not None else (
-                float(np.percentile(pool, high_pct)) if pool.size else np.nan
+                _pct(high_pct, part) if pool.size else np.nan
             )
             _BOUNDS_CACHE.insert(bounds_key, (vmin, vmax), (matrix,))
     else:
