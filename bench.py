@@ -486,6 +486,15 @@ def main() -> None:
                     "host_panels_per_sec": round(results["host"][0], 2) if results["host"] else None,
                     "device_measured_late": device_measured_late,
                     "device_pass_info": device_pass_info,
+                    # The device path is link-gated on relay-attached
+                    # boxes: a host-only artifact with link_state "dead"
+                    # reflects the environment, not the code path (the
+                    # relay oscillates; r3's device captures beat host).
+                    "link_state": (
+                        "bandwidth-limited" if bandwidth_limited
+                        else ("alive" if device_ok or rates["device"] else "dead")
+                    ),
+                    "link_why_host": _BACKEND.get("why_host"),
                     "passes": {
                         k: [round(r, 2) for r in v] for k, v in rates.items()
                     },
