@@ -14,154 +14,47 @@ with a parity-tested numpy host backend behind the same interface.
 from __future__ import annotations
 
 import functools
-import math
 import os
-import threading as _threading
 from collections import deque
-from dataclasses import dataclass, field
 
 import numpy as np
 
 from configurable_spectrograms_tpu.render.link import (
     _BACKEND,
-    _BACKEND_LOCK,
-    _CALIBRATE_XFER_SEC_PER_PANEL,
-    _MIN_LINK_MBPS,
     _bounded_call,
     _dispatch_timeout,
     _host_backend_active,
-    _host_sec_per_panel,
-    _SLOW_FACTOR,
-    bucket_soft_timeout,
     force_host_after_dispatch_failure,
-    force_host_slow,
     maybe_reprobe_device_link,
-    note_bucket_drain,
-    note_device_batch,
-    note_host_group,
     prefer_host_for_latency,
     probe_device_link,
     take_probation,
 )
-from configurable_spectrograms_tpu.render.tile import (
-    TimeWindow,
-    make_x_map,
-    pixel_columns,
-    resample_indices,
+from configurable_spectrograms_tpu.render.tile import make_x_map, pixel_columns
+
+from configurable_spectrograms_tpu.render.device_cache import (  # noqa: F401 (re-export)
+    _DEVICE_CUBE_CACHE,
+    _device_cube_budget,
+    _group_upload_bytes,
+    _padded_device_cube,
+    _render_mesh,
+    _stack_cache_key,
+    _stack_cubes,
 )
-from configurable_spectrograms_tpu.utils.resident_cache import ResidentCache
-
-def _bucket(n: int, step: int, minimum: int) -> int:
-    return max(minimum, int(math.ceil(n / step)) * step)
-
-
-
-@dataclass
-class PanelData:
-    """Everything needed to rasterize and decorate one spectrogram panel."""
-
-    cube: np.ndarray  # (T, A, E) float32, collapse axis already at 1
-    pitch_mask: np.ndarray  # (A,) bool
-    energy: np.ndarray  # (E,)
-    times: np.ndarray  # (T,) x values (unix seconds or raw)
-    window: TimeWindow
-    y_min: float
-    y_max: float
-    z_min: float | None
-    z_max: float | None
-    y_scale: str
-    z_scale: str
-    colormap: str
-    x_is_unix: bool
-    z_label: str
-    vertical_lines: list[float] = field(default_factory=list)
-    cusp_marker_style: str = "both"
-    cusp_marker_kwargs: dict = field(default_factory=dict)
-    line_color: str = "red"
-    low_percentile: float = 1.0
-    high_percentile: float = 99.0
-    #: Optional override of the energy range used only for percentile color
-    #: bounds (y_min, y_max), pooled over the full file's rows -- the FAST
-    #: grids' bound rule (reference fast/plotting.py:118-134).
-    bounds_energy_range: tuple[float, float] | None = None
-
-
-# ---------------------------------------------------------------------------
-# batched rasterization (device by default, host fallback)
-# ---------------------------------------------------------------------------
-
-def _render_group_host(panels: list[PanelData], idxs: list[int], tile_h: int, tile_w: int,
-                       y_scale: str, z_scale: str, lo_pct: float, hi_pct: float,
-                       results: list) -> None:
-    """Pure-numpy group rasterization (no device involved).
-
-    Every call is timed into the link-layer rate meter
-    (:func:`..render.link.note_host_group`): the slow-dispatch detector
-    and the latency policy compare device throughput against *measured*
-    host rates, and any host render -- backend runs, fallbacks, probation
-    groups -- is a measurement.
-    """
-    import time as _time
-
-    from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
-    from configurable_spectrograms_tpu.render.host_quantize import (
-        cached_collapse,
-        host_clean,
-        host_quantize,
-    )
-
-    _host_t0 = _time.perf_counter()
-
-    # The shared NaN pass per cube runs at most once per group, and only
-    # if some mask actually misses the cross-render collapse cache.
-    clean_cache: dict[int, np.ndarray] = {}
-
-    def _clean_for(cube):
-        def provider():
-            c = clean_cache.get(id(cube))
-            if c is None:
-                c = clean_cache[id(cube)] = host_clean(cube)
-            return c
-
-        return provider
-
-    for i in idxs:
-        p = panels[i]
-        matrix = cached_collapse(p.cube, p.pitch_mask, _clean_for(p.cube))
-        e_valid = (p.energy >= p.y_min) & (p.energy <= p.y_max)
-        if p.bounds_energy_range is not None:
-            b_lo, b_hi = p.bounds_energy_range
-            zb_e_valid = (p.energy >= b_lo) & (p.energy <= b_hi)
-            zb_full = True
-        else:
-            zb_e_valid, zb_full = None, False
-        try:
-            q = host_quantize(
-                matrix, p.energy, e_valid, p.window.t_start, p.window.t_count,
-                (p.z_min, p.z_max), y_scale, z_scale, lo_pct, hi_pct, zb_e_valid, zb_full,
-            )
-        except ValueError as exc:
-            # Per-panel analysis error (inverted log bounds): recorded and
-            # raised by the owning figure's composite, not here -- a raise
-            # inside a pooled group would fail every coalesced figure.
-            results[i] = {"error": str(exc)}
-            continue
-        rgba = resample_indices(
-            q["idx"], q["kept_pos"], q["n_kept"], q["flip"], q["y0"], q["y1"],
-            p.window.t_start, p.window.t_count, make_x_map(p.window, tile_w),
-            tile_h, tile_w, y_scale, colormap_lut(p.colormap), empty=q["empty"],
-        )
-        results[i] = {
-            "rgba": rgba,
-            "vmin": q["vmin"],
-            "vmax": q["vmax"],
-            "y0": q["y0"],
-            "y1": q["y1"],
-            "n_kept": q["n_kept"],
-            "empty": q["empty"],
-        }
-    note_host_group(len(idxs), _time.perf_counter() - _host_t0)
-
+from configurable_spectrograms_tpu.render.drain import (  # noqa: F401 (re-export)
+    PendingRender,
+    _ACTIVE_DRAINS,
+    _ACTIVE_DRAINS_LOCK,
+    _finish_group,
+    _GroupDispatch,
+    _readback,
+)
+from configurable_spectrograms_tpu.render import panel as _panel_mod
+from configurable_spectrograms_tpu.render.panel import (  # noqa: F401 (re-export)
+    PanelData,
+    _bucket,
+    _render_group_host,
+)
 
 #: Diagnostics for the last device dispatch (tests assert the production
 #: path actually spans the mesh): ``lanes`` = padded panel lanes shipped,
@@ -175,112 +68,6 @@ LAST_DISPATCH: dict[str, int] = {"lanes": 0, "devices": 0}
 #: from the coalescer drain thread and direct callers); clear() freely in
 #: tests.
 DISPATCH_HISTORY: "deque[dict]" = deque(maxlen=64)
-
-#: PendingRenders currently in flight (enqueued, not fully drained).  The
-#: link-health heuristics only trust a transfer measurement taken with the
-#: link to itself; concurrent drains share bandwidth and would be
-#: misattributed as a slow link.
-_ACTIVE_DRAINS = {"n": 0}
-_ACTIVE_DRAINS_LOCK = _threading.Lock()
-
-#: Device-resident padded-cube cache.  A batch renders each cube many
-#: times (raw + given-extrema figure pairs, pitch grid + instrument grid,
-#: repeat passes), and on link-constrained setups the ~12.6 MB-per-cube
-#: H2D upload dominates the device path -- so padded cubes stay resident
-#: and repeat renders reuse them with zero host transfer.  Single cubes
-#: key by (id(cube), padded shape); whole dispatch stacks (including
-#: their mesh-replicated broadcast) key by the tuple of cube ids, so a
-#: repeat render of the same group re-ships nothing -- not even the
-#: on-device concatenate or the cross-device broadcast.  Owner-death
-#: eviction keeps a recycled id from aliasing a stale entry.  Budgeted by
-#: CST_DEVICE_CUBE_CACHE_BYTES (default 1.5 GB, FIFO eviction);
-#: CST_DEVICE_CUBE_CACHE=0 disables.
-def _device_cube_budget() -> int:
-    try:
-        return int(os.environ.get("CST_DEVICE_CUBE_CACHE_BYTES", 1_500_000_000))
-    except ValueError:
-        return 1_500_000_000
-
-
-_DEVICE_CUBE_CACHE = ResidentCache(max_bytes=_device_cube_budget)
-
-
-def _padded_device_cube(cube: np.ndarray, Tp: int, Ap: int, Ep: int):
-    """NaN-padded (Tp, Ap, Ep) copy of *cube* resident on device, cached."""
-    import jax
-
-    key = (id(cube), Tp, Ap, Ep)
-    hit = _DEVICE_CUBE_CACHE.get(key)
-    if hit is not None:
-        return hit
-    padded = np.full((Tp, Ap, Ep), np.nan, np.float32)
-    T, A, E = cube.shape
-    padded[:T, :A, :E] = cube
-    arr = jax.device_put(padded)
-    return _DEVICE_CUBE_CACHE.insert(key, arr, (cube,))
-
-
-def _stack_cache_key(unique_cubes: list[np.ndarray], Tp: int, Ap: int, Ep: int, mesh) -> tuple:
-    """Cache key of one bucket's assembled device stack (single source of
-    truth for :func:`_stack_cubes` and the upload estimators)."""
-    return ("stack", tuple(id(c) for c in unique_cubes), Tp, Ap, Ep,
-            tuple(d.id for d in mesh.devices.flat) if mesh is not None else None)
-
-
-def _group_upload_bytes(unique_cubes: list[np.ndarray], Tp: int, Ap: int, Ep: int, mesh) -> int:
-    """Bytes this bucket's dispatch would ship over the link right now.
-
-    A resident assembled stack costs nothing; otherwise each un-resident
-    cube pays its padded size.  (The packed lane rows are a few KB and
-    ignored.)
-    """
-    if _DEVICE_CUBE_CACHE.get(_stack_cache_key(unique_cubes, Tp, Ap, Ep, mesh)) is not None:
-        return 0
-    total = 0
-    for c in unique_cubes:
-        if _DEVICE_CUBE_CACHE.get((id(c), Tp, Ap, Ep)) is None:
-            total += Tp * Ap * Ep * 4
-    return total
-
-
-def _stack_cubes(unique_cubes: list[np.ndarray], Tp: int, Ap: int, Ep: int, mesh):
-    """The (n_unique, Tp, Ap, Ep) dispatch input, preferring resident cubes.
-
-    The assembled stack itself is cached keyed by the cube-id tuple (with
-    every cube as an owner), so a repeat dispatch of the same group -- the
-    raw/given figure pair, repeat batch passes -- reuses the finished
-    on-device array outright.  Under a mesh that cached stack already
-    carries the replicated sharding, so the per-dispatch cross-device
-    broadcast disappears too (committed single-device inputs cannot
-    silently reshard into a multi-device jit, hence the explicit put).
-    Misses pay the same one-time pad + upload the uncached path would.
-    """
-    if os.environ.get("CST_DEVICE_CUBE_CACHE", "1") == "0":
-        cubes = np.full((len(unique_cubes), Tp, Ap, Ep), np.nan, np.float32)
-        for s, c in enumerate(unique_cubes):
-            T, A, E = c.shape
-            cubes[s, :T, :A, :E] = c
-        return cubes
-    import jax
-    import jax.numpy as jnp
-
-    stack_key = _stack_cache_key(unique_cubes, Tp, Ap, Ep, mesh)
-    hit = _DEVICE_CUBE_CACHE.get(stack_key)
-    if hit is not None:
-        return hit
-    stacked = jnp.stack([_padded_device_cube(c, Tp, Ap, Ep) for c in unique_cubes])
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        stacked = jax.device_put(stacked, NamedSharding(mesh, PartitionSpec()))
-    return _DEVICE_CUBE_CACHE.insert(stack_key, stacked, tuple(unique_cubes))
-
-
-def _render_mesh():
-    """The data-parallel device mesh panel batches shard over (or None)."""
-    from configurable_spectrograms_tpu.parallel.mesh import data_parallel_mesh
-
-    return data_parallel_mesh()
 
 
 def _pack_lanes(u_idx, masks, t_valids, energies, e_valids, t_starts, t_counts,
@@ -470,52 +257,6 @@ def _batched_quantize_fn(spec_key, mesh=None):
     return jax.jit(batched, in_shardings=(lane, replicated), out_shardings=lane)
 
 
-def _readback(out_dev) -> np.ndarray:
-    """D2H transfer of the packed result buffer (timed; test seam)."""
-    return np.asarray(out_dev)
-
-
-@dataclass
-class _GroupDispatch:
-    """One in-flight device bucket: its lane layout plus the enqueued output.
-
-    Built during the enqueue phase of :class:`PendingRender`; the drain
-    phase reads ``out_dev`` back and unpacks it into per-panel results.
-    """
-
-    idxs: list[int]
-    n_lanes: int
-    Tp: int
-    Ap: int
-    Ep: int
-    y_scale: str
-    z_scale: str
-    lo_pct: float
-    hi_pct: float
-    t_starts: np.ndarray
-    t_counts: np.ndarray
-    gather_w: int
-    #: All panels in the bucket carry explicit z bounds (part of the bucket
-    #: key), selecting the sort-free compiled program.
-    explicit: bool = False
-    #: Route this bucket through the fused Pallas kernel (see
-    #: :func:`_render_kernel`; requires explicit log-z and Ep%128==0).
-    use_pallas: bool = False
-    #: Fresh H2D bytes this bucket's dispatch shipped (0 on cache hits);
-    #: sizes the drain soft cap's upload allowance.
-    upload_bytes: int = 0
-    out_dev: object = None
-    # drain-side state (filled by the readback thread)
-    done: object = None  # threading.Event
-    packed: np.ndarray | None = None
-    error: BaseException | None = None
-    xfer: float = 0.0
-    #: perf_counter stamp when the readback landed; the soft-cap baseline
-    #: charges each bucket only the wall time past its predecessor's
-    #: completion (``xfer`` alone is cumulative under concurrent drains
-    #: and would inflate the baseline by the batch's bucket count).
-    done_ts: float = 0.0
-
 
 def _prepare_group(panels: list[PanelData], idxs: list[int], Tp: int, Ap: int, Ep: int,
                    y_scale: str, z_scale: str, lo_pct: float, hi_pct: float,
@@ -629,377 +370,6 @@ def _enqueue_group(g: _GroupDispatch, inputs: tuple, mesh) -> object:
     return fn(rows, cubes)
 
 
-def _finish_group(panels: list[PanelData], g: _GroupDispatch, packed: np.ndarray,
-                  tile_h: int, tile_w: int, results: list) -> None:
-    """Unpack one bucket's readback buffer into per-panel result dicts."""
-    import time as _time
-
-    from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
-
-    n = len(g.idxs)
-    rows_out = g.gather_w if g.gather_w else g.Tp
-    idx_host = packed[:n, : rows_out * g.Ep].reshape(n, rows_out, g.Ep)
-    meta_host = packed[:n, rows_out * g.Ep :].copy().view(np.float32).reshape(n, 7 + g.Ep)
-
-    _resample_t0 = _time.perf_counter()
-    for j, i in enumerate(g.idxs):
-        p = panels[i]
-        n_kept_j, flip_j, y0_j, y1_j, vmin_j, vmax_j, empty_j = meta_host[j, :7]
-        if g.z_scale == "log" and not bool(empty_j) and vmin_j > vmax_j:
-            # Explicit log bounds whose safe-positive floor exceeds vmax:
-            # matplotlib's LogNorm raises at draw time in the reference
-            # (batch drivers record the orbit as a plotting error);
-            # rendering on would silently invert the color ramp.  The
-            # error is recorded per panel and raised when the OWNING
-            # figure composites, so pooled dispatches keep serving the
-            # other figures.
-            results[i] = {"error": "minvalue must be less than or equal to maxvalue"}
-            continue
-        kept_pos_j = meta_host[j, 7:].astype(np.int32)
-        rgba = resample_indices(
-            idx_host[j],
-            kept_pos_j,
-            int(n_kept_j),
-            bool(flip_j),
-            float(y0_j),
-            float(y1_j),
-            int(g.t_starts[j]),
-            int(g.t_counts[j]),
-            make_x_map(p.window, tile_w),
-            tile_h,
-            tile_w,
-            g.y_scale,
-            colormap_lut(p.colormap),
-            empty=bool(empty_j),
-            pre_gathered=bool(g.gather_w),
-        )
-        results[i] = {
-            "rgba": rgba,
-            "vmin": float(vmin_j),
-            "vmax": float(vmax_j),
-            "y0": float(y0_j),
-            "y1": float(y1_j),
-            "n_kept": int(n_kept_j),
-            "empty": bool(empty_j),
-        }
-    from configurable_spectrograms_tpu.utils import timing as _timing
-
-    if _timing.ACTIVE is not None:
-        _timing.ACTIVE.add("host_resample", _time.perf_counter() - _resample_t0)
-
-
-class PendingRender:
-    """A render whose device buckets are enqueued but not yet read back.
-
-    Created by :func:`enqueue_render_panels`.  Host-backend buckets are
-    already complete; :meth:`wait` drains the device buckets (concurrent,
-    watchdog-bounded readbacks) and returns results in input order.
-    Splitting enqueue from drain lets the render coalescer start the next
-    batch's uploads while this one's readbacks are still on the wire.
-    """
-
-    def __init__(self, panels: list[PanelData], tile_h: int, tile_w: int,
-                 results: list, dispatches: list[_GroupDispatch]):
-        import time as _time
-
-        self.panels = panels
-        self.tile_h = tile_h
-        self.tile_w = tile_w
-        self.results = results
-        self.dispatches = dispatches
-        #: When these dispatches were enqueued: a sibling batch's watchdog
-        #: trip AFTER this moment means our transfers share the same dead
-        #: link, so wait() skips straight to the short-wait/host path
-        #: instead of sitting out its own full timeout.
-        self.enqueued_ts = _time.monotonic()
-        if dispatches:
-            with _ACTIVE_DRAINS_LOCK:
-                _ACTIVE_DRAINS["n"] += 1
-
-    def has_device_work(self) -> bool:
-        return bool(self.dispatches)
-
-    def _start_readbacks(self, timeout: float) -> None:
-        """Kick off one bounded readback thread per in-flight bucket.
-
-        All transfers run concurrently: on a latency-bound link the round
-        trips overlap instead of stacking, and the host unpacks buckets in
-        order as they land.  Threads are daemons; a hung transfer is
-        abandoned by :meth:`wait` after *timeout* (the same containment as
-        the probe machinery -- a stuck ``jax`` transfer cannot be
-        cancelled, only orphaned).
-        """
-        import threading
-        import time as _time
-
-        self._drain_t0 = _time.perf_counter()
-        for g in self.dispatches:
-            g.done = threading.Event()
-
-            def _read(g=g):
-                t0 = _time.perf_counter()
-                try:
-                    g.packed = _readback(g.out_dev)
-                except BaseException as exc:
-                    g.error = exc
-                finally:
-                    g.done_ts = _time.perf_counter()
-                    g.xfer = g.done_ts - t0
-                    g.done.set()
-
-            threading.Thread(target=_read, daemon=True, name="device-readback").start()
-
-    def wait(self) -> list[dict]:
-        """Drain every in-flight bucket; returns per-panel results in order."""
-        if not self.dispatches:
-            return self.results
-        timeout = _dispatch_timeout()
-        try:
-            return self._wait_inner(timeout)
-        finally:
-            with _ACTIVE_DRAINS_LOCK:
-                _ACTIVE_DRAINS["n"] -= 1
-
-    def _wait_inner(self, timeout: float) -> list[dict]:
-        import time as _time
-
-        from configurable_spectrograms_tpu.utils.timing import active_stage
-
-        self._start_readbacks(timeout)
-        # Per-bucket budget, like the pre-pipelining sequential path: the
-        # deadline RESETS after every bucket that lands, so N serialized
-        # transfers that are each within budget never trip the watchdog
-        # (a single shared deadline would mark a slow-but-alive link dead).
-        # In auto mode each bucket additionally carries the ADAPTIVE soft
-        # cap (link.bucket_soft_timeout): a batch-level detector cannot see
-        # inside one giant stalled drain, so exceeding ~6x the healthy
-        # median drain trips the slow fallback long before the hard
-        # watchdog would.
-        deadline = _time.monotonic() + timeout
-        watchdog_tripped = False
-        probation_used = False
-        # Incremental drain accounting: all readback threads start together
-        # and the device serializes buckets, so a bucket's ``xfer`` (thread
-        # start -> landed) includes every predecessor's compute+transfer.
-        # The soft-cap baseline must see per-bucket cost, not cumulative
-        # wall clock -- charge each bucket only the time past the previous
-        # completion.
-        prev_done = self._drain_t0
-        for i, g in enumerate(self.dispatches):
-            if (
-                not watchdog_tripped
-                and _BACKEND["mode"] == "auto"
-                and _BACKEND["forced_host"]
-                and _BACKEND["last_dispatch_failure_ts"] >= self.enqueued_ts
-            ):
-                # A sibling batch's transfer already hung (or slow-tripped)
-                # on this link after ours were enqueued: don't sit out our
-                # own full budget per bucket -- use whatever already
-                # landed, host-render the rest immediately.
-                watchdog_tripped = True
-            soft_expired = False
-            stall_waited = False
-            with active_stage("device_readback"):
-                if watchdog_tripped:
-                    # A transfer already hung on this link; don't wait the
-                    # full budget again for its siblings -- use any readback
-                    # that already landed, host-render the rest.
-                    ok = g.done.wait(timeout=0.05) and g.error is None
-                else:
-                    hard_left = max(0.0, deadline - _time.monotonic())
-                    budget = hard_left
-                    if _BACKEND["mode"] == "auto":
-                        budget = min(
-                            hard_left,
-                            bucket_soft_timeout(len(g.idxs), g.upload_bytes),
-                        )
-                    ok = g.done.wait(timeout=budget) and g.error is None
-                    if not ok and g.error is None and budget < hard_left:
-                        # Soft cap expired.  The same two-gate rule as
-                        # note_device_batch applies before abandoning the
-                        # device: the cap spent so far is only a LOWER
-                        # bound on this bucket's cost, so the host
-                        # replacement must beat that bound to justify a
-                        # switch.  When it cannot (or there is no host
-                        # measurement to compare against on this bucket's
-                        # own evidence -- see below), a slow device is
-                        # still the fastest backend available: wait out
-                        # the hard budget instead of crawling on the host.
-                        host_spp = _host_sec_per_panel()
-                        implied_spp = budget / max(len(g.idxs), 1)
-                        if host_spp is not None and implied_spp <= host_spp / _SLOW_FACTOR:
-                            stall_waited = True
-                            ok = (
-                                g.done.wait(timeout=max(0.0, deadline - _time.monotonic()))
-                                and g.error is None
-                            )
-                        else:
-                            soft_expired = True
-            if ok:
-                deadline = _time.monotonic() + timeout
-                if not watchdog_tripped and not stall_waited:
-                    # Skip recording after a trip or a waited-out stall:
-                    # those buckets' timings are stall-inflated, not
-                    # healthy baselines (recording them would balloon the
-                    # adaptive cap and hide the next genuine stall).
-                    note_bucket_drain(g.done_ts - prev_done, len(g.idxs))
-                prev_done = max(prev_done, g.done_ts)
-                self._handle_completed(g, first=(i == 0))
-                continue
-            if g.error is not None:
-                raise g.error
-            if soft_expired and not watchdog_tripped:
-                host_spp = _host_sec_per_panel()
-                if host_spp is None:
-                    # Degraded beyond the soft cap but no host measurement
-                    # yet: render THIS bucket host-side (which times the
-                    # host, arming the comparison for the next bucket)
-                    # without flipping the whole process on no evidence --
-                    # the probation analog of note_device_batch's gate 2.
-                    with active_stage("host_quantize"):
-                        _render_group_host(self.panels, g.idxs, self.tile_h, self.tile_w,
-                                           g.y_scale, g.z_scale, g.lo_pct, g.hi_pct,
-                                           self.results)
-                    # The stall + host render consumed shared budget/clock:
-                    # give the next bucket a fresh hard deadline (every
-                    # completion path does) and advance the incremental
-                    # drain origin so the stalled window is never recorded
-                    # as a later bucket's "healthy" drain time; flag the
-                    # batch so its wall clock (inflated by the stall and
-                    # the host render) stays out of the device meter.
-                    deadline = _time.monotonic() + timeout
-                    prev_done = _time.perf_counter()
-                    probation_used = True
-                    continue
-                watchdog_tripped = True
-                force_host_slow(
-                    "[BACKEND] device bucket drain exceeded the adaptive soft cap "
-                    f"({bucket_soft_timeout(len(g.idxs), g.upload_bytes):.1f}s) "
-                    "with the host replacement "
-                    "measurably faster; finishing on the host backend "
-                    "(reprobe may restore the device)"
-                )
-                with active_stage("host_quantize"):
-                    _render_group_host(self.panels, g.idxs, self.tile_h, self.tile_w,
-                                       g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, self.results)
-                continue
-            # The link died between the bounded preflight and this
-            # transfer.  A hung jax transfer never returns, so without
-            # this bound the coalescer thread -- and every worker
-            # waiting on it -- would deadlock for the rest of the batch.
-            from configurable_spectrograms_tpu.utils.logging import log_error
-
-            if _BACKEND["mode"] == "device":  # explicit override: fail loudly
-                raise RuntimeError(
-                    f"device dispatch/readback exceeded {timeout:.0f}s "
-                    "(CST_DEVICE_DISPATCH_TIMEOUT) with CST_RENDER_BACKEND=device"
-                )
-            if not watchdog_tripped:
-                watchdog_tripped = True
-                force_host_after_dispatch_failure()
-                log_error(
-                    f"[BACKEND] device dispatch/readback exceeded {timeout:.0f}s; "
-                    "abandoning the transfer and finishing on the host backend"
-                )
-            with active_stage("host_quantize"):
-                _render_group_host(self.panels, g.idxs, self.tile_h, self.tile_w,
-                                   g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, self.results)
-        if not watchdog_tripped and not probation_used:
-            # Every bucket landed on the device: feed the slow-dispatch
-            # detector (link.note_device_batch) with this batch's panel
-            # count and completion time.  Watchdog trips already forced
-            # the host backend (no extra signal), and a probation batch's
-            # wall clock is inflated by the stall wait + the host render
-            # of host-rendered panels -- billing it to the device meter
-            # would let one transient stall trip the run on bad data.
-            note_device_batch(
-                sum(len(g.idxs) for g in self.dispatches),
-                self.enqueued_ts,
-                _time.monotonic(),
-            )
-        return self.results
-
-    def _handle_completed(self, g: _GroupDispatch, first: bool = True) -> None:
-        """Bandwidth/calibration bookkeeping + unpack for one landed bucket.
-
-        The link-health heuristics only run when the bucket's transfer had
-        the link to itself -- a SINGLE-bucket drain: with sibling
-        transfers in flight (or later buckets queued behind predecessors'
-        compute), wall-clock ``xfer`` divides the link's bandwidth among
-        them and would misattribute sharing/queueing to a slow link,
-        forcing the host backend on a healthy device.  Degraded links are
-        still caught promptly in practice: the first renders of a run are
-        single-bucket drains (calibration is one-shot and early), and a
-        truly dead link trips the watchdog regardless.
-        """
-        import time as _time
-
-        n = len(g.idxs)
-        packed = g.packed
-        xfer = g.xfer
-        with _ACTIVE_DRAINS_LOCK:
-            solo_drain = _ACTIVE_DRAINS["n"] == 1
-        # "alone" = this bucket's transfer had the link to itself: the only
-        # bucket of the only in-flight batch.  Cross-batch pipelining
-        # (service.py) deliberately overlaps the next batch's uploads with
-        # this readback, so a shared-window measurement says nothing about
-        # the link itself.
-        alone = first and len(self.dispatches) == 1 and solo_drain
-        if (
-            alone
-            and _BACKEND["mode"] == "auto"
-            and not _BACKEND["forced_host"]
-            and xfer > 1.0
-            and packed.nbytes / max(xfer, 1e-9) < _MIN_LINK_MBPS * 1e6
-        ):
-            # The device link has degraded below usability (observed on this
-            # environment's relay); finish everything on the host from now on.
-            from configurable_spectrograms_tpu.utils.logging import log_error
-
-            with _BACKEND_LOCK:
-                _BACKEND["forced_host"] = True
-                _BACKEND["why_host"] = "bandwidth"
-            log_error(
-                f"[BACKEND] device->host readback measured at "
-                f"{packed.nbytes / max(xfer, 1e-9) / 1e6:.2f} MB/s; switching panel "
-                f"rasterization to the host backend for this process"
-            )
-        elif (
-            alone
-            and _BACKEND["mode"] == "auto"
-            and not _BACKEND["forced_host"]
-            and not _BACKEND["calibrated"]
-            and xfer / n > _CALIBRATE_XFER_SEC_PER_PANEL
-        ):
-            # The link is slow enough that readback alone may cost more than
-            # redoing the whole panel on the host.  Measure once: render this
-            # same group on the host (parity-tested identical output) and
-            # compare its TOTAL time against the readback time alone -- a
-            # comparison conservative toward the device, since the device
-            # path's compute is treated as free.  (Concurrent sibling
-            # readbacks share the link, so ``xfer`` can only overestimate
-            # the device's cost -- still conservative toward the device
-            # being slower, never toward it being faster.)
-            with _BACKEND_LOCK:
-                _BACKEND["calibrated"] = True
-            t0 = _time.perf_counter()
-            _render_group_host(self.panels, g.idxs, self.tile_h, self.tile_w,
-                               g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, self.results)
-            host_t = _time.perf_counter() - t0
-            if xfer > host_t:
-                from configurable_spectrograms_tpu.utils.logging import log_error
-
-                with _BACKEND_LOCK:
-                    _BACKEND["forced_host"] = True
-                    _BACKEND["why_host"] = "bandwidth"
-                log_error(
-                    f"[BACKEND] calibration: device readback {xfer * 1e3:.0f} ms vs "
-                    f"host render {host_t * 1e3:.0f} ms for {n} panel(s); switching "
-                    f"panel rasterization to the host backend for this process"
-                )
-                return  # the host results for this group are already in place
-        _finish_group(self.panels, g, packed, self.tile_h, self.tile_w, self.results)
-
 
 def _latency_upload_bytes(groups: dict[tuple, list[int]], panels: list[PanelData]) -> int:
     """Bytes of padded cube that a device render would have to upload.
@@ -1101,7 +471,7 @@ def enqueue_render_panels(panels: list[PanelData], tile_h: int, tile_w: int,
     for (Tp, Ap, Ep, y_scale, z_scale, lo_pct, hi_pct, explicit, use_pallas), idxs in groups.items():
         if _host_backend_active() or latency_host or take_probation():
             with active_stage("host_quantize"):
-                _render_group_host(panels, idxs, tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct, results)
+                _panel_mod._render_group_host(panels, idxs, tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct, results)
             continue
         mesh = _render_mesh()
         if use_pallas and mesh is not None:  # pragma: no cover - defensive
@@ -1132,7 +502,7 @@ def enqueue_render_panels(panels: list[PanelData], tile_h: int, tile_w: int,
                 "abandoning the transfer and finishing on the host backend"
             )
             with active_stage("host_quantize"):
-                _render_group_host(panels, idxs, tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct, results)
+                _panel_mod._render_group_host(panels, idxs, tile_h, tile_w, y_scale, z_scale, lo_pct, hi_pct, results)
             continue
         g.out_dev = out_dev
         LAST_DISPATCH["lanes"] = g.n_lanes

@@ -1,0 +1,463 @@
+"""Readback drain for in-flight device buckets (:class:`PendingRender`).
+
+Split out of :mod:`configurable_spectrograms_tpu.render.dispatch`: this
+module owns the concurrent watchdogged readbacks, the adaptive soft-cap /
+slow-trip evidence logic, bandwidth calibration, and per-bucket result
+unpacking.  Tests that monkeypatch the ``_readback`` transfer seam patch
+it HERE.
+"""
+
+from __future__ import annotations
+
+import threading as _threading
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from configurable_spectrograms_tpu.render import panel as _panel_mod
+from configurable_spectrograms_tpu.render.link import (
+    _BACKEND,
+    _BACKEND_LOCK,
+    _CALIBRATE_XFER_SEC_PER_PANEL,
+    _MIN_LINK_MBPS,
+    _dispatch_timeout,
+    _host_sec_per_panel,
+    _SLOW_FACTOR,
+    bucket_soft_timeout,
+    force_host_after_dispatch_failure,
+    force_host_slow,
+    note_bucket_drain,
+    note_device_batch,
+)
+from configurable_spectrograms_tpu.render.panel import PanelData
+from configurable_spectrograms_tpu.render.tile import make_x_map, resample_indices
+
+#: PendingRenders currently in flight (enqueued, not fully drained).  The
+#: link-health heuristics only trust a transfer measurement taken with the
+#: link to itself; concurrent drains share bandwidth and would be
+#: misattributed as a slow link.
+_ACTIVE_DRAINS = {"n": 0}
+_ACTIVE_DRAINS_LOCK = _threading.Lock()
+
+
+def _readback(out_dev) -> np.ndarray:
+    """D2H transfer of the packed result buffer (timed; test seam)."""
+    return np.asarray(out_dev)
+
+
+
+
+@dataclass
+class _GroupDispatch:
+    """One in-flight device bucket: its lane layout plus the enqueued output.
+
+    Built during the enqueue phase of :class:`PendingRender`; the drain
+    phase reads ``out_dev`` back and unpacks it into per-panel results.
+    """
+
+    idxs: list[int]
+    n_lanes: int
+    Tp: int
+    Ap: int
+    Ep: int
+    y_scale: str
+    z_scale: str
+    lo_pct: float
+    hi_pct: float
+    t_starts: np.ndarray
+    t_counts: np.ndarray
+    gather_w: int
+    #: All panels in the bucket carry explicit z bounds (part of the bucket
+    #: key), selecting the sort-free compiled program.
+    explicit: bool = False
+    #: Route this bucket through the fused Pallas kernel (see
+    #: :func:`_render_kernel`; requires explicit log-z and Ep%128==0).
+    use_pallas: bool = False
+    #: Fresh H2D bytes this bucket's dispatch shipped (0 on cache hits);
+    #: sizes the drain soft cap's upload allowance.
+    upload_bytes: int = 0
+    out_dev: object = None
+    # drain-side state (filled by the readback thread)
+    done: object = None  # threading.Event
+    packed: np.ndarray | None = None
+    error: BaseException | None = None
+    xfer: float = 0.0
+    #: perf_counter stamp when the readback landed; the soft-cap baseline
+    #: charges each bucket only the wall time past its predecessor's
+    #: completion (``xfer`` alone is cumulative under concurrent drains
+    #: and would inflate the baseline by the batch's bucket count).
+    done_ts: float = 0.0
+
+
+
+def _finish_group(panels: list[PanelData], g: _GroupDispatch, packed: np.ndarray,
+                  tile_h: int, tile_w: int, results: list) -> None:
+    """Unpack one bucket's readback buffer into per-panel result dicts."""
+    import time as _time
+
+    from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
+
+    n = len(g.idxs)
+    rows_out = g.gather_w if g.gather_w else g.Tp
+    idx_host = packed[:n, : rows_out * g.Ep].reshape(n, rows_out, g.Ep)
+    meta_host = packed[:n, rows_out * g.Ep :].copy().view(np.float32).reshape(n, 7 + g.Ep)
+
+    _resample_t0 = _time.perf_counter()
+    for j, i in enumerate(g.idxs):
+        p = panels[i]
+        n_kept_j, flip_j, y0_j, y1_j, vmin_j, vmax_j, empty_j = meta_host[j, :7]
+        if g.z_scale == "log" and not bool(empty_j) and vmin_j > vmax_j:
+            # Explicit log bounds whose safe-positive floor exceeds vmax:
+            # matplotlib's LogNorm raises at draw time in the reference
+            # (batch drivers record the orbit as a plotting error);
+            # rendering on would silently invert the color ramp.  The
+            # error is recorded per panel and raised when the OWNING
+            # figure composites, so pooled dispatches keep serving the
+            # other figures.
+            results[i] = {"error": "minvalue must be less than or equal to maxvalue"}
+            continue
+        kept_pos_j = meta_host[j, 7:].astype(np.int32)
+        rgba = resample_indices(
+            idx_host[j],
+            kept_pos_j,
+            int(n_kept_j),
+            bool(flip_j),
+            float(y0_j),
+            float(y1_j),
+            int(g.t_starts[j]),
+            int(g.t_counts[j]),
+            make_x_map(p.window, tile_w),
+            tile_h,
+            tile_w,
+            g.y_scale,
+            colormap_lut(p.colormap),
+            empty=bool(empty_j),
+            pre_gathered=bool(g.gather_w),
+        )
+        results[i] = {
+            "rgba": rgba,
+            "vmin": float(vmin_j),
+            "vmax": float(vmax_j),
+            "y0": float(y0_j),
+            "y1": float(y1_j),
+            "n_kept": int(n_kept_j),
+            "empty": bool(empty_j),
+        }
+    from configurable_spectrograms_tpu.utils import timing as _timing
+
+    if _timing.ACTIVE is not None:
+        _timing.ACTIVE.add("host_resample", _time.perf_counter() - _resample_t0)
+
+
+class PendingRender:
+    """A render whose device buckets are enqueued but not yet read back.
+
+    Created by :func:`enqueue_render_panels`.  Host-backend buckets are
+    already complete; :meth:`wait` drains the device buckets (concurrent,
+    watchdog-bounded readbacks) and returns results in input order.
+    Splitting enqueue from drain lets the render coalescer start the next
+    batch's uploads while this one's readbacks are still on the wire.
+    """
+
+    def __init__(self, panels: list[PanelData], tile_h: int, tile_w: int,
+                 results: list, dispatches: list[_GroupDispatch]):
+        import time as _time
+
+        self.panels = panels
+        self.tile_h = tile_h
+        self.tile_w = tile_w
+        self.results = results
+        self.dispatches = dispatches
+        #: When these dispatches were enqueued: a sibling batch's watchdog
+        #: trip AFTER this moment means our transfers share the same dead
+        #: link, so wait() skips straight to the short-wait/host path
+        #: instead of sitting out its own full timeout.
+        self.enqueued_ts = _time.monotonic()
+        if dispatches:
+            with _ACTIVE_DRAINS_LOCK:
+                _ACTIVE_DRAINS["n"] += 1
+
+    def has_device_work(self) -> bool:
+        return bool(self.dispatches)
+
+    def _start_readbacks(self, timeout: float) -> None:
+        """Kick off one bounded readback thread per in-flight bucket.
+
+        All transfers run concurrently: on a latency-bound link the round
+        trips overlap instead of stacking, and the host unpacks buckets in
+        order as they land.  Threads are daemons; a hung transfer is
+        abandoned by :meth:`wait` after *timeout* (the same containment as
+        the probe machinery -- a stuck ``jax`` transfer cannot be
+        cancelled, only orphaned).
+        """
+        import threading
+        import time as _time
+
+        self._drain_t0 = _time.perf_counter()
+        for g in self.dispatches:
+            g.done = threading.Event()
+
+            def _read(g=g):
+                t0 = _time.perf_counter()
+                try:
+                    g.packed = _readback(g.out_dev)
+                except BaseException as exc:
+                    g.error = exc
+                finally:
+                    g.done_ts = _time.perf_counter()
+                    g.xfer = g.done_ts - t0
+                    g.done.set()
+
+            threading.Thread(target=_read, daemon=True, name="device-readback").start()
+
+    def wait(self) -> list[dict]:
+        """Drain every in-flight bucket; returns per-panel results in order."""
+        if not self.dispatches:
+            return self.results
+        timeout = _dispatch_timeout()
+        try:
+            return self._wait_inner(timeout)
+        finally:
+            with _ACTIVE_DRAINS_LOCK:
+                _ACTIVE_DRAINS["n"] -= 1
+
+    def _wait_inner(self, timeout: float) -> list[dict]:
+        import time as _time
+
+        from configurable_spectrograms_tpu.utils.timing import active_stage
+
+        self._start_readbacks(timeout)
+        # Per-bucket budget, like the pre-pipelining sequential path: the
+        # deadline RESETS after every bucket that lands, so N serialized
+        # transfers that are each within budget never trip the watchdog
+        # (a single shared deadline would mark a slow-but-alive link dead).
+        # In auto mode each bucket additionally carries the ADAPTIVE soft
+        # cap (link.bucket_soft_timeout): a batch-level detector cannot see
+        # inside one giant stalled drain, so exceeding ~6x the healthy
+        # median drain trips the slow fallback long before the hard
+        # watchdog would.
+        deadline = _time.monotonic() + timeout
+        watchdog_tripped = False
+        probation_used = False
+        # Incremental drain accounting: all readback threads start together
+        # and the device serializes buckets, so a bucket's ``xfer`` (thread
+        # start -> landed) includes every predecessor's compute+transfer.
+        # The soft-cap baseline must see per-bucket cost, not cumulative
+        # wall clock -- charge each bucket only the time past the previous
+        # completion.
+        prev_done = self._drain_t0
+        for i, g in enumerate(self.dispatches):
+            if (
+                not watchdog_tripped
+                and _BACKEND["mode"] == "auto"
+                and _BACKEND["forced_host"]
+                and _BACKEND["last_dispatch_failure_ts"] >= self.enqueued_ts
+            ):
+                # A sibling batch's transfer already hung (or slow-tripped)
+                # on this link after ours were enqueued: don't sit out our
+                # own full budget per bucket -- use whatever already
+                # landed, host-render the rest immediately.
+                watchdog_tripped = True
+            soft_expired = False
+            stall_waited = False
+            with active_stage("device_readback"):
+                if watchdog_tripped:
+                    # A transfer already hung on this link; don't wait the
+                    # full budget again for its siblings -- use any readback
+                    # that already landed, host-render the rest.
+                    ok = g.done.wait(timeout=0.05) and g.error is None
+                else:
+                    hard_left = max(0.0, deadline - _time.monotonic())
+                    budget = hard_left
+                    if _BACKEND["mode"] == "auto":
+                        budget = min(
+                            hard_left,
+                            bucket_soft_timeout(len(g.idxs), g.upload_bytes),
+                        )
+                    ok = g.done.wait(timeout=budget) and g.error is None
+                    if not ok and g.error is None and budget < hard_left:
+                        # Soft cap expired.  The same two-gate rule as
+                        # note_device_batch applies before abandoning the
+                        # device: the cap spent so far is only a LOWER
+                        # bound on this bucket's cost, so the host
+                        # replacement must beat that bound to justify a
+                        # switch.  When it cannot (or there is no host
+                        # measurement to compare against on this bucket's
+                        # own evidence -- see below), a slow device is
+                        # still the fastest backend available: wait out
+                        # the hard budget instead of crawling on the host.
+                        host_spp = _host_sec_per_panel()
+                        implied_spp = budget / max(len(g.idxs), 1)
+                        if host_spp is not None and implied_spp <= host_spp / _SLOW_FACTOR:
+                            stall_waited = True
+                            ok = (
+                                g.done.wait(timeout=max(0.0, deadline - _time.monotonic()))
+                                and g.error is None
+                            )
+                        else:
+                            soft_expired = True
+            if ok:
+                deadline = _time.monotonic() + timeout
+                if not watchdog_tripped and not stall_waited:
+                    # Skip recording after a trip or a waited-out stall:
+                    # those buckets' timings are stall-inflated, not
+                    # healthy baselines (recording them would balloon the
+                    # adaptive cap and hide the next genuine stall).
+                    note_bucket_drain(g.done_ts - prev_done, len(g.idxs))
+                prev_done = max(prev_done, g.done_ts)
+                self._handle_completed(g, first=(i == 0))
+                continue
+            if g.error is not None:
+                raise g.error
+            if soft_expired and not watchdog_tripped:
+                host_spp = _host_sec_per_panel()
+                if host_spp is None:
+                    # Degraded beyond the soft cap but no host measurement
+                    # yet: render THIS bucket host-side (which times the
+                    # host, arming the comparison for the next bucket)
+                    # without flipping the whole process on no evidence --
+                    # the probation analog of note_device_batch's gate 2.
+                    with active_stage("host_quantize"):
+                        _panel_mod._render_group_host(self.panels, g.idxs, self.tile_h, self.tile_w,
+                                           g.y_scale, g.z_scale, g.lo_pct, g.hi_pct,
+                                           self.results)
+                    # The stall + host render consumed shared budget/clock:
+                    # give the next bucket a fresh hard deadline (every
+                    # completion path does) and advance the incremental
+                    # drain origin so the stalled window is never recorded
+                    # as a later bucket's "healthy" drain time; flag the
+                    # batch so its wall clock (inflated by the stall and
+                    # the host render) stays out of the device meter.
+                    deadline = _time.monotonic() + timeout
+                    prev_done = _time.perf_counter()
+                    probation_used = True
+                    continue
+                watchdog_tripped = True
+                force_host_slow(
+                    "[BACKEND] device bucket drain exceeded the adaptive soft cap "
+                    f"({bucket_soft_timeout(len(g.idxs), g.upload_bytes):.1f}s) "
+                    "with the host replacement "
+                    "measurably faster; finishing on the host backend "
+                    "(reprobe may restore the device)"
+                )
+                with active_stage("host_quantize"):
+                    _panel_mod._render_group_host(self.panels, g.idxs, self.tile_h, self.tile_w,
+                                       g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, self.results)
+                continue
+            # The link died between the bounded preflight and this
+            # transfer.  A hung jax transfer never returns, so without
+            # this bound the coalescer thread -- and every worker
+            # waiting on it -- would deadlock for the rest of the batch.
+            from configurable_spectrograms_tpu.utils.logging import log_error
+
+            if _BACKEND["mode"] == "device":  # explicit override: fail loudly
+                raise RuntimeError(
+                    f"device dispatch/readback exceeded {timeout:.0f}s "
+                    "(CST_DEVICE_DISPATCH_TIMEOUT) with CST_RENDER_BACKEND=device"
+                )
+            if not watchdog_tripped:
+                watchdog_tripped = True
+                force_host_after_dispatch_failure()
+                log_error(
+                    f"[BACKEND] device dispatch/readback exceeded {timeout:.0f}s; "
+                    "abandoning the transfer and finishing on the host backend"
+                )
+            with active_stage("host_quantize"):
+                _panel_mod._render_group_host(self.panels, g.idxs, self.tile_h, self.tile_w,
+                                   g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, self.results)
+        if not watchdog_tripped and not probation_used:
+            # Every bucket landed on the device: feed the slow-dispatch
+            # detector (link.note_device_batch) with this batch's panel
+            # count and completion time.  Watchdog trips already forced
+            # the host backend (no extra signal), and a probation batch's
+            # wall clock is inflated by the stall wait + the host render
+            # of host-rendered panels -- billing it to the device meter
+            # would let one transient stall trip the run on bad data.
+            note_device_batch(
+                sum(len(g.idxs) for g in self.dispatches),
+                self.enqueued_ts,
+                _time.monotonic(),
+            )
+        return self.results
+
+    def _handle_completed(self, g: _GroupDispatch, first: bool = True) -> None:
+        """Bandwidth/calibration bookkeeping + unpack for one landed bucket.
+
+        The link-health heuristics only run when the bucket's transfer had
+        the link to itself -- a SINGLE-bucket drain: with sibling
+        transfers in flight (or later buckets queued behind predecessors'
+        compute), wall-clock ``xfer`` divides the link's bandwidth among
+        them and would misattribute sharing/queueing to a slow link,
+        forcing the host backend on a healthy device.  Degraded links are
+        still caught promptly in practice: the first renders of a run are
+        single-bucket drains (calibration is one-shot and early), and a
+        truly dead link trips the watchdog regardless.
+        """
+        import time as _time
+
+        n = len(g.idxs)
+        packed = g.packed
+        xfer = g.xfer
+        with _ACTIVE_DRAINS_LOCK:
+            solo_drain = _ACTIVE_DRAINS["n"] == 1
+        # "alone" = this bucket's transfer had the link to itself: the only
+        # bucket of the only in-flight batch.  Cross-batch pipelining
+        # (service.py) deliberately overlaps the next batch's uploads with
+        # this readback, so a shared-window measurement says nothing about
+        # the link itself.
+        alone = first and len(self.dispatches) == 1 and solo_drain
+        if (
+            alone
+            and _BACKEND["mode"] == "auto"
+            and not _BACKEND["forced_host"]
+            and xfer > 1.0
+            and packed.nbytes / max(xfer, 1e-9) < _MIN_LINK_MBPS * 1e6
+        ):
+            # The device link has degraded below usability (observed on this
+            # environment's relay); finish everything on the host from now on.
+            from configurable_spectrograms_tpu.utils.logging import log_error
+
+            with _BACKEND_LOCK:
+                _BACKEND["forced_host"] = True
+                _BACKEND["why_host"] = "bandwidth"
+            log_error(
+                f"[BACKEND] device->host readback measured at "
+                f"{packed.nbytes / max(xfer, 1e-9) / 1e6:.2f} MB/s; switching panel "
+                f"rasterization to the host backend for this process"
+            )
+        elif (
+            alone
+            and _BACKEND["mode"] == "auto"
+            and not _BACKEND["forced_host"]
+            and not _BACKEND["calibrated"]
+            and xfer / n > _CALIBRATE_XFER_SEC_PER_PANEL
+        ):
+            # The link is slow enough that readback alone may cost more than
+            # redoing the whole panel on the host.  Measure once: render this
+            # same group on the host (parity-tested identical output) and
+            # compare its TOTAL time against the readback time alone -- a
+            # comparison conservative toward the device, since the device
+            # path's compute is treated as free.  (Concurrent sibling
+            # readbacks share the link, so ``xfer`` can only overestimate
+            # the device's cost -- still conservative toward the device
+            # being slower, never toward it being faster.)
+            with _BACKEND_LOCK:
+                _BACKEND["calibrated"] = True
+            t0 = _time.perf_counter()
+            _panel_mod._render_group_host(self.panels, g.idxs, self.tile_h, self.tile_w,
+                               g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, self.results)
+            host_t = _time.perf_counter() - t0
+            if xfer > host_t:
+                from configurable_spectrograms_tpu.utils.logging import log_error
+
+                with _BACKEND_LOCK:
+                    _BACKEND["forced_host"] = True
+                    _BACKEND["why_host"] = "bandwidth"
+                log_error(
+                    f"[BACKEND] calibration: device readback {xfer * 1e3:.0f} ms vs "
+                    f"host render {host_t * 1e3:.0f} ms for {n} panel(s); switching "
+                    f"panel rasterization to the host backend for this process"
+                )
+                return  # the host results for this group are already in place
+        _finish_group(self.panels, g, packed, self.tile_h, self.tile_w, self.results)
+

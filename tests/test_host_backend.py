@@ -64,6 +64,8 @@ def test_host_backend_full_figure(monkeypatch, rng, tmp_path):
     """CST_RENDER_BACKEND=host renders a full figure identical in structure."""
     from configurable_spectrograms_tpu.data.synthetic import synth_instrument_arrays
     from configurable_spectrograms_tpu.render import dispatch as figure_mod
+    from configurable_spectrograms_tpu.render import drain as drain_mod
+    from configurable_spectrograms_tpu.render import panel as panel_mod
     from configurable_spectrograms_tpu.render.plotting import generic_plot_multirow_optional_zoom
 
     a = synth_instrument_arrays(rng, n_time=80, n_angle=8, n_energy=16)
@@ -94,6 +96,8 @@ def test_auto_backend_calibration_flip(monkeypatch, rng):
 
     from configurable_spectrograms_tpu.data.synthetic import synth_instrument_arrays
     from configurable_spectrograms_tpu.render import dispatch as figure_mod
+    from configurable_spectrograms_tpu.render import drain as drain_mod
+    from configurable_spectrograms_tpu.render import panel as panel_mod
     from configurable_spectrograms_tpu.render.plotting import generic_plot_multirow_optional_zoom
 
     a = synth_instrument_arrays(rng, n_time=60, n_angle=6, n_energy=16)
@@ -108,13 +112,13 @@ def test_auto_backend_calibration_flip(monkeypatch, rng):
     monkeypatch.setitem(figure_mod._BACKEND, "mode", "auto")
     monkeypatch.setitem(figure_mod._BACKEND, "forced_host", False)
     monkeypatch.setitem(figure_mod._BACKEND, "calibrated", False)
-    monkeypatch.setattr(figure_mod, "_readback", slow_readback)
+    monkeypatch.setattr(drain_mod, "_readback", slow_readback)
     fig, _ = generic_plot_multirow_optional_zoom(ds, z_scale="log", colormap="inferno")
     auto_img = np.asarray(fig.render(dpi=60))
     assert figure_mod._BACKEND["calibrated"]
     assert figure_mod._BACKEND["forced_host"]
 
-    monkeypatch.setattr(figure_mod, "_readback", real_readback)
+    monkeypatch.setattr(drain_mod, "_readback", real_readback)
     monkeypatch.setitem(figure_mod._BACKEND, "mode", "host")
     monkeypatch.setitem(figure_mod._BACKEND, "forced_host", False)
     fig2, _ = generic_plot_multirow_optional_zoom(ds, z_scale="log", colormap="inferno")

@@ -15,6 +15,7 @@ import pytest
 jax = pytest.importorskip("jax")
 
 from configurable_spectrograms_tpu.ops.extrema_ops import batched_file_stats  # noqa: E402
+from configurable_spectrograms_tpu.render import device_cache, drain  # noqa: E402
 from configurable_spectrograms_tpu.render import dispatch as figure  # noqa: E402
 from configurable_spectrograms_tpu.render.figure import PanelData, device_render_panels  # noqa: E402
 from configurable_spectrograms_tpu.render.tile import TimeWindow  # noqa: E402
@@ -162,7 +163,7 @@ def test_repeat_render_reuses_resident_cubes(rng, monkeypatch):
             uploads["n"] += 1
         return out
 
-    monkeypatch.setattr(figure, "_padded_device_cube", counting)
+    monkeypatch.setattr(device_cache, "_padded_device_cube", counting)
     first = _render_results(panels)
     first_uploads = uploads["n"]
     assert first_uploads == 4  # one per unique cube
@@ -186,7 +187,7 @@ def test_hung_dispatch_falls_back_to_host(rng, monkeypatch):
     def hung_readback(out_dev):
         time.sleep(600)
 
-    monkeypatch.setattr(figure, "_readback", hung_readback)
+    monkeypatch.setattr(drain, "_readback", hung_readback)
     panels = _build_panels(rng, 3)
     t0 = time.monotonic()
     results = _render_results(panels)
@@ -204,7 +205,7 @@ def test_forced_device_hung_dispatch_raises(rng, monkeypatch):
     monkeypatch.setitem(figure._BACKEND, "mode", "device")
     monkeypatch.setitem(figure._BACKEND, "forced_host", False)
     monkeypatch.setenv("CST_DEVICE_DISPATCH_TIMEOUT", "1")
-    monkeypatch.setattr(figure, "_readback", lambda out_dev: time.sleep(600))
+    monkeypatch.setattr(drain, "_readback", lambda out_dev: time.sleep(600))
     import pytest
 
     with pytest.raises(RuntimeError, match="CST_DEVICE_DISPATCH_TIMEOUT"):

@@ -111,6 +111,8 @@ def test_multi_bucket_readbacks_overlap(rng, monkeypatch):
     import time
 
     from configurable_spectrograms_tpu.render import dispatch as figure_mod
+    from configurable_spectrograms_tpu.render import drain as drain_mod
+    from configurable_spectrograms_tpu.render import panel as panel_mod
     from configurable_spectrograms_tpu.render import link as link_mod
 
     # The artificial delay would otherwise trip the one-shot host/device
@@ -133,7 +135,7 @@ def test_multi_bucket_readbacks_overlap(rng, monkeypatch):
         time.sleep(0.6)
         return real(out_dev)
 
-    monkeypatch.setattr(figure_mod, "_readback", slow_readback)
+    monkeypatch.setattr(drain_mod, "_readback", slow_readback)
     t0 = time.perf_counter()
     results = device_render_panels(panels, 16, 24)
     elapsed = time.perf_counter() - t0
@@ -148,6 +150,8 @@ def test_bucket_readback_error_propagates(rng, monkeypatch):
     """A real exception (not a hang) inside one bucket's readback must fail
     the render call rather than silently dropping panels."""
     from configurable_spectrograms_tpu.render import dispatch as figure_mod
+    from configurable_spectrograms_tpu.render import drain as drain_mod
+    from configurable_spectrograms_tpu.render import panel as panel_mod
     from configurable_spectrograms_tpu.render import link as link_mod
 
     monkeypatch.setitem(link_mod._BACKEND, "mode", "auto")
@@ -156,7 +160,7 @@ def test_bucket_readback_error_propagates(rng, monkeypatch):
     def broken_readback(out_dev):
         raise RuntimeError("transfer exploded")
 
-    monkeypatch.setattr(figure_mod, "_readback", broken_readback)
+    monkeypatch.setattr(drain_mod, "_readback", broken_readback)
     with pytest.raises(RuntimeError, match="transfer exploded"):
         device_render_panels([_panel(rng)], 16, 24)
 
@@ -168,6 +172,8 @@ def test_watchdog_trip_uses_landed_siblings(rng, monkeypatch):
     import time
 
     from configurable_spectrograms_tpu.render import dispatch as figure_mod
+    from configurable_spectrograms_tpu.render import drain as drain_mod
+    from configurable_spectrograms_tpu.render import panel as panel_mod
     from configurable_spectrograms_tpu.render import link as link_mod
 
     panels = _two_bucket_panels(rng)
@@ -185,7 +191,7 @@ def test_watchdog_trip_uses_landed_siblings(rng, monkeypatch):
     monkeypatch.setenv("CST_DEVICE_DISPATCH_TIMEOUT", "2")
     monkeypatch.setitem(link_mod._BACKEND, "mode", "auto")
     monkeypatch.setitem(link_mod._BACKEND, "forced_host", False)
-    monkeypatch.setattr(figure_mod, "_readback", hang_second)
+    monkeypatch.setattr(drain_mod, "_readback", hang_second)
     host_renders = {"n": 0}
     real_host = figure_mod._render_group_host
 
@@ -193,7 +199,7 @@ def test_watchdog_trip_uses_landed_siblings(rng, monkeypatch):
         host_renders["n"] += 1
         return real_host(*a, **k)
 
-    monkeypatch.setattr(figure_mod, "_render_group_host", counting_host)
+    monkeypatch.setattr(panel_mod, "_render_group_host", counting_host)
     try:
         got = device_render_panels(panels, 16, 24)
         assert link_mod._BACKEND["forced_host"]  # the trip forced host
@@ -242,6 +248,8 @@ def test_coalescer_drainer_failure_fails_futures(rng, monkeypatch):
     dispatcher thread binds the patched enqueue function (the process-wide
     coalescer's thread may already be running with the real one)."""
     from configurable_spectrograms_tpu.render import dispatch as figure_mod
+    from configurable_spectrograms_tpu.render import drain as drain_mod
+    from configurable_spectrograms_tpu.render import panel as panel_mod
     from configurable_spectrograms_tpu.render import service as service_mod
 
     class ExplodingPending:
@@ -274,6 +282,8 @@ def test_coalescer_overlaps_batches(rng, monkeypatch):
     import time
 
     from configurable_spectrograms_tpu.render import dispatch as figure_mod
+    from configurable_spectrograms_tpu.render import drain as drain_mod
+    from configurable_spectrograms_tpu.render import panel as panel_mod
     from configurable_spectrograms_tpu.render import link as link_mod
     from configurable_spectrograms_tpu.render import service as service_mod
 
@@ -290,7 +300,7 @@ def test_coalescer_overlaps_batches(rng, monkeypatch):
         time.sleep(0.7)
         return real(out_dev)
 
-    monkeypatch.setattr(figure_mod, "_readback", slow_readback)
+    monkeypatch.setattr(drain_mod, "_readback", slow_readback)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -316,13 +326,15 @@ def test_sibling_batches_fast_trip_after_watchdog(rng, monkeypatch):
     import time
 
     from configurable_spectrograms_tpu.render import dispatch as figure_mod
+    from configurable_spectrograms_tpu.render import drain as drain_mod
+    from configurable_spectrograms_tpu.render import panel as panel_mod
     from configurable_spectrograms_tpu.render import link as link_mod
 
     monkeypatch.setitem(link_mod._BACKEND, "mode", "auto")
     monkeypatch.setitem(link_mod._BACKEND, "forced_host", False)
     monkeypatch.setitem(link_mod._BACKEND, "last_dispatch_failure_ts", 0.0)
     monkeypatch.setenv("CST_DEVICE_DISPATCH_TIMEOUT", "2")
-    monkeypatch.setattr(figure_mod, "_readback", lambda out_dev: time.sleep(600))
+    monkeypatch.setattr(drain_mod, "_readback", lambda out_dev: time.sleep(600))
 
     try:
         a = figure_mod.enqueue_render_panels([_panel(rng)], 16, 24)

@@ -14,7 +14,7 @@ import time
 import numpy as np
 import pytest
 
-from configurable_spectrograms_tpu.render import dispatch, link
+from configurable_spectrograms_tpu.render import dispatch, drain, link
 from configurable_spectrograms_tpu.render.tile import TimeWindow
 
 
@@ -306,7 +306,7 @@ def test_soft_cap_trips_one_giant_stalled_bucket(rng, monkeypatch):
     for _ in range(5):
         link.note_bucket_drain(0.1)  # healthy baseline -> 2 s cap
     link.note_host_group(8, 0.08)  # measured host: 0.01 s/panel, far faster
-    monkeypatch.setattr(dispatch, "_readback", lambda out_dev: time.sleep(600))
+    monkeypatch.setattr(drain, "_readback", lambda out_dev: time.sleep(600))
     t0 = time.monotonic()
     results = dispatch.device_render_panels([_panel(rng)], 16, 24)
     elapsed = time.monotonic() - t0
@@ -325,7 +325,7 @@ def test_soft_cap_expiry_without_host_evidence_does_not_force(rng, monkeypatch):
     for _ in range(5):
         link.note_bucket_drain(0.1)
     assert link._host_sec_per_panel() is None
-    monkeypatch.setattr(dispatch, "_readback", lambda out_dev: time.sleep(600))
+    monkeypatch.setattr(drain, "_readback", lambda out_dev: time.sleep(600))
     t0 = time.monotonic()
     results = dispatch.device_render_panels([_panel(rng)], 16, 24)
     elapsed = time.monotonic() - t0
@@ -347,7 +347,7 @@ def test_soft_cap_expiry_waits_when_host_is_slower(rng, monkeypatch):
         time.sleep(4.0)
         return np.asarray(out_dev)
 
-    monkeypatch.setattr(dispatch, "_readback", _slow_readback)
+    monkeypatch.setattr(drain, "_readback", _slow_readback)
     t0 = time.monotonic()
     # Two shape-distinct panels -> two buckets, so the "alone" bandwidth
     # heuristic (which would see the simulated 4 s transfer as a dead
@@ -384,7 +384,7 @@ def test_slow_dispatch_end_to_end_fallback(rng, monkeypatch):
         time.sleep(0.10)
         return real_readback(out_dev)
 
-    monkeypatch.setattr(dispatch, "_readback", slow_readback)
+    monkeypatch.setattr(drain, "_readback", slow_readback)
     for _ in range(link._SLOW_STREAK_K):
         assert not link._host_backend_active()
         dispatch.device_render_panels([_panel(rng)], 16, 24)
