@@ -492,7 +492,8 @@ def main() -> None:
                     # relay oscillates; r3's device captures beat host).
                     "link_state": (
                         "bandwidth-limited" if bandwidth_limited
-                        else ("alive" if device_ok or rates["device"] else "dead")
+                        else ("degraded-mid-run" if any(i.get("tripped") for i in device_pass_info)
+                              else ("alive" if device_ok or rates["device"] else "dead"))
                     ),
                     "link_why_host": _BACKEND.get("why_host"),
                     "passes": {

@@ -380,6 +380,10 @@ def _latency_upload_bytes(groups: dict[tuple, list[int]], panels: list[PanelData
     """
     mesh = _render_mesh() if not _host_backend_active() else None
     total = 0
+    # Cross-group dedup: a cube shared by two buckets with the same padded
+    # dims (the raw + given-extrema figure pair) uploads ONCE -- the first
+    # bucket's dispatch populates the per-cube cache the second hits.
+    charged: set[tuple] = set()
     for (Tp, Ap, Ep, *_rest), idxs in groups.items():
         # First-appearance order matches _prepare_group's unique_cubes, so
         # the assembled-stack key here is the one _stack_cubes would hit.
@@ -393,7 +397,15 @@ def _latency_upload_bytes(groups: dict[tuple, list[int]], panels: list[PanelData
             if id(c) not in seen:
                 seen.add(id(c))
                 unique.append(c)
-        total += _group_upload_bytes(unique, Tp, Ap, Ep, mesh)
+        if _DEVICE_CUBE_CACHE.get(_stack_cache_key(unique, Tp, Ap, Ep, mesh)) is not None:
+            continue
+        for c in unique:
+            key = (id(c), Tp, Ap, Ep)
+            if key in charged:
+                continue
+            if _DEVICE_CUBE_CACHE.get(key) is None:
+                charged.add(key)
+                total += Tp * Ap * Ep * 4
     return total
 
 

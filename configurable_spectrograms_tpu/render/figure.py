@@ -33,13 +33,16 @@ from configurable_spectrograms_tpu.render.compositor import (  # noqa: F401 (re-
     _Layout,
 )
 
-# The dispatch pipeline lives in render/dispatch.py; the link state machine
-# in render/link.py.  Both sets of names are re-exported here because this
-# module is their historical home and callers (batch drivers, bench, ops
-# modules, tools) import them from ``figure``.  NOTE: tests that monkeypatch
-# pipeline internals (``_readback``, ``_padded_device_cube``,
-# ``_render_group_host``) must patch them on ``render.dispatch``, where the
-# pipeline resolves them.
+# The dispatch pipeline lives in render/dispatch.py (grouping/enqueue),
+# render/drain.py (PendingRender readbacks), render/panel.py (PanelData +
+# host group render), and render/device_cache.py (resident cubes); the
+# link state machine in render/link.py.  The names are re-exported here
+# because this module is their historical home and callers (batch
+# drivers, bench, ops modules, tools) import them from ``figure``.
+# NOTE: tests/tools that monkeypatch pipeline internals must patch the
+# OWNING module, where the pipeline resolves them: ``drain._readback``,
+# ``device_cache._padded_device_cube``, ``panel._render_group_host``.
+# Patching the re-exports here or on ``dispatch`` is a silent no-op.
 from configurable_spectrograms_tpu.render.dispatch import (  # noqa: F401 (re-export)
     DISPATCH_HISTORY,
     LAST_DISPATCH,

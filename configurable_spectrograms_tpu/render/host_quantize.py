@@ -174,26 +174,18 @@ def host_quantize(
             # scalar-q np.percentile interpolates float32 pools entirely in
             # float32, so this stays bit-exact with the reference -- pinned
             # by tests/test_reference_parity.py and the golden figures).
-            def _pct(q: float, part: np.ndarray) -> float:
-                k_lo, k_hi, gamma = percentile_ranks(part.size, q)
-                return numpy_lerp_percentile(part[k_lo], part[k_hi], gamma)
-
-            if pool.size and (zmin_arg is None or zmax_arg is None):
-                ranks: set[int] = set()
-                for q in ([low_pct] if zmin_arg is None else []) + (
-                    [high_pct] if zmax_arg is None else []
-                ):
-                    k_lo, k_hi, _ = percentile_ranks(pool.size, q)
-                    ranks.update((k_lo, k_hi))
-                part = np.partition(pool, sorted(ranks))
-            else:
-                part = pool
-            vmin = float(zmin_arg) if zmin_arg is not None else (
-                _pct(low_pct, part) if pool.size else np.nan
+            wanted = ([("lo", low_pct)] if zmin_arg is None else []) + (
+                [("hi", high_pct)] if zmax_arg is None else []
             )
-            vmax = float(zmax_arg) if zmax_arg is not None else (
-                _pct(high_pct, part) if pool.size else np.nan
-            )
+            values = {"lo": np.nan, "hi": np.nan}
+            if pool.size:
+                ranks = {which: percentile_ranks(pool.size, q) for which, q in wanted}
+                order = sorted({k for r in ranks.values() for k in r[:2]})
+                part = np.partition(pool, order)
+                for which, (k_lo, k_hi, gamma) in ranks.items():
+                    values[which] = numpy_lerp_percentile(part[k_lo], part[k_hi], gamma)
+            vmin = float(zmin_arg) if zmin_arg is not None else values["lo"]
+            vmax = float(zmax_arg) if zmax_arg is not None else values["hi"]
             _BOUNDS_CACHE.insert(bounds_key, (vmin, vmax), (matrix,))
     else:
         vmin, vmax = float(zmin_arg), float(zmax_arg)

@@ -62,7 +62,7 @@ def main() -> int:
 
     from bench import _build_archive, _ours_pass, _ours_setup, _progress
 
-    from configurable_spectrograms_tpu.render import dispatch as figure, link
+    from configurable_spectrograms_tpu.render import device_cache, dispatch as figure, drain, link
 
     _progress("probing device link")
     link.probe_device_link()
@@ -75,8 +75,10 @@ def main() -> int:
         archive = _build_archive(root)
         render_one, jobs = _ours_setup(archive)
 
-        real_readback = figure._readback
-        real_padded = figure._padded_device_cube
+        # Patch the OWNING modules: drain/device_cache resolve these
+        # names module-locally (dispatch only re-exports them).
+        real_readback = drain._readback
+        real_padded = device_cache._padded_device_cube
         throttle_box: dict[str, _LinkThrottle] = {"t": _LinkThrottle(None)}
 
         def throttled_readback(out_dev):
@@ -94,8 +96,8 @@ def main() -> int:
                 throttle_box["t"].charge(4 * Tp * Ap * Ep, time.perf_counter() - t0)
             return arr
 
-        figure._readback = throttled_readback
-        figure._padded_device_cube = throttled_padded
+        drain._readback = throttled_readback
+        device_cache._padded_device_cube = throttled_padded
 
         results: dict[str, dict] = {}
         try:
@@ -132,8 +134,8 @@ def main() -> int:
                 host_rates.append(_ours_pass(render_one, jobs, host_dir))
             host_pps = max(host_rates)
         finally:
-            figure._readback = real_readback
-            figure._padded_device_cube = real_padded
+            drain._readback = real_readback
+            device_cache._padded_device_cube = real_padded
             link._BACKEND["mode"] = "auto"
 
         wins = {k: v["device_panels_per_sec"] > host_pps for k, v in results.items()}
