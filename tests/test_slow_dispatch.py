@@ -393,3 +393,22 @@ def test_slow_dispatch_end_to_end_fallback(rng, monkeypatch):
     # Subsequent renders run host-side and still complete.
     results = dispatch.device_render_panels([_panel(rng)], 16, 24)
     assert all(r is not None and "rgba" in r for r in results)
+
+
+def test_latency_upload_estimate_dedups_shared_cubes(rng, monkeypatch):
+    """A cube shared by two buckets with equal padded dims (the raw+given
+    figure pair) is charged ONE upload: the first bucket's dispatch makes
+    it resident for the second."""
+    from configurable_spectrograms_tpu.render import device_cache
+
+    device_cache._DEVICE_CUBE_CACHE.clear()
+    monkeypatch.setenv("CST_DATA_MESH", "0")
+    p_raw = _panel(rng)
+    p_given = dispatch.PanelData(**{**p_raw.__dict__, "z_min": 1.0, "z_max": 90.0})
+    p_given.cube = p_raw.cube  # same object, as the figure pair shares it
+    groups = {
+        (64, 8, 16, "log", "log", 1.0, 99.0, False, False): [0],
+        (64, 8, 16, "log", "log", 1.0, 99.0, True, False): [1],
+    }
+    total = dispatch._latency_upload_bytes(groups, [p_raw, p_given])
+    assert total == 64 * 8 * 16 * 4  # one padded upload, not two
