@@ -10,7 +10,7 @@ it HERE.
 from __future__ import annotations
 
 import threading as _threading
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
