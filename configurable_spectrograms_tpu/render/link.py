@@ -372,8 +372,11 @@ def _link_roundtrip_probe() -> dict:
     ``{"ok": True}`` on a healthy link; ``{"ok": False, "why": ...}``
     otherwise.  The transfer thread is abandoned on timeout (it holds no
     locks the host path needs), so a hung link cannot block the caller.
-    Pure transfers only -- no compilation -- so a slow first-jit on a
-    healthy device never trips this.
+    The cold phase compiles one trivial elementwise kernel to prime the
+    relay's execution path (a pure-transfer first readback can stall for
+    minutes on an otherwise healthy link); the generous cold budget
+    absorbs that compile, and the timed steady/bandwidth phases remain
+    pure transfers.
     """
     import time as _time
 
@@ -385,10 +388,17 @@ def _link_roundtrip_probe() -> dict:
     def _roundtrip():
         try:
             import jax
+            import jax.numpy as jnp
 
-            dev = jax.device_put(np.zeros(256, np.uint8))
-            jax.block_until_ready(dev)
-            np.asarray(dev)  # first D2H: pays the relay's one-time setup
+            # Cold phase rides the EXECUTION path, not a bare transfer: on
+            # the tunneled relay the first D2H of a plain device_put buffer
+            # stalls for minutes (measured 100-300+ s for 256 bytes, long
+            # enough to misread an alive link as dead), while any tiny
+            # compiled execution primes the same path in ~1-2 s and the
+            # next readback answers immediately.  A genuinely dead link
+            # hangs here just the same, so the cold budget still bounds it.
+            warm = jax.block_until_ready(jnp.zeros(256, np.uint8) + 1)
+            np.asarray(warm)  # first D2H: pays the relay's one-time setup
             cold_done.set()
             dev2 = jax.device_put(np.zeros(256, np.uint8))
             t0 = _time.perf_counter()
