@@ -77,6 +77,56 @@ inline void repack_rgba_row(const uint8_t* in, uint8_t* out, int32_t w) {
     }
 }
 
+// Subtract rgb(prev) from rgb(cur) where both rows are RGBA, writing the
+// 3-byte-per-pixel Up-filtered scanline directly (alpha never touches the
+// output).  SSSE3 does subtract + 4->3 shuffle in one pass; each step
+// writes 16 bytes (12 valid + 4 scratch), and the x+5 < w guard keeps the
+// scratch inside the row span exactly as repack_rgba_row's does.
+inline void filter_row_rgba(const uint8_t* cur, const uint8_t* prev, uint8_t* out, int32_t w) {
+    int32_t x = 0;
+#ifdef __SSSE3__
+    const __m128i shuf = _mm_setr_epi8(0, 1, 2, 4, 5, 6, 8, 9, 10, 12, 13, 14, -1, -1, -1, -1);
+    for (; x + 5 < w; x += 4) {
+        __m128i c = _mm_loadu_si128(reinterpret_cast<const __m128i*>(cur + size_t(x) * 4));
+        __m128i p = _mm_loadu_si128(reinterpret_cast<const __m128i*>(prev + size_t(x) * 4));
+        _mm_storeu_si128(reinterpret_cast<__m128i*>(out + size_t(x) * 3),
+                         _mm_shuffle_epi8(_mm_sub_epi8(c, p), shuf));
+    }
+#endif
+    for (; x < w; ++x) {
+        out[size_t(x) * 3 + 0] = uint8_t(cur[size_t(x) * 4 + 0] - prev[size_t(x) * 4 + 0]);
+        out[size_t(x) * 3 + 1] = uint8_t(cur[size_t(x) * 4 + 1] - prev[size_t(x) * 4 + 1]);
+        out[size_t(x) * 3 + 2] = uint8_t(cur[size_t(x) * 4 + 2] - prev[size_t(x) * 4 + 2]);
+    }
+}
+
+// Up-filter canvas rows [y0, y1) into `raw` at their final offsets
+// (filter byte + stride bytes per row).  Reads straight from the caller's
+// RGB/RGBA pixels -- no intermediate repacked row buffers.
+void filter_rows(const uint8_t* px, int32_t w, int32_t h, int32_t channels,
+                 int32_t y0, int32_t y1, uint8_t* raw) {
+    (void)h;
+    const size_t stride = size_t(w) * 3;
+    const size_t in_stride = size_t(w) * size_t(channels);
+    for (int32_t y = y0; y < y1; ++y) {
+        uint8_t* dst = raw + size_t(y) * (stride + 1);
+        const uint8_t* cur = px + size_t(y) * in_stride;
+        if (y == 0) {
+            *dst++ = 0;  // None
+            if (channels == 3) std::memcpy(dst, cur, stride);
+            else repack_rgba_row(cur, dst, w);
+        } else {
+            *dst++ = 2;  // Up
+            const uint8_t* prev = cur - in_stride;
+            if (channels == 3) {
+                for (size_t x = 0; x < stride; ++x) dst[x] = uint8_t(cur[x] - prev[x]);
+            } else {
+                filter_row_rgba(cur, prev, dst, w);
+            }
+        }
+    }
+}
+
 void chunk(std::vector<uint8_t>& out, const char type[4], const uint8_t* data, size_t n) {
     put_be32(out, uint32_t(n));
     size_t start = out.size();
@@ -195,15 +245,52 @@ struct BitWriter {
     }
 };
 
-// Compress `in[0..n)` into a zlib stream appended to `out`.
-void deflate_fixed(const uint8_t* in, size_t n, std::vector<uint8_t>& out) {
+// Incremental fixed-Huffman deflate over a growing prefix of a stable
+// buffer.  ``feed(upto)`` consumes bytes [consumed, upto); earlier bytes
+// must stay valid (back-references reach up to 32 KB behind the cursor).
+// The encode driver interleaves Up-filtering, adler, and feed() in row
+// blocks so the filtered stream is compressed while still cache-resident
+// instead of three whole-canvas DRAM passes.  A run or match never spans
+// a feed boundary (it re-forms as distance-1 matches in the next call),
+// costing a handful of literals per ~230 KB block -- unmeasurable ratio
+// impact.
+class FixedEnc {
+public:
+    FixedEnc(std::vector<uint8_t>& out, const uint8_t* base)
+        : bw_(push_hdr(out)), in_(base) {
+        head_store().assign(size_t(1) << HBITS, -1);
+        bw_.reserve(1024);
+        bw_.put(1, 1);  // BFINAL
+        bw_.put(1, 2);  // BTYPE=01 fixed Huffman
+    }
+    void feed(size_t upto);
+    void finish() {
+        bw_.put(tables().lit_code[256], tables().lit_bits[256]);  // end of block
+        bw_.finish();
+    }
+
+private:
+    static std::vector<uint8_t>& push_hdr(std::vector<uint8_t>& o) {
+        o.push_back(0x78);  // CMF: deflate, 32K window
+        o.push_back(0x01);  // FLG: fastest, (0x7801 % 31 == 0)
+        return o;
+    }
+    static std::vector<int64_t>& head_store() {
+        static thread_local std::vector<int64_t> hs;
+        return hs;
+    }
+    static constexpr int HBITS = 15;
+    BitWriter bw_;
+    const uint8_t* in_;
+    size_t i_ = 0;
+};
+
+void FixedEnc::feed(size_t upto) {
     const Tables& T = tables();
-    out.push_back(0x78);  // CMF: deflate, 32K window
-    out.push_back(0x01);  // FLG: fastest, (0x7801 % 31 == 0)
-    BitWriter bw(out);
-    bw.reserve(1024);
-    bw.put(1, 1);  // BFINAL
-    bw.put(1, 2);  // BTYPE=01 fixed Huffman
+    BitWriter& bw = bw_;
+    std::vector<uint8_t>& out = bw_.out;
+    const uint8_t* in = in_;
+    const size_t n = upto;
 
     auto emit_lit = [&](uint8_t b) { bw.put(T.lit_code[b], T.lit_bits[b]); };
     auto emit_match = [&](size_t L, size_t D) {
@@ -216,17 +303,14 @@ void deflate_fixed(const uint8_t* in, size_t n, std::vector<uint8_t>& out) {
     };
 
     constexpr size_t MIN_RUN = 16;
-    constexpr int HBITS = 15;
-    static thread_local std::vector<int64_t> head_store;
-    head_store.assign(size_t(1) << HBITS, -1);
-    int64_t* head = head_store.data();
+    int64_t* head = head_store().data();
     auto hash4 = [](const uint8_t* p) {
         uint32_t v;
         std::memcpy(&v, p, 4);
         return (v * 2654435761u) >> (32 - HBITS);
     };
 
-    size_t i = 0;
+    size_t i = i_;
     while (i < n) {
         // Headroom for the worst burst this iteration can emit (a literal
         // is <=2 bytes; a full run segment stays far under this).
@@ -319,8 +403,15 @@ void deflate_fixed(const uint8_t* in, size_t n, std::vector<uint8_t>& out) {
         emit_lit(in[i]);
         ++i;
     }
-    bw.put(tables().lit_code[256], tables().lit_bits[256]);  // end of block
-    bw.finish();
+    i_ = i;
+}
+
+// Whole-buffer convenience wrapper (tests / one-shot callers): complete
+// zlib stream for `in[0..n)` appended to `out`.
+void deflate_fixed(const uint8_t* in, size_t n, std::vector<uint8_t>& out) {
+    FixedEnc enc(out, in);
+    enc.feed(n);
+    enc.finish();
     uint32_t adler = libdeflate_adler32(1, in, n);
     out.push_back(uint8_t(adler >> 24));
     out.push_back(uint8_t(adler >> 16));
@@ -328,17 +419,34 @@ void deflate_fixed(const uint8_t* in, size_t n, std::vector<uint8_t>& out) {
     out.push_back(uint8_t(adler));
 }
 
-// Sampled fraction of zero 8-byte words -- cheap proxy for "mostly white
-// canvas after Up filtering", where the run encoder wins.  Noise-like data
-// (static Huffman would expand it) routes to libdeflate instead.
-double sampled_zero_frac(const uint8_t* p, size_t n) {
-    if (n < 4096) return 0.0;
-    size_t step = 4096;
+// Sampled fraction of zero 8-byte words in the would-be Up-filtered
+// stream -- cheap proxy for "mostly white canvas", where the run encoder
+// wins.  Noise-like data (static Huffman would expand it) routes to
+// libdeflate instead.  Works from the raw canvas (filters ~64 sampled
+// rows into a scratch line) so the driver can choose the encoder BEFORE
+// any full filter pass exists.
+double sampled_zero_frac_rows(const uint8_t* px, int32_t w, int32_t h, int32_t channels) {
+    const size_t stride = size_t(w) * 3;
+    if (h < 2 || stride < 64) return 0.0;
+    static thread_local std::vector<uint8_t> tmp;
+    tmp.resize(stride + 1);
+    int32_t step = h > 64 ? h / 64 : 1;
     size_t hits = 0, total = 0;
-    for (size_t i = 0; i + 8 <= n; i += step, ++total) {
-        uint64_t v;
-        std::memcpy(&v, p + i, 8);
-        if (v == 0) ++hits;
+    const size_t in_stride = size_t(w) * size_t(channels);
+    for (int32_t y = 1; y < h; y += step) {
+        const uint8_t* cur = px + size_t(y) * in_stride;
+        const uint8_t* prev = cur - in_stride;
+        uint8_t* dst = tmp.data() + 1;
+        if (channels == 3) {
+            for (size_t x = 0; x < stride; ++x) dst[x] = uint8_t(cur[x] - prev[x]);
+        } else {
+            filter_row_rgba(cur, prev, dst, w);
+        }
+        for (size_t i = 1; i + 8 <= stride + 1; i += 32, ++total) {
+            uint64_t v;
+            std::memcpy(&v, tmp.data() + i, 8);
+            if (v == 0) ++hits;
+        }
     }
     return total ? double(hits) / double(total) : 0.0;
 }
@@ -362,47 +470,18 @@ extern "C" int fastpng_write_v2(
     const size_t in_stride = size_t(w) * size_t(channels);
 
     // Filtered scanlines: filter byte 2 ("Up") per row; row 0 uses "None".
-    // RGBA input is repacked to RGB rows on the fly (one small row buffer),
-    // which lets callers hand over a shared RGBA canvas with zero copies.
+    // RGBA input filters straight from the caller's pixels (subtract +
+    // 4->3 shuffle fused), so a shared RGBA canvas encodes with zero
+    // repack buffers.
     //
-    // Buffers are thread_local and grow-only: a fresh ~17 MB allocation per
-    // call page-faults its way through the filter loop (measured 3x the
-    // steady-state encode time on first touch), while reuse keeps the pages
-    // warm across a batch.  Cost: up to ~40 MB retained per encoding thread.
+    // The buffer is thread_local and grow-only: a fresh ~35 MB allocation
+    // per call page-faults its way through the filter loop (measured 3x
+    // the steady-state encode time on first touch), while reuse keeps the
+    // pages warm across a batch.  Cost: ~35 MB retained per encoding
+    // thread.
+    (void)in_stride;
     static thread_local std::vector<uint8_t> raw;
     raw.resize(size_t(h) * (stride + 1));
-    static thread_local std::vector<uint8_t> rowbuf;
-    rowbuf.resize(channels == 4 ? stride * 2 : 0);
-    {
-        uint8_t* dst = raw.data();
-        const uint8_t* prev = nullptr;
-        uint8_t* cur_rgb = rowbuf.data();
-        uint8_t* prev_rgb = rowbuf.data() + stride;
-        for (int32_t y = 0; y < h; ++y) {
-            const uint8_t* src;
-            if (channels == 3) {
-                src = px + size_t(y) * in_stride;
-            } else {
-                repack_rgba_row(px + size_t(y) * in_stride, cur_rgb, w);
-                src = cur_rgb;
-            }
-            if (prev == nullptr) {
-                *dst++ = 0;  // None
-                std::memcpy(dst, src, stride);
-                dst += stride;
-            } else {
-                *dst++ = 2;  // Up
-                for (size_t x = 0; x < stride; ++x) dst[x] = uint8_t(src[x] - prev[x]);
-                dst += stride;
-            }
-            if (channels == 3) {
-                prev = src;
-            } else {
-                std::swap(cur_rgb, prev_rgb);
-                prev = prev_rgb;
-            }
-        }
-    }
 
 #ifdef FASTPNG_USE_LIBDEFLATE
     static thread_local std::vector<uint8_t> zdata;
@@ -415,7 +494,7 @@ extern "C" int fastpng_write_v2(
     bool use_rle;
     if (force && std::strcmp(force, "rle") == 0) use_rle = true;
     else if (force && std::strcmp(force, "libdeflate") == 0) use_rle = false;
-    else use_rle = rlez::sampled_zero_frac(raw.data(), raw.size()) >= 0.35;
+    else use_rle = rlez::sampled_zero_frac_rows(px, w, h, channels) >= 0.35;
 #if defined(__BYTE_ORDER__) && (__BYTE_ORDER__ == __ORDER_BIG_ENDIAN__)
     // The rlez BitWriter flushes its 64-bit accumulator with a raw memcpy
     // and the run finder's word compares assume little-endian byte order;
@@ -424,8 +503,31 @@ extern "C" int fastpng_write_v2(
     use_rle = false;
 #endif
     if (use_rle) {
-        rlez::deflate_fixed(raw.data(), raw.size(), zdata);
+        // Fused single pass: Up-filter, adler32, and the fixed-Huffman
+        // encoder advance together in ~16-row blocks, so the filtered
+        // bytes are consumed while still cache-resident.  The split
+        // pipeline (full filter pass, then adler, then compress) walked
+        // the ~35 MB canvas through DRAM three times; fusing removes two
+        // of those walks (measured ~30% off the whole-canvas encode).
+        rlez::FixedEnc enc(zdata, raw.data());
+        uint32_t adler = 1;
+        constexpr int32_t BLOCK_ROWS = 16;
+        size_t done = 0;
+        for (int32_t y = 0; y < h; y += BLOCK_ROWS) {
+            int32_t ye = y + BLOCK_ROWS < h ? y + BLOCK_ROWS : h;
+            filter_rows(px, w, h, channels, y, ye, raw.data());
+            size_t upto = size_t(ye) * (stride + 1);
+            adler = libdeflate_adler32(adler, raw.data() + done, upto - done);
+            enc.feed(upto);
+            done = upto;
+        }
+        enc.finish();
+        zdata.push_back(uint8_t(adler >> 24));
+        zdata.push_back(uint8_t(adler >> 16));
+        zdata.push_back(uint8_t(adler >> 8));
+        zdata.push_back(uint8_t(adler));
     } else {
+        filter_rows(px, w, h, channels, 0, h, raw.data());
         int lvl = zlevel < 1 ? 1 : (zlevel > 12 ? 12 : zlevel);
         libdeflate_compressor* comp = libdeflate_alloc_compressor(lvl);
         if (comp == nullptr) return -2;
@@ -437,6 +539,7 @@ extern "C" int fastpng_write_v2(
         zdata.resize(zn);
     }
 #else
+    filter_rows(px, w, h, channels, 0, h, raw.data());
     uLongf bound = compressBound(uLong(raw.size()));
     std::vector<uint8_t> zdata(bound);
     if (compress2(zdata.data(), &bound, raw.data(), uLong(raw.size()),
