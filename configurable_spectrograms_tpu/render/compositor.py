@@ -215,7 +215,12 @@ class _Layout:
         if p is None or r is None or bool(r["empty"]):
             return
         x0, y0, x1, y1 = self.axes_rect(ax)
-        canvas[y0:y1, x0:x1] = r["rgba"][: y1 - y0, : x1 - x0]
+        if hasattr(r, "draw_rgba_into"):
+            # Lazy panel results resample straight into the canvas rect --
+            # no intermediate (tile_h, tile_w, 4) tile is ever allocated.
+            r.draw_rgba_into(canvas[y0:y1, x0:x1])
+        else:
+            canvas[y0:y1, x0:x1] = r["rgba"][: y1 - y0, : x1 - x0]
         from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
 
         cb_x0 = x1 + round(0.035 * self.cell_w)

@@ -102,7 +102,6 @@ def _finish_group(panels: list[PanelData], g: _GroupDispatch, packed: np.ndarray
     idx_host = packed[:n, : rows_out * g.Ep].reshape(n, rows_out, g.Ep)
     meta_host = packed[:n, rows_out * g.Ep :].copy().view(np.float32).reshape(n, 7 + g.Ep)
 
-    _resample_t0 = _time.perf_counter()
     for j, i in enumerate(g.idxs):
         p = panels[i]
         n_kept_j, flip_j, y0_j, y1_j, vmin_j, vmax_j, empty_j = meta_host[j, :7]
@@ -116,37 +115,45 @@ def _finish_group(panels: list[PanelData], g: _GroupDispatch, packed: np.ndarray
             # other figures.
             results[i] = {"error": "minvalue must be less than or equal to maxvalue"}
             continue
-        kept_pos_j = meta_host[j, 7:].astype(np.int32)
-        rgba = resample_indices(
-            idx_host[j],
-            kept_pos_j,
-            int(n_kept_j),
-            bool(flip_j),
-            float(y0_j),
-            float(y1_j),
-            int(g.t_starts[j]),
-            int(g.t_counts[j]),
-            make_x_map(p.window, tile_w),
-            tile_h,
-            tile_w,
-            g.y_scale,
-            colormap_lut(p.colormap),
-            empty=bool(empty_j),
-            pre_gathered=bool(g.gather_w),
-        )
-        results[i] = {
-            "rgba": rgba,
-            "vmin": float(vmin_j),
-            "vmax": float(vmax_j),
-            "y0": float(y0_j),
-            "y1": float(y1_j),
-            "n_kept": int(n_kept_j),
-            "empty": bool(empty_j),
-        }
-    from configurable_spectrograms_tpu.utils import timing as _timing
 
-    if _timing.ACTIVE is not None:
-        _timing.ACTIVE.add("host_resample", _time.perf_counter() - _resample_t0)
+        def _render(out=None, _j=j, _p=p):
+            t0 = _time.perf_counter()
+            kept_pos_j = meta_host[_j, 7:].astype(np.int32)
+            tile = resample_indices(
+                idx_host[_j],
+                kept_pos_j,
+                int(meta_host[_j, 0]),
+                bool(meta_host[_j, 1]),
+                float(meta_host[_j, 2]),
+                float(meta_host[_j, 3]),
+                int(g.t_starts[_j]),
+                int(g.t_counts[_j]),
+                make_x_map(_p.window, tile_w),
+                tile_h,
+                tile_w,
+                g.y_scale,
+                colormap_lut(_p.colormap),
+                empty=bool(meta_host[_j, 6]),
+                pre_gathered=bool(g.gather_w),
+                out=out,
+            )
+            from configurable_spectrograms_tpu.utils import timing as _timing
+
+            if _timing.ACTIVE is not None:
+                _timing.ACTIVE.add("host_resample", _time.perf_counter() - t0)
+            return tile
+
+        results[i] = _panel_mod.LazyPanelResult(
+            {
+                "vmin": float(vmin_j),
+                "vmax": float(vmax_j),
+                "y0": float(y0_j),
+                "y1": float(y1_j),
+                "n_kept": int(n_kept_j),
+                "empty": bool(empty_j),
+            },
+            _render,
+        )
 
 
 class PendingRender:

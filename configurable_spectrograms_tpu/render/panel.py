@@ -61,6 +61,78 @@ class PanelData:
 # batched rasterization (device by default, host fallback)
 # ---------------------------------------------------------------------------
 
+class LazyPanelResult(dict):
+    """Panel result whose ``"rgba"`` tile materializes on first access.
+
+    The production compositor never needs the standalone tile: it blits
+    into a figure-canvas rect, so :meth:`draw_rgba_into` resamples the
+    quantized index matrix straight into that view (via
+    ``resample_indices(out=...)``), skipping the intermediate
+    (tile_h, tile_w, 4) allocation plus one full write+read of it per
+    panel (~22 MB of canvas-sized traffic per 8-panel figure).  Direct
+    consumers -- tests, embedders, the service API -- still read
+    ``result["rgba"]`` and get the identical tile, rendered lazily and
+    cached.  Scalars (vmin/vmax/y0/y1/n_kept/empty) stay eager.
+    """
+
+    def __init__(self, fields: dict, render):
+        super().__init__(fields)
+        self._render = render  # render(out=None) -> tile or out
+
+    def __missing__(self, key):
+        if key == "rgba":
+            tile = self._render()
+            self["rgba"] = tile
+            return tile
+        raise KeyError(key)
+
+    def __contains__(self, key) -> bool:
+        return key == "rgba" or dict.__contains__(self, key)
+
+    def get(self, key, default=None):
+        if key == "rgba":
+            return self["rgba"]
+        return dict.get(self, key, default)
+
+    # Enumeration must see the full mapping (consumers copy results via
+    # items()/dict(...)): materialize the tile first so laziness stays an
+    # invisible optimization, not a behavior change.
+    def _materialize(self) -> None:
+        if not dict.__contains__(self, "rgba"):
+            self["rgba"]
+
+    def keys(self):
+        self._materialize()
+        return dict.keys(self)
+
+    def values(self):
+        self._materialize()
+        return dict.values(self)
+
+    def items(self):
+        self._materialize()
+        return dict.items(self)
+
+    def __iter__(self):
+        self._materialize()
+        return dict.__iter__(self)
+
+    def __len__(self) -> int:
+        self._materialize()
+        return dict.__len__(self)
+
+    def copy(self):
+        self._materialize()
+        return dict(self)
+
+    def draw_rgba_into(self, view: "np.ndarray") -> None:
+        """Composite this panel into *view* (an RGBA canvas rect)."""
+        if dict.__contains__(self, "rgba"):
+            view[...] = self["rgba"][: view.shape[0], : view.shape[1]]
+        else:
+            self._render(out=view)
+
+
 def _render_group_host(panels: list[PanelData], idxs: list[int], tile_h: int, tile_w: int,
                        y_scale: str, z_scale: str, lo_pct: float, hi_pct: float,
                        results: list) -> None:
@@ -117,18 +189,23 @@ def _render_group_host(panels: list[PanelData], idxs: list[int], tile_h: int, ti
             # inside a pooled group would fail every coalesced figure.
             results[i] = {"error": str(exc)}
             continue
-        rgba = resample_indices(
-            q["idx"], q["kept_pos"], q["n_kept"], q["flip"], q["y0"], q["y1"],
-            p.window.t_start, p.window.t_count, make_x_map(p.window, tile_w),
-            tile_h, tile_w, y_scale, colormap_lut(p.colormap), empty=q["empty"],
+        def _render(out=None, _q=q, _p=p):
+            return resample_indices(
+                _q["idx"], _q["kept_pos"], _q["n_kept"], _q["flip"], _q["y0"], _q["y1"],
+                _p.window.t_start, _p.window.t_count, make_x_map(_p.window, tile_w),
+                tile_h, tile_w, y_scale, colormap_lut(_p.colormap), empty=_q["empty"],
+                out=out,
+            )
+
+        results[i] = LazyPanelResult(
+            {
+                "vmin": q["vmin"],
+                "vmax": q["vmax"],
+                "y0": q["y0"],
+                "y1": q["y1"],
+                "n_kept": q["n_kept"],
+                "empty": q["empty"],
+            },
+            _render,
         )
-        results[i] = {
-            "rgba": rgba,
-            "vmin": q["vmin"],
-            "vmax": q["vmax"],
-            "y0": q["y0"],
-            "y1": q["y1"],
-            "n_kept": q["n_kept"],
-            "empty": q["empty"],
-        }
     note_host_group(len(idxs), _time.perf_counter() - _host_t0)

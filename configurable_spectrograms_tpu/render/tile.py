@@ -94,6 +94,7 @@ def resample_indices(
     bg_rgba: tuple[int, int, int, int] = (255, 255, 255, 255),
     empty: bool = False,
     pre_gathered: bool = False,
+    out: np.ndarray | None = None,
 ) -> np.ndarray:
     """Pixel-replicate a quantized (T, E) index matrix to an RGBA tile.
 
@@ -104,10 +105,17 @@ def resample_indices(
     index matrix.  With ``pre_gathered`` the device already gathered one
     matrix row per pixel column (row i == pixel column i); out-of-extent
     columns still mask to background here.  Returns (out_h, out_w, 4)
-    uint8 in PNG row order.
+    uint8 in PNG row order -- or, with ``out`` (an RGBA view no larger
+    than (out_h, out_w), e.g. a figure-canvas rect), writes the tile's
+    top-left overlap directly into it and returns ``out``, skipping the
+    intermediate tile allocation entirely (the run rows broadcast
+    straight into the destination).
     """
     lut_ext = np.concatenate([np.asarray(lut, np.uint8), np.asarray([bg_rgba], np.uint8)], axis=0)
     if empty or n_kept <= 0 or t_count <= 0 or out_h <= 0 or out_w <= 0:
+        if out is not None:
+            out[...] = lut_ext[256]
+            return out
         return np.broadcast_to(lut_ext[256], (max(out_h, 0), max(out_w, 0), 4)).copy()
     T, E = idx.shape
     if pre_gathered:
@@ -150,6 +158,14 @@ def resample_indices(
     rows = lut_ext[gi]  # (n_runs, out_w, 4) colored, contiguous
     if not x_ok.all():
         rows[:, ~x_ok] = lut_ext[256]
+    if out is not None:
+        oh, ow = out.shape[0], out.shape[1]
+        for k in range(len(sel)):
+            s = int(starts[k])
+            if s >= oh:
+                break
+            out[s : min(s + int(counts[k]), oh)] = rows[k, :ow]
+        return out
     return np.repeat(rows, counts, axis=0)
 
 
