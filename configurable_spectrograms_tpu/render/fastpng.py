@@ -160,6 +160,32 @@ def _load() -> ctypes.CDLL | None:
         ctypes.c_char_p,
     ]
     lib.fastpng_write_v2.restype = ctypes.c_int32
+    try:
+        blit = lib.fastpng_blit_runs
+    except AttributeError:
+        # Stale cached library predating the blit kernel: the source digest
+        # in the cache key normally prevents this, but a packaged .so can
+        # shadow it.  write_png_rgb still works; blit_runs reports
+        # unavailable.
+        lib._has_blit = False
+        return lib
+    blit.argtypes = [
+        ctypes.c_void_p,  # idx
+        ctypes.c_int64,   # idx_row_stride
+        ctypes.c_void_p,  # t_idx
+        ctypes.c_void_p,  # x_ok
+        ctypes.c_void_p,  # sel
+        ctypes.c_void_p,  # starts
+        ctypes.c_void_p,  # counts
+        ctypes.c_int32,   # n_runs
+        ctypes.c_void_p,  # lut
+        ctypes.c_void_p,  # out
+        ctypes.c_int64,   # out_row_stride
+        ctypes.c_int32,   # oh
+        ctypes.c_int32,   # ow
+    ]
+    blit.restype = ctypes.c_int32
+    lib._has_blit = True
     return lib
 
 
@@ -188,5 +214,66 @@ def write_png_rgb(array: np.ndarray, path: str, compress_level: int = 3) -> bool
         np.int32(a.shape[2]),
         np.int32(compress_level),
         path.encode(),
+    )
+    return rc == 0
+
+
+def blit_runs(
+    idx: np.ndarray,
+    t_idx: np.ndarray,
+    x_ok: np.ndarray,
+    sel: np.ndarray,
+    starts: np.ndarray,
+    counts: np.ndarray,
+    lut_ext: np.ndarray,
+    out: np.ndarray,
+) -> bool:
+    """Native gather+color+replicate into *out* (an RGBA canvas rect).
+
+    The single-pass C++ twin of the numpy tail of
+    :func:`configurable_spectrograms_tpu.render.tile.resample_indices`
+    (pure integer/uint8 ops, so output is bit-identical).  Returns False
+    whenever the fast path cannot run -- callers keep the numpy tail as
+    the fallback.
+    """
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_blit", False):
+        return False
+    oh, ow = int(out.shape[0]), int(out.shape[1])
+    if oh <= 0 or ow <= 0:
+        return True
+    if (
+        idx.dtype != np.uint8
+        or idx.strides[1] != 1
+        or out.dtype != np.uint8
+        or out.shape[2] != 4
+        or out.strides[1] != 4
+        or out.strides[2] != 1
+    ):
+        return False
+    t_idx = np.ascontiguousarray(t_idx, np.int32)
+    x_ok_u8 = np.ascontiguousarray(x_ok, np.uint8)
+    if len(t_idx) < ow or len(x_ok_u8) < ow:
+        return False
+    sel = np.ascontiguousarray(sel, np.int32)
+    starts = np.ascontiguousarray(starts, np.int32)
+    counts = np.ascontiguousarray(counts, np.int32)
+    lut_ext = np.ascontiguousarray(lut_ext, np.uint8)
+    if lut_ext.shape != (257, 4):
+        return False
+    rc = lib.fastpng_blit_runs(
+        idx.ctypes.data,
+        np.int64(idx.strides[0]),
+        t_idx.ctypes.data,
+        x_ok_u8.ctypes.data,
+        sel.ctypes.data,
+        starts.ctypes.data,
+        counts.ctypes.data,
+        np.int32(len(sel)),
+        lut_ext.ctypes.data,
+        out.ctypes.data,
+        np.int64(out.strides[0]),
+        np.int32(oh),
+        np.int32(ow),
     )
     return rc == 0

@@ -131,9 +131,17 @@ def draw_text(
 
 
 @functools.lru_cache(maxsize=2048)
-def _rotated_tile(text: str, px: int, angle: float, fill) -> Image.Image | None:
+def _rotated_tile(text: str, px: int, angle: float, fill) -> tuple[Image.Image, int, int, int, int] | None:
     """Pre-rendered rotated text bitmap (row labels and colorbar labels
-    repeat across panels/figures, so this is nearly always a cache hit)."""
+    repeat across panels/figures, so this is nearly always a cache hit).
+
+    rotate(expand=True) pads the corners with transparency; cropping the
+    content bbox keeps the paste cost proportional to the glyphs.  Returns
+    ``(tile, w0, h0, lx, ly)``: the caller must anchor on the ORIGINAL
+    (w0, h0) extent and then offset by the crop origin (lx, ly) -- Python's
+    round-half-even is not translation-invariant, so rounding the cropped
+    geometry directly can drift placement by a pixel.
+    """
     w, h = text_size(text, px)
     if w == 0:
         return None
@@ -144,7 +152,14 @@ def _rotated_tile(text: str, px: int, angle: float, fill) -> Image.Image | None:
         d.multiline_text((2, 2), text, font=font, fill=fill, align="center")
     else:
         d.text((2, 2), text, font=font, fill=fill)
-    return tmp.rotate(angle, expand=True)
+    rot = tmp.rotate(angle, expand=True)
+    w0, h0 = rot.width, rot.height
+    box = rot.getbbox()
+    lx = ly = 0
+    if box is not None and box != (0, 0, w0, h0):
+        lx, ly = box[0], box[1]
+        rot = rot.crop(box)
+    return rot, w0, h0, lx, ly
 
 
 def draw_rotated_text(
@@ -158,10 +173,11 @@ def draw_rotated_text(
     """Draw *text* rotated by *angle* degrees, centered at *center*."""
     if not text:
         return
-    rot = _rotated_tile(text, px, float(angle), fill if isinstance(fill, str) else tuple(fill))
-    if rot is None:
+    entry = _rotated_tile(text, px, float(angle), fill if isinstance(fill, str) else tuple(fill))
+    if entry is None:
         return
-    canvas.paste(rot, (round(center[0] - rot.width / 2), round(center[1] - rot.height / 2)), rot)
+    rot, w0, h0, lx, ly = entry
+    canvas.paste(rot, (round(center[0] - w0 / 2) + lx, round(center[1] - h0 / 2) + ly), rot)
 
 
 @functools.lru_cache(maxsize=4096)
@@ -204,6 +220,16 @@ def _pow10_tile(exponent: int, px: int, fill) -> tuple[Image.Image, int]:
         fill=fill,
         anchor="lm",
     )
+    # The working tile is 3*px tall so the superscript can land anywhere;
+    # the glyphs occupy ~1/3 of that.  Crop the empty rows (vertical only:
+    # the caller's x placement is relative to the tile's left edge, and
+    # horizontal bearing must stay rendered-in).  Pasting the trimmed tile
+    # blends only real rows -- alpha-0 pixels are exact blend no-ops, so
+    # output is bit-identical at ~1/3 the paste cost.
+    box = tile.getbbox()
+    if box is not None and (box[1] > 0 or box[3] < h):
+        tile = tile.crop((0, box[1], w, box[3]))
+        y_ref -= box[1]
     return tile, y_ref
 
 

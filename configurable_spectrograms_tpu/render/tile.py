@@ -151,6 +151,19 @@ def resample_indices(
     starts = np.concatenate(([0], boundaries))
     counts = np.diff(np.concatenate((starts, [out_h])))
     sel = row_src[starts]  # (n_runs,) energy columns actually drawn
+
+    # Native single-pass tail: gather + LUT color + run replication happen
+    # in one C++ walk straight into the destination (pure integer/uint8
+    # ops, so output is bit-identical to the numpy tail below).  The
+    # geometry above stays in numpy/float32 so host and device mappings
+    # agree bit-for-bit.
+    from configurable_spectrograms_tpu.render import fastpng
+
+    if fastpng.native_available():
+        dest = out if out is not None else np.empty((out_h, out_w, 4), np.uint8)
+        if fastpng.blit_runs(idx, t_idx, x_ok, sel, starts, counts, lut_ext, dest):
+            return dest
+
     # Single fused gather: two chained gathers materialize an (n_runs, T)
     # intermediate, ~3x slower than the slab order on the host backend's
     # full-length records (T >> out_w); np.ix_ is faster in BOTH regimes.

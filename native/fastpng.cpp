@@ -580,3 +580,55 @@ extern "C" int fastpng_write_rgb(
 ) {
     return fastpng_write_v2(rgb, w, h, 3, zlevel, path);
 }
+
+// ---------------------------------------------------------------------------
+// Run-blit tile rasterization (render/tile.resample_indices's hot loop).
+//
+// The Python side resolves the per-pixel geometry (pixel column -> matrix
+// row map, output-row runs and their energy columns -- a few hundred
+// float32 ops, kept in numpy so host and device mappings stay bit-equal);
+// this kernel does the memory-bound remainder in one pass: gather the
+// quantized uint8 index for each pixel column of each distinct run, color
+// it through the 257-entry RGBA LUT (entry 256 = background for
+// out-of-extent columns), and replicate the colored row over the run's
+// output rows, writing straight into the (possibly strided) figure-canvas
+// rect.  Replaces three numpy passes (fancy-index gather, LUT gather,
+// broadcast stores) and their temporaries.
+// ---------------------------------------------------------------------------
+
+extern "C" int fastpng_blit_runs(
+    const uint8_t* idx,        // quantized indices, element [t, e] at t*idx_row_stride + e
+    int64_t idx_row_stride,    // bytes between consecutive t rows
+    const int32_t* t_idx,      // (>= ow,) matrix row per output pixel column
+    const uint8_t* x_ok,       // (>= ow,) in-extent mask per column (0 -> background)
+    const int32_t* sel,        // (n_runs,) energy column per run
+    const int32_t* starts,     // (n_runs,) first output row of each run (ascending)
+    const int32_t* counts,     // (n_runs,) rows in each run
+    int32_t n_runs,
+    const uint8_t* lut,        // (257, 4) RGBA
+    uint8_t* out,              // output rect, row y at y*out_row_stride
+    int64_t out_row_stride,    // bytes between output rows
+    int32_t oh,
+    int32_t ow
+) {
+    if (!idx || !t_idx || !x_ok || !sel || !starts || !counts || !lut || !out) return -1;
+    if (oh <= 0 || ow <= 0) return 0;
+    static thread_local std::vector<uint8_t> rowbuf;
+    rowbuf.resize(size_t(ow) * 4);
+    uint8_t* rb = rowbuf.data();
+    for (int32_t k = 0; k < n_runs; ++k) {
+        int32_t s = starts[k];
+        if (s >= oh) break;
+        int32_t e = s + counts[k];
+        if (e > oh) e = oh;
+        if (e <= s) continue;
+        const int32_t col = sel[k];
+        for (int32_t c = 0; c < ow; ++c) {
+            const uint32_t gi = x_ok[c] ? idx[size_t(t_idx[c]) * size_t(idx_row_stride) + size_t(col)] : 256u;
+            std::memcpy(rb + size_t(c) * 4, lut + size_t(gi) * 4, 4);
+        }
+        for (int32_t y = s; y < e; ++y)
+            std::memcpy(out + size_t(y) * size_t(out_row_stride), rb, size_t(ow) * 4);
+    }
+    return 0;
+}

@@ -1,0 +1,120 @@
+"""Native run-blit tail of resample_indices vs the numpy tail: bit parity.
+
+``fastpng_blit_runs`` (native/fastpng.cpp) replaces resample_indices's
+gather + LUT color + run replication with one C++ pass.  Both tails are
+pure integer/uint8 arithmetic over identical run geometry, so outputs
+must be bit-identical -- including clipped canvas-rect views and the
+pre-gathered device layout.
+"""
+
+import numpy as np
+import pytest
+
+from configurable_spectrograms_tpu.render import fastpng
+from configurable_spectrograms_tpu.render.tile import TimeWindow, make_x_map, resample_indices
+from configurable_spectrograms_tpu.ops import colormap_lut
+
+pytestmark = pytest.mark.skipif(
+    not fastpng.native_available(), reason="native library unavailable (no toolchain)"
+)
+
+
+def _numpy_tail(monkeypatch):
+    """Force resample_indices onto its numpy tail."""
+    monkeypatch.setattr(fastpng, "native_available", lambda: False)
+
+
+def _random_case(rng, T=70, E=24, H=52, W=96):
+    idx = rng.integers(0, 256, (T, E), dtype=np.uint8)
+    kept_pos = np.sort(rng.choice(E, size=E - 4, replace=False)).astype(np.int32)
+    n_kept = int(rng.integers(1, len(kept_pos) + 1))
+    window = TimeWindow(t_start=6, t_count=T - 12, extent=(6.0, float(T - 7)), xlim=(0.0, float(T)))
+    args = dict(
+        idx=idx,
+        kept_pos=kept_pos,
+        n_kept=n_kept,
+        flip=bool(rng.integers(0, 2)),
+        y0=3.5,
+        y1=18000.0,
+        t_start=window.t_start,
+        t_count=window.t_count,
+        x_map=make_x_map(window, W),
+        out_h=H,
+        out_w=W,
+        y_scale="log" if rng.integers(0, 2) else "linear",
+        lut=colormap_lut("viridis"),
+    )
+    return args
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_blit_matches_numpy_tail(monkeypatch, seed):
+    rng = np.random.default_rng(seed)
+    args = _random_case(rng)
+    native = resample_indices(**args)
+    with monkeypatch.context() as m:
+        _numpy_tail(m)
+        ref = resample_indices(**args)
+    np.testing.assert_array_equal(native, ref)
+
+
+def test_blit_into_clipped_view(monkeypatch):
+    """A canvas rect smaller than (out_h, out_w) gets the top-left overlap."""
+    rng = np.random.default_rng(7)
+    args = _random_case(rng, H=40, W=80)
+    canvas_a = np.full((64, 120, 4), 7, np.uint8)
+    canvas_b = canvas_a.copy()
+    resample_indices(**args, out=canvas_a[10:43, 5:77])  # 33 x 72 view
+    with monkeypatch.context() as m:
+        _numpy_tail(m)
+        resample_indices(**args, out=canvas_b[10:43, 5:77])
+    np.testing.assert_array_equal(canvas_a, canvas_b)
+    # pixels outside the view untouched
+    assert (canvas_a[:10] == 7).all() and (canvas_a[43:] == 7).all()
+
+
+def test_blit_pre_gathered(monkeypatch):
+    """Device pre-gathered layout: one matrix row per pixel column."""
+    rng = np.random.default_rng(11)
+    W, E, H = 64, 16, 30
+    idx = rng.integers(0, 256, (W, E), dtype=np.uint8)
+    window = TimeWindow(t_start=0, t_count=40, extent=(0.0, 39.0), xlim=(0.0, 39.0))
+    args = dict(
+        idx=idx,
+        kept_pos=np.arange(E, dtype=np.int32),
+        n_kept=E,
+        flip=True,
+        y0=1.0,
+        y1=100.0,
+        t_start=window.t_start,
+        t_count=window.t_count,
+        x_map=make_x_map(window, W),
+        out_h=H,
+        out_w=W,
+        y_scale="linear",
+        lut=colormap_lut("inferno"),
+        pre_gathered=True,
+    )
+    native = resample_indices(**args)
+    with monkeypatch.context() as m:
+        _numpy_tail(m)
+        ref = resample_indices(**args)
+    np.testing.assert_array_equal(native, ref)
+
+
+def test_blit_falls_back_on_unsupported_layout():
+    """Non-unit inner stride (transposed idx) must return False, not garbage."""
+    idx = np.zeros((8, 8), np.uint8).T[::1]  # F-contiguous view
+    idx_t = np.asfortranarray(np.zeros((8, 8), np.uint8))
+    out = np.zeros((4, 4, 4), np.uint8)
+    ok = fastpng.blit_runs(
+        idx_t,
+        np.zeros(4, np.int32),
+        np.ones(4, np.uint8),
+        np.zeros(1, np.int32),
+        np.zeros(1, np.int32),
+        np.full(1, 4, np.int32),
+        np.zeros((257, 4), np.uint8),
+        out,
+    )
+    assert ok is False
