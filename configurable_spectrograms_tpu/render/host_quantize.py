@@ -30,8 +30,9 @@ from configurable_spectrograms_tpu.utils.resident_cache import ResidentCache
 #: collapses many times (raw + given-extrema figure pairs, repeat passes)
 #: and the (T, E) matrices are small (~400 KB) next to the 12.6 MB cubes,
 #: so they stay resident keyed by (id(cube), mask bytes); owner-death
-#: eviction keeps a recycled id from aliasing a stale entry.  FIFO-capped.
-_COLLAPSE_CACHE = ResidentCache(max_entries=64)
+#: eviction keeps a recycled id from aliasing a stale entry.  FIFO-capped
+#: at ~4 category masks x ~60 in-flight cubes.
+_COLLAPSE_CACHE = ResidentCache(max_entries=256)
 
 #: Percentile color-bound cache.  The pool extraction + sort is ~70% of a
 #: panel's quantize cost, and identical pools recur constantly: a pitch
@@ -39,6 +40,108 @@ _COLLAPSE_CACHE = ResidentCache(max_entries=64)
 #: combos of a batch share them too (the pool does not depend on the
 #: z scale).  Keyed by the selection signature with the matrix as owner.
 _BOUNDS_CACHE = ResidentCache(max_entries=256)
+
+#: Per-matrix derived masks (all-NaN columns, positive-finite entries,
+#: log10 tables, safe-vmin scalars).  Every panel of a figure -- and every
+#: repeat render of a cached collapse matrix -- recomputes the same
+#: isnan/isfinite/log10 passes; the matrices are shared objects from
+#: :data:`_COLLAPSE_CACHE`, so the results stay resident keyed by
+#: ``id(matrix)`` with the matrix as owner.  A batch window holds ~4
+#: derived keys per matrix and ~4 matrices per cube (pitch categories), so
+#: the bound covers ~60 in-flight cubes (~0.5 MB of derived arrays per
+#: matrix); owner-death eviction keeps long streams from pinning memory.
+_MASK_CACHE = ResidentCache(max_entries=1024)
+
+#: Quantized-index cache.  The final ``idx`` matrix depends only on the
+#: matrix values, the z scale, and the FINAL (vmin, vmax) -- the selection
+#: window feeds those scalars (safe-positive floor, linear fallback
+#: bounds) but never the elementwise mapping, which always runs over the
+#: full matrix.  A pitch grid's full and zoom panels, the raw and
+#: given-extrema renders of a batch, and repeat passes therefore all map
+#: to identical idx matrices; one uint8 (T, E) entry is ~100 KB.
+_IDX_CACHE = ResidentCache(max_entries=512)
+
+
+def _matrix_masks(matrix: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """``(col_all_nan (E,), positive_finite (T, E))`` for a shared matrix.
+
+    Cached by identity; falls back to direct computation for matrices that
+    are not long-lived shared objects (callers that converted dtype).
+    """
+    key = ("masks", id(matrix))
+    hit = _MASK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    col_all_nan = np.all(np.isnan(matrix), axis=0)
+    posfinite = np.isfinite(matrix) & (matrix > 0)
+    return _MASK_CACHE.insert(key, (col_all_nan, posfinite), (matrix,))
+
+
+def _log10_table(matrix: np.ndarray) -> np.ndarray:
+    """``log10(maximum(matrix, 1e-37))`` resident per shared matrix.
+
+    Entries that the log mapping replaces anyway (NaN / +inf) pass through
+    as NaN / +inf and are overwritten by the caller's ``where``; every
+    kept entry is bit-identical to the uncached chain because ``where``
+    routes the original value through the same ``maximum``+``log10``.
+    """
+    key = ("log10", id(matrix))
+    hit = _MASK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with np.errstate(invalid="ignore", divide="ignore"):
+        table = np.log10(np.maximum(matrix, np.float32(1e-37)))
+    return _MASK_CACHE.insert(key, table, (matrix,))
+
+
+def _linear_masks(matrix: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """``(nan_or_neginf, posinf)`` masks resident per shared matrix."""
+    key = ("linmask", id(matrix))
+    hit = _MASK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    to_vmin = np.isnan(matrix) | np.isneginf(matrix)
+    to_vmax = np.isposinf(matrix)
+    return _MASK_CACHE.insert(key, (to_vmin, to_vmax), (matrix,))
+
+
+def _quantized_idx(
+    matrix: np.ndarray,
+    posfinite: np.ndarray,
+    z_scale: str,
+    vmin: float,
+    vmax: float,
+) -> np.ndarray:
+    """The (T, E) uint8 colormap-index matrix for final bounds.
+
+    The elementwise mapping runs over the FULL matrix and depends only on
+    (values, z scale, final vmin/vmax) -- the panel's time/energy window
+    feeds the *scalars* upstream but never this map -- so full and zoom
+    panels, raw and given-extrema renders, and repeat passes share one
+    entry.  Each arm mirrors the reference normalization bit-for-bit
+    (pinned by the golden figures and tests/test_reference_parity.py).
+    """
+    key = (id(matrix), z_scale, float(vmin), float(vmax))
+    hit = _IDX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if z_scale == "log":
+        # Substituted entries must equal log10f32(float32(vmin)) exactly as
+        # the uncached chain produced them (float32 ufunc loop), while the
+        # subtrahend keeps the reference's float64->float32 cast.
+        bad = ~posfinite
+        lg_elem = np.log10(np.float32(vmin))
+        span = np.float32(np.log10(vmax) - np.log10(vmin))
+        norm = (np.where(bad, lg_elem, _log10_table(matrix)) - np.float32(np.log10(vmin))) / (
+            span if span != 0 else np.float32(1.0)
+        )
+    else:
+        to_vmin, to_vmax = _linear_masks(matrix)
+        work = np.where(to_vmax, np.float32(vmax), np.where(to_vmin, np.float32(vmin), matrix))
+        span = np.float32(vmax - vmin)
+        norm = (work - np.float32(vmin)) / (span if span != 0 else np.float32(1.0))
+    idx = np.clip(np.floor(norm * np.float32(256.0)), 0, 255).astype(np.uint8)
+    return _IDX_CACHE.insert(key, idx, (matrix,))
 
 
 def cached_collapse(cube: np.ndarray, pitch_mask: np.ndarray, clean_provider=None) -> np.ndarray:
@@ -114,7 +217,7 @@ def host_quantize(
     energy = np.asarray(energy, np.float32)
     T, E = matrix.shape
 
-    col_all_nan = np.all(np.isnan(matrix), axis=0)
+    col_all_nan, posfinite = _matrix_masks(matrix)
     e_keep = (~col_all_nan) & e_valid
     kept_pos = np.flatnonzero(e_keep).astype(np.int32)
     n_kept = int(kept_pos.size)
@@ -135,14 +238,13 @@ def host_quantize(
     flip = first > last
     y0, y1 = (last, first) if flip else (first, last)
 
-    rows = np.zeros(T, bool)
-    rows[t_start : t_start + t_count] = True
-    sel = rows[:, None] & e_keep[None, :]
-    if zb_e_valid is None:
-        zb_sel = sel
-    else:
-        zb_rows = np.ones(T, bool) if zb_full_time else rows
-        zb_sel = zb_rows[:, None] & ((~col_all_nan) & zb_e_valid)[None, :]
+    # The (T, E) selection masks are only consumed by cache-miss branches
+    # (percentile pool build, linear-fallback bounds), so build them lazily
+    # -- warmed passes never materialize them.
+    def _sel() -> np.ndarray:
+        rows = np.zeros(T, bool)
+        rows[t_start : t_start + t_count] = True
+        return rows[:, None] & e_keep[None, :]
 
     zmin_arg, zmax_arg = z_bounds
     if zmin_arg is None or zmax_arg is None:
@@ -163,6 +265,15 @@ def host_quantize(
         if hit is not None:
             vmin, vmax = hit
         else:
+            if zb_e_valid is None:
+                zb_sel = _sel()
+            else:
+                if zb_full_time:
+                    zb_rows = np.ones(T, bool)
+                else:
+                    zb_rows = np.zeros(T, bool)
+                    zb_rows[t_start : t_start + t_count] = True
+                zb_sel = zb_rows[:, None] & ((~col_all_nan) & zb_e_valid)[None, :]
             pool = matrix[zb_sel & ~np.isnan(matrix)]
 
             # Both bounds from ONE partition pass.  Two scalar np.percentile
@@ -190,8 +301,25 @@ def host_quantize(
     else:
         vmin, vmax = float(zmin_arg), float(zmax_arg)
 
-    fp = np.isfinite(matrix) & (matrix > 0) & sel
-    safe_vmin = float(matrix[fp].min()) if fp.any() else 1e-10
+    # min is order-independent, so the row-sliced where-reduction is
+    # bit-identical to the reference's ``matrix[fp].min()`` gather without
+    # materializing the full mask; posfinite excludes +inf, so an inf
+    # result can only mean "no entries".  Pure in (matrix, window, e_keep)
+    # -> resident across the repeat renders of a batch.
+    sv_key = ("svmin", id(matrix), int(t_start), int(t_count), e_keep.tobytes())
+    safe_vmin = _MASK_CACHE.get(sv_key)
+    if safe_vmin is None:
+        row = slice(t_start, t_start + t_count)
+        safe_vmin = float(
+            np.min(
+                matrix[row],
+                initial=np.float32(np.inf),
+                where=posfinite[row] & e_keep[None, :],
+            )
+        )
+        if not np.isfinite(safe_vmin):
+            safe_vmin = 1e-10
+        _MASK_CACHE.insert(sv_key, safe_vmin, (matrix,))
 
     if z_scale == "log":
         vmin = max(vmin, safe_vmin, 1e-10)
@@ -201,22 +329,24 @@ def host_quantize(
             # drivers record the orbit as a plotting error); rendering on
             # would silently invert the color ramp.
             raise ValueError("minvalue must be less than or equal to maxvalue")
-        work = np.where(~np.isfinite(matrix) | (matrix <= 0), np.float32(vmin), matrix)
-        span = np.float32(np.log10(vmax) - np.log10(vmin))
-        norm = (np.log10(np.maximum(work, np.float32(1e-37))) - np.float32(np.log10(vmin))) / (
-            span if span != 0 else np.float32(1.0)
-        )
+        idx = _quantized_idx(matrix, posfinite, "log", vmin, vmax)
     else:
-        work = np.where(np.isnan(matrix), np.float32(vmin), matrix)
-        work = np.where(np.isneginf(work), np.float32(vmin), work)
-        work = np.where(np.isposinf(work), np.float32(vmax), work)
         if not (np.isfinite(vmin) and np.isfinite(vmax) and vmax > vmin):
+            # Rare fallback: the substitutions use the ORIGINAL (possibly
+            # non-finite) bounds, then the bounds are recomputed from the
+            # substituted values -- keep the reference's exact sequence
+            # inline rather than caching this one-off mapping.
+            work = np.where(np.isnan(matrix), np.float32(vmin), matrix)
+            work = np.where(np.isneginf(work), np.float32(vmin), work)
+            work = np.where(np.isposinf(work), np.float32(vmax), work)
+            sel = _sel()
             vmin = float(work[sel].min()) if sel.any() else 0.0
             vmax = float(work[sel].max()) if sel.any() else 1.0
-        span = np.float32(vmax - vmin)
-        norm = (work - np.float32(vmin)) / (span if span != 0 else np.float32(1.0))
-
-    idx = np.clip(np.floor(norm * np.float32(256.0)), 0, 255).astype(np.uint8)
+            span = np.float32(vmax - vmin)
+            norm = (work - np.float32(vmin)) / (span if span != 0 else np.float32(1.0))
+            idx = np.clip(np.floor(norm * np.float32(256.0)), 0, 255).astype(np.uint8)
+        else:
+            idx = _quantized_idx(matrix, posfinite, "linear", vmin, vmax)
     return {
         "idx": idx,
         "kept_pos": kept_pos,
