@@ -101,6 +101,8 @@ def _finish_group(panels: list[PanelData], g: _GroupDispatch, packed: np.ndarray
     rows_out = g.gather_w if g.gather_w else g.Tp
     idx_host = packed[:n, : rows_out * g.Ep].reshape(n, rows_out, g.Ep)
     meta_host = packed[:n, rows_out * g.Ep :].copy().view(np.float32).reshape(n, 7 + g.Ep)
+    y_scale = g.y_scale
+    pre_gathered = bool(g.gather_w)
 
     for j, i in enumerate(g.idxs):
         p = panels[i]
@@ -116,25 +118,35 @@ def _finish_group(panels: list[PanelData], g: _GroupDispatch, packed: np.ndarray
             results[i] = {"error": "minvalue must be less than or equal to maxvalue"}
             continue
 
-        def _render(out=None, _j=j, _p=p):
+        # Capture COPIES of just this panel's rows: a closure over
+        # idx_host (a view of ``packed``) or over ``g`` would pin the
+        # bucket's whole readback buffer and the device output buffer for
+        # the lifetime of every retained result; the per-row copies are
+        # exactly the bytes the panel needs anyway.
+        idx_j = np.ascontiguousarray(idx_host[j])
+        meta_j = meta_host[j].copy()
+        t_start_j = int(g.t_starts[j])
+        t_count_j = int(g.t_counts[j])
+
+        def _render(out=None, _idx=idx_j, _meta=meta_j, _p=p, _ts=t_start_j, _tc=t_count_j):
             t0 = _time.perf_counter()
-            kept_pos_j = meta_host[_j, 7:].astype(np.int32)
+            kept_pos_j = _meta[7:].astype(np.int32)
             tile = resample_indices(
-                idx_host[_j],
+                _idx,
                 kept_pos_j,
-                int(meta_host[_j, 0]),
-                bool(meta_host[_j, 1]),
-                float(meta_host[_j, 2]),
-                float(meta_host[_j, 3]),
-                int(g.t_starts[_j]),
-                int(g.t_counts[_j]),
+                int(_meta[0]),
+                bool(_meta[1]),
+                float(_meta[2]),
+                float(_meta[3]),
+                _ts,
+                _tc,
                 make_x_map(_p.window, tile_w),
                 tile_h,
                 tile_w,
-                g.y_scale,
+                y_scale,
                 colormap_lut(_p.colormap),
-                empty=bool(meta_host[_j, 6]),
-                pre_gathered=bool(g.gather_w),
+                empty=bool(_meta[6]),
+                pre_gathered=pre_gathered,
                 out=out,
             )
             from configurable_spectrograms_tpu.utils import timing as _timing
@@ -465,6 +477,14 @@ class PendingRender:
                     f"host render {host_t * 1e3:.0f} ms for {n} panel(s); switching "
                     f"panel rasterization to the host backend for this process"
                 )
-                return  # the host results for this group are already in place
+                # The host results for this group are already in place.
+                g.packed = None
+                g.out_dev = None
+                return
         _finish_group(self.panels, g, packed, self.tile_h, self.tile_w, self.results)
+        # Panel results now own per-row copies; release the bucket's full
+        # readback buffer and the device output buffer immediately instead
+        # of holding them until the _GroupDispatch itself dies.
+        g.packed = None
+        g.out_dev = None
 

@@ -189,6 +189,18 @@ def _load() -> ctypes.CDLL | None:
     return lib
 
 
+def blit_available() -> bool:
+    """True when the loaded library exports the run-blit kernel.
+
+    Distinct from :func:`native_available`: a stale packaged .so can
+    encode PNGs but lack ``fastpng_blit_runs``; callers that allocate a
+    destination buffer for :func:`blit_runs` should check THIS first so
+    the allocation isn't wasted on a guaranteed-False call.
+    """
+    lib = _load()
+    return lib is not None and bool(getattr(lib, "_has_blit", False))
+
+
 def native_available() -> bool:
     return _load() is not None
 
@@ -244,6 +256,10 @@ def blit_runs(
         return True
     if (
         idx.dtype != np.uint8
+        # A negative row stride (e.g. an idx[::-1] view) would make the C
+        # kernel's size_t row-offset arithmetic formally undefined; a zero
+        # stride (broadcast views) is fine once rows are bounds-checked.
+        or idx.strides[0] < 0
         or idx.strides[1] != 1
         or out.dtype != np.uint8
         or out.shape[2] != 4
@@ -256,6 +272,14 @@ def blit_runs(
     if len(t_idx) < ow or len(x_ok_u8) < ow:
         return False
     sel = np.ascontiguousarray(sel, np.int32)
+    # The C kernel has no bounds checks; an out-of-range row/column from a
+    # contract-violating caller would be a silent out-of-bounds read where
+    # the numpy tail raises IndexError.  Two tiny int32 scans guard it.
+    used_t = t_idx[:ow]
+    if used_t.size and (int(used_t.min()) < 0 or int(used_t.max()) >= idx.shape[0]):
+        return False
+    if sel.size and (int(sel.min()) < 0 or int(sel.max()) >= idx.shape[1]):
+        return False
     starts = np.ascontiguousarray(starts, np.int32)
     counts = np.ascontiguousarray(counts, np.int32)
     lut_ext = np.ascontiguousarray(lut_ext, np.uint8)

@@ -83,6 +83,11 @@ class LazyPanelResult(dict):
         if key == "rgba":
             tile = self._render()
             self["rgba"] = tile
+            # The cached tile fully replaces the renderer; dropping it
+            # releases the captured quantized-index row (and anything else
+            # the closure holds) instead of pinning it for the result's
+            # lifetime.
+            self._render = None
             return tile
         raise KeyError(key)
 
@@ -124,6 +129,33 @@ class LazyPanelResult(dict):
     def copy(self):
         self._materialize()
         return dict(self)
+
+    # Mutating/compare operations must also see the full mapping: an eager
+    # result dict would return the tile from pop("rgba"), keep setdefault
+    # from shadowing it, and compare equal to its dict copy.
+    def pop(self, key, *default):
+        self._materialize()
+        return dict.pop(self, key, *default)
+
+    def popitem(self):
+        self._materialize()
+        return dict.popitem(self)
+
+    def setdefault(self, key, default=None):
+        self._materialize()
+        return dict.setdefault(self, key, default)
+
+    def __eq__(self, other):
+        self._materialize()
+        if isinstance(other, LazyPanelResult):
+            other._materialize()
+        return dict.__eq__(self, other)
+
+    def __ne__(self, other):
+        result = self.__eq__(other)
+        return result if result is NotImplemented else not result
+
+    __hash__ = None  # same as dict: unhashable
 
     def draw_rgba_into(self, view: "np.ndarray") -> None:
         """Composite this panel into *view* (an RGBA canvas rect)."""

@@ -159,7 +159,7 @@ def resample_indices(
     # agree bit-for-bit.
     from configurable_spectrograms_tpu.render import fastpng
 
-    if fastpng.native_available():
+    if fastpng.blit_available():
         dest = out if out is not None else np.empty((out_h, out_w, 4), np.uint8)
         if fastpng.blit_runs(idx, t_idx, x_ok, sel, starts, counts, lut_ext, dest):
             return dest

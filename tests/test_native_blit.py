@@ -103,18 +103,25 @@ def test_blit_pre_gathered(monkeypatch):
 
 
 def test_blit_falls_back_on_unsupported_layout():
-    """Non-unit inner stride (transposed idx) must return False, not garbage."""
-    idx = np.zeros((8, 8), np.uint8).T[::1]  # F-contiguous view
-    idx_t = np.asfortranarray(np.zeros((8, 8), np.uint8))
-    out = np.zeros((4, 4, 4), np.uint8)
-    ok = fastpng.blit_runs(
-        idx_t,
-        np.zeros(4, np.int32),
-        np.ones(4, np.uint8),
-        np.zeros(1, np.int32),
-        np.zeros(1, np.int32),
-        np.full(1, 4, np.int32),
-        np.zeros((257, 4), np.uint8),
-        out,
+    """Unsupported layouts/indices must return False, not garbage."""
+    t_idx = np.zeros(4, np.int32)
+    rest = (
+        np.ones(4, np.uint8),  # x_ok
+        np.zeros(1, np.int32),  # sel
+        np.zeros(1, np.int32),  # starts
+        np.full(1, 4, np.int32),  # counts
+        np.zeros((257, 4), np.uint8),  # lut_ext
     )
-    assert ok is False
+    out = np.zeros((4, 4, 4), np.uint8)
+    # Non-unit inner stride (Fortran-order idx).
+    idx_t = np.asfortranarray(np.zeros((8, 8), np.uint8))
+    assert fastpng.blit_runs(idx_t, t_idx, *rest, out) is False
+    # Negative row stride: formally-undefined pointer math in the kernel.
+    idx_rev = np.zeros((8, 8), np.uint8)[::-1]
+    assert fastpng.blit_runs(idx_rev, t_idx, *rest, out) is False
+    # Out-of-range rows/columns: the numpy tail raises IndexError; the
+    # native path must decline rather than read out of bounds.
+    idx_c = np.zeros((8, 8), np.uint8)
+    assert fastpng.blit_runs(idx_c, np.full(4, 8, np.int32), *rest, out) is False
+    bad_sel = (rest[0], np.full(1, 8, np.int32)) + rest[2:]
+    assert fastpng.blit_runs(idx_c, t_idx, *bad_sel, out) is False
