@@ -23,6 +23,13 @@ import inspect
 import os
 import sys
 
+# Allow `python tools/<name>.py` without a manual PYTHONPATH: the repo
+# root (the package's parent) precedes any site installs.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
 REFERENCE_ROOT = "/root/reference"
 
 #: reference module -> module here that carries its public surface.

@@ -17,6 +17,15 @@ import json
 import time
 
 import numpy as np
+import os
+import sys
+
+# Allow `python tools/<name>.py` without a manual PYTHONPATH: the repo
+# root (the package's parent) precedes any site installs.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 T, A, E = 8192, 64, 128
 REPS = 20

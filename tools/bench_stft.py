@@ -17,6 +17,14 @@ from __future__ import annotations
 import json
 import sys
 import time
+import os
+
+# Allow `python tools/<name>.py` without a manual PYTHONPATH: the repo
+# root (the package's parent) precedes any site installs.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 
 def _sync_scalar(arr) -> float:

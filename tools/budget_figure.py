@@ -22,6 +22,14 @@ import json
 import os
 import tempfile
 import time
+import sys
+
+# Allow `python tools/<name>.py` without a manual PYTHONPATH: the repo
+# root (the package's parent) precedes any site installs.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 # Decisive probe for device budgeting: wait out the relay's cold first-D2H.
 os.environ.setdefault("CST_LINK_PROBE_SYNC_WAIT", "330")
