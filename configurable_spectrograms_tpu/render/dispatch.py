@@ -122,6 +122,26 @@ def _render_kernel() -> str:
     return os.environ.get("CST_RENDER_KERNEL", "xla")
 
 
+def _pallas_t_tile(Tp: int) -> int:
+    """``CST_PALLAS_T_TILE`` (default 64): the fused kernel's time tile.
+
+    Grid steps = T/t_tile, so larger tiles cut per-step overhead; the
+    ceiling is VMEM (the double-buffered (t_tile, A, E) block plus the
+    (T, E) scratch).  Falls back to 64 -- and then to the largest divisor
+    -- when the padded T isn't a multiple (the kernel requires T % tile
+    == 0; Tp is already padded to a multiple of 64 by bucketing).
+    """
+    try:
+        tile = int(os.environ.get("CST_PALLAS_T_TILE", "64"))
+    except ValueError:
+        tile = 64
+    if tile <= 0 or Tp % tile != 0:
+        tile = 64
+    while Tp % tile != 0 and tile > 1:
+        tile //= 2
+    return max(tile, 1)
+
+
 @functools.lru_cache(maxsize=None)
 def _batched_quantize_fn(spec_key, mesh=None):
     """Build (and cache) the jitted collapse+quantize program for a scale combo.
@@ -185,7 +205,8 @@ def _batched_quantize_fn(spec_key, mesh=None):
             )
 
             out = fused_quantize_pallas(
-                cubes[u], pm, ev, tv, ts, tc, zb, z_scale=z_scale, t_tile=64
+                cubes[u], pm, ev, tv, ts, tc, zb, z_scale=z_scale,
+                t_tile=_pallas_t_tile(cubes[u].shape[0]),
             )
             kept_pos, n_kept, flip, y0, y1 = _kept_energy_order(out["col_all_nan"], ev, en)
             q = {

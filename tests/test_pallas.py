@@ -73,6 +73,46 @@ def test_fused_quantize_pallas_matches_jnp(rng, z_scale, window):
     np.testing.assert_array_equal(np.asarray(got["col_all_nan"]), oracle_colnan)
 
 
+@pytest.mark.parametrize("t_tile", [32, 128, 256])
+def test_fused_quantize_pallas_t_tile_invariant(rng, t_tile):
+    """The time-tile size is a pure schedule knob: every valid tiling is
+    bit-identical (CST_PALLAS_T_TILE exposes it in production)."""
+    from configurable_spectrograms_tpu.ops.pallas_kernels import fused_quantize_pallas
+
+    T, A, E = 512, 16, 128
+    cube = (rng.random((T, A, E)) * 1e4).astype(np.float32)
+    cube[rng.random(cube.shape) < 0.1] = np.nan
+    mask = rng.random(A) < 0.6
+    e_valid = np.ones(E, bool)
+    z_bounds = np.array([2.0, 5000.0], np.float32)
+    base = fused_quantize_pallas(
+        jnp.asarray(cube), jnp.asarray(mask), jnp.asarray(e_valid),
+        450, 0, T, jnp.asarray(z_bounds), z_scale="log",
+    )
+    got = fused_quantize_pallas(
+        jnp.asarray(cube), jnp.asarray(mask), jnp.asarray(e_valid),
+        450, 0, T, jnp.asarray(z_bounds), z_scale="log", t_tile=t_tile,
+    )
+    np.testing.assert_array_equal(np.asarray(got["idx"]), np.asarray(base["idx"]))
+    assert float(got["vmin"]) == float(base["vmin"])
+    np.testing.assert_array_equal(
+        np.asarray(got["col_all_nan"]), np.asarray(base["col_all_nan"])
+    )
+
+
+def test_pallas_t_tile_env_knob(monkeypatch):
+    from configurable_spectrograms_tpu.render.dispatch import _pallas_t_tile
+
+    assert _pallas_t_tile(8192) == 64  # default
+    monkeypatch.setenv("CST_PALLAS_T_TILE", "128")
+    assert _pallas_t_tile(8192) == 128
+    assert _pallas_t_tile(8256) == 64  # not a multiple of 128 -> default 64
+    monkeypatch.setenv("CST_PALLAS_T_TILE", "192")
+    assert _pallas_t_tile(8192) == 64  # invalid for this T -> default
+    monkeypatch.setenv("CST_PALLAS_T_TILE", "junk")
+    assert _pallas_t_tile(8192) == 64
+
+
 def test_fused_quantize_pallas_shape_gate():
     from configurable_spectrograms_tpu.ops.pallas_kernels import fused_quantize_pallas
 

@@ -69,11 +69,22 @@ def _time_fn(fn, cube, mask, e_valid, zb) -> float:
 
 
 def main() -> None:
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
     from configurable_spectrograms_tpu.ops.pallas_kernels import fused_quantize_pallas
     from configurable_spectrograms_tpu.ops.spectrogram import RenderSpec, collapse_cube, quantize_matrix
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--t-tiles", type=int, nargs="+", default=[64],
+        help="time-tile sizes to measure (grid steps = T/t_tile; larger "
+        "tiles cut per-step overhead until the double-buffered block "
+        "plus the (T, E) scratch exceed VMEM)",
+    )
+    args = ap.parse_args()
 
     rng = np.random.default_rng(0)
     cube = jnp.asarray((rng.random((T, A, E)) * 1e4).astype(np.float32))
@@ -90,22 +101,33 @@ def main() -> None:
             z, spec, skip_percentile=True,
         )["idx"]
 
-    @jax.jit
-    def pallas_fused(c, m, ev, z):
-        return fused_quantize_pallas(c, m, ev, T, 0, T, z, z_scale="log", interpret=False)["idx"]
-
     t_xla = _time_fn(xla_chain, cube, mask, e_valid, zb)
-    t_pallas = _time_fn(pallas_fused, cube, mask, e_valid, zb)
     hbm_bytes = T * A * E * 4  # the cube read dominates
+    pallas_rows = {}
+    for tt in args.t_tiles:
+
+        @jax.jit
+        def pallas_fused(c, m, ev, z, _tt=tt):
+            return fused_quantize_pallas(
+                c, m, ev, T, 0, T, z, z_scale="log", t_tile=_tt, interpret=False
+            )["idx"]
+
+        t_pallas = _time_fn(pallas_fused, cube, mask, e_valid, zb)
+        pallas_rows[str(tt)] = {
+            "pallas_fused_ms": round(t_pallas * 1e3, 3),
+            "speedup": round(t_xla / t_pallas, 3),
+            "pallas_gbps": round(hbm_bytes / t_pallas / 1e9, 1),
+        }
+    best = min(pallas_rows, key=lambda k: pallas_rows[k]["pallas_fused_ms"])
     print(
         json.dumps(
             {
                 "shape": [T, A, E],
                 "xla_chain_ms": round(t_xla * 1e3, 3),
-                "pallas_fused_ms": round(t_pallas * 1e3, 3),
-                "speedup": round(t_xla / t_pallas, 3),
                 "xla_gbps": round(hbm_bytes / t_xla / 1e9, 1),
-                "pallas_gbps": round(hbm_bytes / t_pallas / 1e9, 1),
+                "by_t_tile": pallas_rows,
+                "best_t_tile": int(best),
+                **pallas_rows[best],
                 "backend": jax.default_backend(),
             }
         )
