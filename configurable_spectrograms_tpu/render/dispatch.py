@@ -108,15 +108,18 @@ def _render_kernel() -> str:
 
     ``pallas`` routes explicit-bounds log-z buckets through the fused
     one-HBM-pass collapse+quantize kernel
-    (:func:`..ops.pallas_kernels.fused_quantize_pallas`, 1.24x the XLA
-    chain on real v5e, 344 GB/s effective -- docs/budget.md).  Intended
-    for direct-attached single-chip deployments where chip compute is on
-    the critical path; on relay-style links the ~0.05 ms/figure gain is
-    invisible (and the kernel's 128-lane padding costs upload bytes), so
-    XLA stays the default.  Scope: explicit z bounds (the given-extrema
-    production half; percentile bounds need the sort the kernel omits),
-    log z (the linear path's degenerate-bounds fallback semantics live in
-    the XLA program), unsharded dispatch (a manual kernel cannot be
+    (:func:`..ops.pallas_kernels.fused_quantize_pallas`).  With
+    latency-robust on-device timing (tools/bench_pallas_quantize.py, the
+    fori_loop protocol) the XLA chain and the kernel are within 8% of
+    each other and both ~85-90% of v5e HBM roofline -- XLA 0.37 ms/cube
+    (729-736 GB/s) vs kernel 0.39 ms (681 GB/s at t_tile=64,
+    CST_PALLAS_T_TILE) -- so XLA stays the default: the op is HBM-bound
+    and the compiler path already saturates it (docs/budget.md records
+    the measurement history, including why earlier captures overstated
+    the kernel).  Scope: explicit z bounds (the given-extrema production
+    half; percentile bounds need the sort the kernel omits), log z (the
+    linear path's degenerate-bounds fallback semantics live in the XLA
+    program), unsharded dispatch (a manual kernel cannot be
     GSPMD-partitioned across a mesh).
     """
     return os.environ.get("CST_RENDER_KERNEL", "xla")

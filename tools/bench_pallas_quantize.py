@@ -13,6 +13,7 @@ result is valid even over a slow host link).  Prints one JSON line.
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -28,7 +29,7 @@ if _REPO not in sys.path:
 
 
 T, A, E = 8192, 64, 128
-REPS = 20
+REPS = 512  # on-device fori_loop iterations; long chain ~0.4 s device time
 
 
 def _time_fn(fn, cube, mask, e_valid, zb) -> float:
@@ -36,11 +37,15 @@ def _time_fn(fn, cube, mask, e_valid, zb) -> float:
 
     ``block_until_ready`` is NOT a sync point on the tunneled device
     (readiness acks arrive before execution; measured times don't scale
-    with problem size).  So: every rep's output feeds a running scalar
-    (data dependency -- nothing can be skipped or reordered away), and ONE
-    4-byte readback of that scalar at the end forces completion of the
-    whole chain.  Per-rep distinct bounds defeat execution dedup.  The
-    single readback's latency is measured separately and subtracted.
+    with problem size), the relay's round-trip latency jitters by tens of
+    milliseconds, and the shared 1-core host can stall enqueues.  So the
+    ENTIRE rep loop runs on-device inside one jitted ``fori_loop`` (one
+    dispatch, one 4-byte readback); every iteration's output feeds a
+    running scalar (data dependency -- nothing can be skipped), and
+    per-iteration distinct bounds defeat execution dedup.  Per-exec time
+    is the two-point difference between a short and a long chain, so the
+    dispatch+readback latency cancels; the long chain is sized so the
+    device time dominates any residual jitter.
     """
     import jax
     import jax.numpy as jnp
@@ -48,24 +53,30 @@ def _time_fn(fn, cube, mask, e_valid, zb) -> float:
     # The arrays MUST be jit arguments, not closure captures: captured
     # concrete arrays embed as HLO constants, and this environment's
     # remote-compile endpoint rejects a 256 MB request body (HTTP 413).
-    @jax.jit
-    def step(acc, c, m, ev, z):
-        idx = fn(c, m, ev, z)
-        return acc + jnp.sum(idx[:8, :].astype(jnp.int32))
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain(c, m, ev, zbs_arr, n):
+        def body(i, acc):
+            idx = fn(c, m, ev, zbs_arr[i])
+            return acc + jnp.sum(idx[:8, :].astype(jnp.int32))
 
-    zbs = [jnp.asarray(np.array([2.0 + 1e-3 * i, 5000.0], np.float32)) for i in range(REPS)]
-    acc = step(jnp.int32(0), cube, mask, e_valid, zb)
-    float(np.asarray(acc))  # compile + warm + establish readback baseline
-    t0 = time.perf_counter()
-    float(np.asarray(step(jnp.int32(0), cube, mask, e_valid, zb)))
-    one = time.perf_counter() - t0  # 1 exec + 1 sync readback
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
-    t0 = time.perf_counter()
-    for z in zbs:
-        acc = step(acc, cube, mask, e_valid, z)
-    float(np.asarray(acc))  # the only true sync
-    total = time.perf_counter() - t0  # REPS execs + 1 sync readback
-    return max((total - one) / (REPS - 1), 1e-9)
+    zbs_arr = jnp.asarray(
+        np.stack([[2.0 + 1e-3 * i, 5000.0] for i in range(REPS)]).astype(np.float32)
+    )
+    n_short, n_long = 8, REPS
+
+    def run(n):
+        t0 = time.perf_counter()
+        float(np.asarray(chain(cube, mask, e_valid, zbs_arr, n)))
+        return time.perf_counter() - t0
+
+    # Warm both trace caches before timing.
+    run(n_short)
+    run(n_long)
+    short = min(run(n_short) for _ in range(3))
+    long = min(run(n_long) for _ in range(3))
+    return max((long - short) / (n_long - n_short), 1e-9)
 
 
 def main() -> None:
@@ -112,13 +123,21 @@ def main() -> None:
                 c, m, ev, T, 0, T, z, z_scale="log", t_tile=_tt, interpret=False
             )["idx"]
 
-        t_pallas = _time_fn(pallas_fused, cube, mask, e_valid, zb)
+        try:
+            t_pallas = _time_fn(pallas_fused, cube, mask, e_valid, zb)
+        except Exception as exc:  # e.g. VMEM exhaustion at large tiles
+            pallas_rows[str(tt)] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+            continue
         pallas_rows[str(tt)] = {
             "pallas_fused_ms": round(t_pallas * 1e3, 3),
             "speedup": round(t_xla / t_pallas, 3),
             "pallas_gbps": round(hbm_bytes / t_pallas / 1e9, 1),
         }
-    best = min(pallas_rows, key=lambda k: pallas_rows[k]["pallas_fused_ms"])
+    timed = [k for k, v in pallas_rows.items() if "pallas_fused_ms" in v]
+    if not timed:
+        print(json.dumps({"status": "error", "by_t_tile": pallas_rows}))
+        return
+    best = min(timed, key=lambda k: pallas_rows[k]["pallas_fused_ms"])
     print(
         json.dumps(
             {
