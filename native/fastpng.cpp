@@ -84,6 +84,9 @@ inline void repack_rgba_row(const uint8_t* in, uint8_t* out, int32_t w) {
 // scratch inside the row span exactly as repack_rgba_row's does.
 inline void filter_row_rgba(const uint8_t* cur, const uint8_t* prev, uint8_t* out, int32_t w) {
     int32_t x = 0;
+    // (An AVX-512VBMI 16-px permutexvar variant measured NO faster than
+    // this SSSE3 loop on the target host: the pass runs at ~20 GB/s of
+    // combined read+write traffic, i.e. it is memory-bound already.)
 #ifdef __SSSE3__
     const __m128i shuf = _mm_setr_epi8(0, 1, 2, 4, 5, 6, 8, 9, 10, 12, 13, 14, -1, -1, -1, -1);
     for (; x + 5 < w; x += 4) {
@@ -310,6 +313,11 @@ void FixedEnc::feed(size_t upto) {
         return (v * 2654435761u) >> (32 - HBITS);
     };
 
+    // (A probe-skipping literal-burst variant -- lengthening literal runs
+    // after consecutive failed probes, paired two-literal bit-writes --
+    // measured <=1% end-to-end even on pure-noise input and 0% on real
+    // canvases: literals never dominate here, the run/RLE path and bit IO
+    // do.  Rejected to keep this loop simple.)
     size_t i = i_;
     while (i < n) {
         // Headroom for the worst burst this iteration can emit (a literal
