@@ -98,15 +98,21 @@ def _fused_quantize_kernel(
             work = jnp.where(~jnp.isfinite(tile) | (tile <= 0.0), vmin, tile)
             log_vmin = jnp.log10(vmin)
             log_span = jnp.log10(vmax) - log_vmin
-            norm = (jnp.log10(jnp.maximum(work, 1e-37)) - log_vmin) / jnp.where(
+            ramp = (jnp.log10(jnp.maximum(work, 1e-37)) - log_vmin) / jnp.where(
                 log_span == 0.0, 1.0, log_span
             )
+            # matplotlib Normalize fills 0 when vmin == vmax; compare the
+            # raw bounds, not the logs (two log10 lowerings can differ by
+            # ULPs, see ops/spectrogram.py).  Reachable here when the safe
+            # floor raises vmin up to exactly vmax.
+            norm = jnp.where(vmin == vmax, 0.0, ramp)
         else:
             work = jnp.where(jnp.isnan(tile), vmin, tile)
             work = jnp.where(work == -jnp.inf, vmin, work)
             work = jnp.where(work == jnp.inf, vmax, work)
             span = vmax - vmin
-            norm = (work - vmin) / jnp.where(span == 0.0, 1.0, span)
+            ramp = (work - vmin) / jnp.where(span == 0.0, 1.0, span)
+            norm = jnp.where(vmin == vmax, 0.0, ramp)
         # Mosaic has no f32->u8 cast; round-trip through int32.
         idx_ref[:] = jnp.clip(jnp.floor(norm * 256.0), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 

@@ -354,7 +354,14 @@ def _analyze_matrix(
         work = jnp.where(~jnp.isfinite(matrix) | (matrix <= 0), vmin, matrix)
         log_vmin = jnp.log10(vmin)
         log_span = jnp.log10(vmax) - log_vmin
-        norm = (jnp.log10(jnp.maximum(work, 1e-37)) - log_vmin) / jnp.where(log_span == 0, 1.0, log_span)
+        ramp = (jnp.log10(jnp.maximum(work, 1e-37)) - log_vmin) / jnp.where(log_span == 0, 1.0, log_span)
+        # matplotlib's Normalize fills 0 for EVERY cell when vmin == vmax
+        # (the reference's LogNorm path paints the whole panel LUT[0]).
+        # The degeneracy test must use the raw bounds: XLA may lower the
+        # scalar and elementwise log10 differently (observed 8e-9 apart
+        # for identical inputs on CPU), so ``log_span == 0`` is not a
+        # reliable vmin==vmax detector under jit.
+        norm = jnp.where(vmin == vmax, 0.0, ramp)
     else:
         work = jnp.where(jnp.isnan(matrix), vmin, matrix)
         work = jnp.where(jnp.isneginf(work), vmin, work)
@@ -367,7 +374,13 @@ def _analyze_matrix(
         vmin = jnp.where(bad & ~empty, fb_min, vmin)
         vmax = jnp.where(bad & ~empty, fb_max, vmax)
         span = vmax - vmin
-        norm = (work - vmin) / jnp.where(span == 0, 1.0, span)
+        # Same matplotlib rule as the log arm: vmin == vmax -> norm 0
+        # everywhere.  (After the fallback recompute this only happens for
+        # constant substituted data, where the ramp is 0 anyway -- the
+        # explicit where keeps the semantics independent of how XLA
+        # evaluates the division.)
+        ramp = (work - vmin) / jnp.where(span == 0, 1.0, span)
+        norm = jnp.where(vmin == vmax, 0.0, ramp)
 
     # matplotlib Colormap.__call__ index rule: int(norm * N), N==256,
     # under -> 0, over -> N-1 (the default under/over colors).

@@ -125,6 +125,14 @@ def _quantized_idx(
     hit = _IDX_CACHE.get(key)
     if hit is not None:
         return hit
+    if vmin == vmax:
+        # matplotlib's Normalize fills 0 for EVERY cell when vmin == vmax
+        # (reference plotting.py feeds LogNorm / the vmin=/vmax= kwargs, so
+        # an equal-bounds panel -- constant-data extrema, equal percentile
+        # qs -- renders entirely LUT[0], NaNs included: the reference
+        # substitutes them with vmin before imshow).
+        idx = np.zeros(matrix.shape, np.uint8)
+        return _IDX_CACHE.insert(key, idx, (matrix,))
     if z_scale == "log":
         # Substituted entries must equal log10f32(float32(vmin)) exactly as
         # the uncached chain produced them (float32 ufunc loop), while the
