@@ -97,15 +97,42 @@ def masked_nanpercentile(values: jax.Array, valid: jax.Array, q: jax.Array | flo
     lo = jnp.floor(pos).astype(jnp.int32)
     hi = jnp.ceil(pos).astype(jnp.int32)
     frac = pos - lo.astype(jnp.float32)
-    # numpy's _lerp, branch for branch: a + (b-a)*t below t=0.5 and
-    # b - (b-a)*(1-t) above -- NOT the symmetric a*(1-t) + b*t form, which
-    # differs in the last float32 ulp and can flip a colormap bin against
-    # the host backend's np.percentile (bit-parity requirement).
-    diff = s[hi] - s[lo]
-    v = jnp.where(frac >= 0.5, s[hi] - diff * (1.0 - frac), s[lo] + diff * frac)
+    v = _numpy_lerp(s[lo], s[hi], frac)
     # frac == 0 short-circuits so +/-inf endpoints don't produce inf-inf NaNs.
     v = jnp.where(frac == 0, s[lo], v)
     return jnp.where(n > 0, v, jnp.nan)
+
+
+def _block_fma(p: jax.Array) -> jax.Array:
+    """Identity that stops XLA from contracting ``a + p``/``b - p`` to FMA.
+
+    XLA:CPU emits ``llvm.fmuladd`` for any multiply feeding an add/sub,
+    single-rounding the pair, while numpy rounds the product first -- the
+    results differ in the last ulp for ~20%% of operand triples (measured),
+    which breaks the host/device bit-parity contract on percentile bounds.
+    A select whose arms differ survives both the HLO algebraic simplifier
+    and LLVM instcombine (bitcast round-trips and optimization_barrier do
+    NOT -- both get folded and the contraction proceeds, also measured);
+    semantically this is the identity, NaN arm included.
+    """
+    return jnp.where(jnp.isnan(p), jnp.float32(jnp.nan), p)
+
+
+def _numpy_lerp(a: jax.Array, b: jax.Array, t: jax.Array) -> jax.Array:
+    """numpy's ``_lerp``, branch for branch AND rounding for rounding.
+
+    ``a + (b-a)*t`` below ``t == 0.5`` and ``b - (b-a)*(1-t)`` above --
+    NOT the symmetric ``a*(1-t) + b*t`` form -- with the product rounded
+    to float32 before the add (see ``_block_fma``), exactly as numpy's
+    float32 ufunc loop evaluates it (mirrored by
+    ops/exact_percentile.numpy_lerp_percentile on the host).
+    """
+    diff = b - a
+    return jnp.where(
+        t >= 0.5,
+        b - _block_fma(diff * (jnp.float32(1.0) - t)),
+        a + _block_fma(diff * t),
+    )
 
 
 def _kept_energy_order(m_all_nan_col: jax.Array, e_valid: jax.Array, energy: jax.Array):
@@ -326,16 +353,12 @@ def _analyze_matrix(
             lo = jnp.floor(pos).astype(jnp.int32)
             hi = jnp.ceil(pos).astype(jnp.int32)
             frac = pos - lo.astype(jnp.float32)
-            # numpy's _lerp branch for branch (see masked_nanpercentile):
-            # the symmetric lo*(1-t)+hi*t form differs from np.percentile
-            # in the last float32 ulp and can flip a colormap bin against
-            # the host backend.
-            diff = sorted_vals[hi] - sorted_vals[lo]
-            v = jnp.where(
-                frac >= 0.5,
-                sorted_vals[hi] - diff * (1.0 - frac),
-                sorted_vals[lo] + diff * frac,
-            )
+            # numpy's _lerp branch for branch and rounding for rounding
+            # (see _numpy_lerp/_block_fma): the symmetric form and the
+            # FMA-contracted form each differ from np.percentile in the
+            # last float32 ulp and can flip a colormap bin against the
+            # host backend.
+            v = _numpy_lerp(sorted_vals[lo], sorted_vals[hi], frac)
             v = jnp.where(frac == 0, sorted_vals[lo], v)
             return jnp.where(n_ok > 0, v, jnp.nan)
 

@@ -374,14 +374,27 @@ def test_slow_dispatch_end_to_end_fallback(rng, monkeypatch):
     round-3 artifacts' 7-14 panels/s passes were exactly this window
     running device-side for the whole pass."""
     link.note_host_group(8, 0.02)  # host measured fast: 2.5 ms/panel
+    # Scale the detector's bars up so box-load noise cannot promote the
+    # intended MILD stall into a severe one-shot trip: with the default
+    # 0.06 s bootstrap the severe bar (2x) sits at 0.12 s/panel, only
+    # ~20 ms above the injected stall -- a loaded CI box crossed it and
+    # tripped before the K-batch streak this test exercises.
+    monkeypatch.setattr(link, "_SLOW_ABS_SEC_PER_PANEL", 2.0)
+    # The 2.2 s injected readback would otherwise fire the bandwidth
+    # watchdog (xfer > 1 s at < 1 MB/s) and the one-shot calibration
+    # branch before the streak detector ever sees a second batch; both
+    # have their own unit tests -- pin them out of reach here.
+    monkeypatch.setattr(drain, "_MIN_LINK_MBPS", 0.0)
+    monkeypatch.setattr(drain, "_CALIBRATE_XFER_SEC_PER_PANEL", 1e9)
 
     real_readback = dispatch._readback
 
     def slow_readback(out_dev):
-        # Mild stall: ~100 ms/panel exceeds the bootstrap threshold
-        # (60 ms) but not the severe bar (4x), so the FULL K-batch streak
-        # is exercised (severe one-shot trips are unit-tested above).
-        time.sleep(0.10)
+        # Mild stall: 2.2 s/panel exceeds the bootstrap threshold (2.0 s)
+        # but stays well under the severe bar (4.0 s) even with load
+        # noise, so the FULL K-batch streak is exercised (severe one-shot
+        # trips are unit-tested above).
+        time.sleep(2.2)
         return real_readback(out_dev)
 
     monkeypatch.setattr(drain, "_readback", slow_readback)
