@@ -190,7 +190,7 @@ def test_equal_bounds_paint_whole_panel_lut0(z_scale):
     assert np.all(host["idx"] == 0)
 
 
-@pytest.mark.parametrize("seed", range(32))
+@pytest.mark.parametrize("seed", range(64))
 def test_fuzz_host_vs_device_quantize(seed):
     cfg = _random_config(seed)
     T, E = cfg["matrix"].shape
