@@ -108,41 +108,55 @@ def _random_config(seed: int) -> dict:
 def _assert_idx_parity(dev_idx, host_idx, sel, cfg, host, seed) -> bool:
     """Assert the device/host idx contract; return True when bit-exact.
 
-    Linear-z: bit-identical.  Log-z: bit-identical except cells proven to
-    sit at a colormap-bin boundary (float64 recomputation of the host's
-    normalize chain lands norm*256 within a few float32 log10 ulps of an
-    integer), which may differ by exactly 1 bin -- XLA's log10 and
-    numpy's disagree in the last ulp for some inputs, and no arithmetic
-    restructuring can reconcile two different transcendental
-    implementations (docs/parity.md).
+    Bit-identical except cells proven to sit at a colormap-bin boundary
+    (float64 recomputation of the host's normalize chain lands norm*256
+    within a few float32 ulps of an integer), which may differ by exactly
+    1 bin.  Two irreconcilable-by-restructuring sources (docs/parity.md):
+
+    - log-z: XLA's float32 log10 disagrees with numpy's in the last ulp
+      for some inputs;
+    - explicit float64 bounds (both scales): the host casts the FLOAT64
+      span to float32 exactly as matplotlib's Normalize does
+      (``f32(vmax64 - vmin64)``), while the device program only ever
+      sees float32 bounds and computes ``f32(f32(vmax) - f32(vmin))`` --
+      a double-rounding that moves norm by ~1 ulp.
+
+    Cells away from a boundary must still match bitwise, so genuine
+    logic regressions keep failing loudly.
     """
     diff_mask = (dev_idx != host_idx) & sel
     if not diff_mask.any():
         return True
-    assert cfg["z_scale"] == "log", (
-        f"seed {seed}: linear-z idx diverged at {int(diff_mask.sum())} cells -- "
-        "the linear chain has no transcendental and must be bit-exact"
-    )
     delta = np.abs(dev_idx.astype(np.int32) - host_idx.astype(np.int32))
-    assert int(delta[diff_mask].max()) <= 1, f"seed {seed}: log-z idx differs by >1 bin"
-    vmin = float(np.float32(host["vmin"]))
-    vmax = float(np.float32(host["vmax"]))
-    assert vmin > 0.0 and vmax > vmin, f"seed {seed}: idx diverged with degenerate bounds"
-    lmin, lmax = np.log10(vmin), np.log10(vmax)  # float64 of the float32 bounds
-    span = lmax - lmin
+    assert int(delta[diff_mask].max()) <= 1, f"seed {seed}: idx differs by >1 bin"
+    vmin = float(host["vmin"])  # the host's reference-exact bounds
+    vmax = float(host["vmax"])
+    assert vmax > vmin, f"seed {seed}: idx diverged with degenerate bounds"
     m = cfg["matrix"].astype(np.float64)
-    w = np.where(~np.isfinite(m) | (m <= 0.0), vmin, m)
-    lw = np.log10(np.maximum(w, 1e-37))
-    bins64 = (lw - lmin) / span * 256.0
+    if cfg["z_scale"] == "log":
+        assert vmin > 0.0, f"seed {seed}: log-z idx diverged with non-positive vmin"
+        lmin, lmax = np.log10(vmin), np.log10(vmax)
+        span = lmax - lmin
+        w = np.where(~np.isfinite(m) | (m <= 0.0), vmin, m)
+        lw = np.log10(np.maximum(w, 1e-37))
+        bins64 = (lw - lmin) / span * 256.0
+        # One float32 ulp of any log10 term moves norm*256 by
+        # ~256*ulp/span; allow a few ulps of slack across the cell's and
+        # both bounds' logs.
+        maxlog = max(abs(lmin), abs(lmax), float(np.abs(lw[diff_mask]).max()))
+        tol = 256.0 * 6.0 * float(np.spacing(np.float32(maxlog))) / span
+    else:
+        w = np.where(np.isposinf(m), vmax, np.where(np.isnan(m) | np.isneginf(m), vmin, m))
+        bins64 = (w - vmin) / (vmax - vmin) * 256.0
+        # The only divergence source is ~1 ulp of the float32 span (and
+        # one more of the quotient): a relative wiggle of a few 1e-7 on
+        # the bin value itself.
+        tol = max(1e-4, float(np.abs(bins64[diff_mask]).max()) * 6.0e-7)
     dist = np.abs(bins64 - np.rint(bins64))
-    # One float32 ulp of any log10 term moves norm*256 by ~256*ulp/span;
-    # allow a few ulps of slack across the cell's and both bounds' logs.
-    maxlog = max(abs(lmin), abs(lmax), float(np.abs(lw[diff_mask]).max()))
-    tol = 256.0 * 6.0 * float(np.spacing(np.float32(maxlog))) / span
     off_boundary = diff_mask & (dist > tol)
     assert not off_boundary.any(), (
-        f"seed {seed}: log-z idx diverged {int(off_boundary.sum())} cells AWAY from a "
-        f"bin boundary (min dist {float(dist[off_boundary].min()):.2e} > tol {tol:.2e})"
+        f"seed {seed}: {cfg['z_scale']}-z idx diverged {int(off_boundary.sum())} cells "
+        f"AWAY from a bin boundary (min dist {float(dist[off_boundary].min()):.2e} > tol {tol:.2e})"
     )
     return False
 
@@ -271,15 +285,11 @@ def test_fuzz_host_vs_device_quantize(seed):
     )
     # And therefore the quantized colormap indices agree for every kept
     # (time-window, energy) cell -- padding cells outside the window/keep
-    # set are backend-private and excluded.  Linear-z is bit-exact (pure
-    # rational float32 arithmetic, no contraction sites after the lerp
-    # fix); log-z is bit-exact EXCEPT at log10 representation boundaries:
-    # XLA's float32 log10 differs from numpy's SIMD ufunc by 1 ulp for
-    # some inputs (measured: seeds 153/315/554 cell values, 525/609/683
-    # scalar bounds), and where that lands norm*256 within a few ulps of
-    # an integer the two backends pick adjacent colormap bins.  Such
-    # cells must (a) differ by at most 1 bin and (b) provably sit at a
-    # bin boundary under float64 recomputation.
+    # set are backend-private and excluded.  Bit-exact except at provable
+    # colormap-bin boundaries, where XLA-vs-numpy log10 ulps (measured:
+    # seeds 153/315/554) or the float64-span double-rounding of explicit
+    # bounds (seed 4350, linear) may flip one bin -- see
+    # _assert_idx_parity.
     sel = np.zeros((T, E), bool)
     sel[cfg["t_start"] : cfg["t_start"] + cfg["t_count"], host["kept_pos"][: host["n_kept"]]] = True
     exact_idx = _assert_idx_parity(np.asarray(dev["idx"]), host["idx"], sel, cfg, host, seed)
