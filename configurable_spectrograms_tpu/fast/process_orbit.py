@@ -33,6 +33,27 @@ from configurable_spectrograms_tpu.fast.plotting import (
 from configurable_spectrograms_tpu.render.plotting import close_all_axes_and_clear
 from configurable_spectrograms_tpu.utils.logging import log_exception
 
+# Reference parity: the reference runs ``gc.collect()`` after every orbit
+# (reference fast/process_orbit.py:298) -- cheap there because each worker
+# is a short-lived process with a small heap.  This engine renders in one
+# long-lived process whose heap carries the resident caches and device
+# programs, so a full (gen-2) pass costs ~200 ms and per-orbit full passes
+# were 23% of a measured cold batch.  Orbits therefore run a young-gen
+# pass (frees the figure<->axes cycles while they are still young) and a
+# full pass at most once per interval; ``CST_GC_FULL_INTERVAL_S=0``
+# restores the reference's every-orbit full collection.
+_GC_FULL_INTERVAL_S = float(os.environ.get("CST_GC_FULL_INTERVAL_S", "20") or 0.0)
+_GC_LAST_FULL = [0.0]
+
+
+def _paced_gc() -> None:
+    now = time.monotonic()
+    if _GC_FULL_INTERVAL_S <= 0 or now - _GC_LAST_FULL[0] >= _GC_FULL_INTERVAL_S:
+        _GC_LAST_FULL[0] = now
+        gc.collect()
+    else:
+        gc.collect(1)
+
 
 class _OrbitRun:
     """Mutable state for one orbit's processing: result dict + timeouts."""
@@ -250,6 +271,6 @@ def FAST_process_single_orbit(
     except Exception as exc:
         run.note_error(f"[FAIL] Orbit {orbit_number} processing", exc)
     finally:
-        gc.collect()
+        _paced_gc()
 
     return run.finalize()

@@ -317,3 +317,37 @@ def test_esv_instrument_opt_in(tmp_path):
     )
     assert fig is not None
     assert fig.nrows == 5
+
+
+def test_paced_gc_limits_full_collections(monkeypatch):
+    """Per-orbit gc is a young-gen pass; full passes respect the interval.
+
+    The reference collects fully after every orbit (reference
+    fast/process_orbit.py:298) inside short-lived worker processes; this
+    engine paces the expensive gen-2 pass (~200 ms in-process) to one per
+    ``CST_GC_FULL_INTERVAL_S`` and runs ``gc.collect(1)`` otherwise.
+    ``CST_GC_FULL_INTERVAL_S=0`` restores the reference cadence.
+    """
+    import gc as gc_mod
+
+    from configurable_spectrograms_tpu.fast import process_orbit as po
+
+    calls = []
+    monkeypatch.setattr(gc_mod, "collect", lambda *a: calls.append(a))
+
+    fake_now = [1000.0]
+    monkeypatch.setattr(po.time, "monotonic", lambda: fake_now[0])
+
+    monkeypatch.setattr(po, "_GC_FULL_INTERVAL_S", 20.0)
+    monkeypatch.setattr(po, "_GC_LAST_FULL", [0.0])
+    po._paced_gc()          # stale last_full: full pass
+    po._paced_gc()          # within the interval: young-gen only
+    fake_now[0] += 25.0
+    po._paced_gc()          # interval elapsed: full pass again
+    assert calls == [(), (1,), ()]
+
+    calls.clear()
+    monkeypatch.setattr(po, "_GC_FULL_INTERVAL_S", 0.0)
+    po._paced_gc()
+    po._paced_gc()
+    assert calls == [(), ()]  # reference cadence: every call is full
