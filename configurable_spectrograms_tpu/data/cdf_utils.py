@@ -120,6 +120,41 @@ def _orbit_columns(dataframe: pd.DataFrame, instrument: str) -> tuple[str, str, 
     return orbit_column_cache[cache_key]
 
 
+#: orbit -> (raw_min, raw_max) lookup per (live dataframe, column triple).
+#: A batch calls :func:`get_timestamps_for_orbit` once per figure (8+
+#: times per orbit across combos and raw/given passes) against the same
+#: module-cached cusp dataframe; the pandas boolean scan + iloc row it
+#: replaces cost ~3 ms per call.  Keyed by ``id(dataframe)`` with a
+#: weakref finalizer evicting on the frame's death, so a recycled id can
+#: never serve a dead frame's rows (same discipline as the resident
+#: quantize caches, render/host_quantize.py).
+_orbit_row_cache: dict[tuple[int, tuple[str, str, str]], dict] = {}
+
+
+def _orbit_row_map(dataframe: pd.DataFrame, cols: tuple[str, str, str]) -> dict:
+    import weakref
+
+    key = (id(dataframe), cols)
+    hit = _orbit_row_cache.get(key)
+    if hit is not None:
+        return hit
+    orbit_col, min_col, max_col = cols
+    orbits = dataframe[orbit_col].to_numpy()
+    lows = dataframe[min_col].to_numpy()
+    highs = dataframe[max_col].to_numpy()
+    mapping: dict = {}
+    for i in range(len(orbits)):
+        ov = orbits[i]
+        if ov not in mapping:  # first match wins, like .iloc[0]
+            mapping[ov] = (lows[i], highs[i])
+    try:
+        weakref.finalize(dataframe, _orbit_row_cache.pop, key, None)
+    except TypeError:
+        return mapping  # not weakref-able: serve without caching
+    _orbit_row_cache[key] = mapping
+    return mapping
+
+
 def get_timestamps_for_orbit(
     filtered_orbits_dataframe: pd.DataFrame | None,
     orbit_number: int,
@@ -144,13 +179,18 @@ def get_timestamps_for_orbit(
     """
     if filtered_orbits_dataframe is None or instrument_type is None or time_unix_array is None:
         return []
-    orbit_col, min_col, max_col = _orbit_columns(filtered_orbits_dataframe, instrument_type)
-    matches = filtered_orbits_dataframe[filtered_orbits_dataframe[orbit_col] == orbit_number]
-    if matches.empty:
+    cols = _orbit_columns(filtered_orbits_dataframe, instrument_type)
+    # dict lookup == the reference's boolean-mask + .iloc[0] row pick:
+    # first row wins on duplicate orbits, numeric keys hash-compatibly
+    # across int/np.int64/float, and a missing orbit yields [].  (The
+    # cusp dataframe is read-only by contract; in-place mutation after
+    # the first lookup is not supported.)
+    row = _orbit_row_map(filtered_orbits_dataframe, cols).get(orbit_number)
+    if row is None:
         return []
     try:
-        raw_lo = int(matches.iloc[0][min_col])
-        raw_hi = int(matches.iloc[0][max_col])
+        raw_lo = int(row[0])
+        raw_hi = int(row[1])
     except (TypeError, ValueError):
         log_message("[WARN] Non-integer indices found in orbit row, using 0.")
         return []

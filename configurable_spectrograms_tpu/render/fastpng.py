@@ -186,6 +186,24 @@ def _load() -> ctypes.CDLL | None:
     ]
     blit.restype = ctypes.c_int32
     lib._has_blit = True
+    try:
+        blend = lib.fastpng_blend_tile
+    except AttributeError:
+        lib._has_blend = False
+        return lib
+    blend.argtypes = [
+        ctypes.c_void_p,  # canvas
+        ctypes.c_int64,   # canvas_stride
+        ctypes.c_int32,   # H
+        ctypes.c_int32,   # W
+        ctypes.c_void_p,  # tile
+        ctypes.c_int32,   # tw
+        ctypes.c_int32,   # th
+        ctypes.c_int32,   # x0
+        ctypes.c_int32,   # y0
+    ]
+    blend.restype = ctypes.c_int32
+    lib._has_blend = True
     return lib
 
 
@@ -299,5 +317,51 @@ def blit_runs(
         np.int64(out.strides[0]),
         np.int32(oh),
         np.int32(ow),
+    )
+    return rc == 0
+
+
+def blend_available() -> bool:
+    """True when the loaded library exports the text-tile blend kernel."""
+    lib = _load()
+    return lib is not None and bool(getattr(lib, "_has_blend", False))
+
+
+def blend_tile(canvas: np.ndarray, tile: np.ndarray, x: int, y: int) -> bool:
+    """Alpha-blend a small RGBA *tile* into *canvas* at (*x*, *y*).
+
+    The arithmetic twin of Pillow's ``Image.paste(tile, (x, y), tile)``
+    for RGBA targets (the precise-division BLEND on every channel, alpha
+    included), minus PIL's per-call dispatch -- output bytes are
+    identical (pinned by tests/test_native_blit.py's exhaustive triple
+    sweep).  Returns False whenever the fast path cannot run; callers
+    keep ``Image.paste`` as the fallback.
+    """
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_blend", False):
+        return False
+    if (
+        canvas.dtype != np.uint8
+        or canvas.ndim != 3
+        or canvas.shape[2] != 4
+        # Negative/transposed strides would break the C kernel's size_t
+        # row arithmetic; the figure canvas is always C-contiguous rows.
+        or canvas.strides[0] < 0
+        or canvas.strides[1] != 4
+        or canvas.strides[2] != 1
+    ):
+        return False
+    if tile.dtype != np.uint8 or tile.ndim != 3 or tile.shape[2] != 4 or not tile.flags.c_contiguous:
+        return False
+    rc = lib.fastpng_blend_tile(
+        canvas.ctypes.data,
+        np.int64(canvas.strides[0]),
+        np.int32(canvas.shape[0]),
+        np.int32(canvas.shape[1]),
+        tile.ctypes.data,
+        np.int32(tile.shape[1]),
+        np.int32(tile.shape[0]),
+        np.int32(x),
+        np.int32(y),
     )
     return rc == 0

@@ -12,7 +12,10 @@ import functools
 import glob
 import os
 
+import numpy as np
 from PIL import Image, ImageDraw, ImageFont
+
+from configurable_spectrograms_tpu.render import fastpng
 
 _FONT_CANDIDATES = [
     "/opt/venv/lib/python*/site-packages/matplotlib/mpl-data/fonts/ttf/DejaVuSans.ttf",
@@ -54,6 +57,31 @@ def pt_to_px(points: float, dpi: float) -> int:
 
 _measure_img = Image.new("RGB", (8, 8))
 _measure_draw = ImageDraw.Draw(_measure_img)
+
+
+def _paste_tile(canvas: Image.Image, tile: Image.Image, x: int, y: int) -> None:
+    """``canvas.paste(tile, (x, y), tile)`` through the native blend kernel.
+
+    PIL's per-paste dispatch (~40 us) dwarfs the actual blending of a
+    small cached text tile; a figure pastes ~120 of them.  When the canvas
+    is the compositor's numpy-backed figure canvas (``_np_canvas``, shared
+    memory with the PIL Image) the blend runs as one ctypes call with
+    byte-identical output (Pillow's own MULDIV255 rounding, pinned by
+    tests/test_fastpng.py); any miss falls back to Image.paste.  The
+    tile's RGBA bytes are cached on the Image object -- tiles are
+    lru-cached and immutable once built.
+    """
+    np_canvas = getattr(canvas, "_np_canvas", None)
+    if np_canvas is not None:
+        arr = getattr(tile, "_np_rgba", None)
+        if arr is None and tile.mode == "RGBA":
+            arr = np.asarray(tile, dtype=np.uint8)
+            if not (arr.ndim == 3 and arr.shape[2] == 4 and arr.flags.c_contiguous):
+                arr = False
+            tile._np_rgba = arr
+        if arr is not None and arr is not False and fastpng.blend_tile(np_canvas, arr, x, y):
+            return
+    canvas.paste(tile, (x, y), tile)
 
 
 @functools.lru_cache(maxsize=16384)
@@ -127,7 +155,7 @@ def draw_text(
         y -= h
     else:  # 'a' (ascender): mimic draw.text's top offset
         y += by0
-    canvas.paste(tile, (round(x), round(y)), tile)
+    _paste_tile(canvas, tile, round(x), round(y))
 
 
 @functools.lru_cache(maxsize=2048)
@@ -177,7 +205,7 @@ def draw_rotated_text(
     if entry is None:
         return
     rot, w0, h0, lx, ly = entry
-    canvas.paste(rot, (round(center[0] - w0 / 2) + lx, round(center[1] - h0 / 2) + ly), rot)
+    _paste_tile(canvas, rot, round(center[0] - w0 / 2) + lx, round(center[1] - h0 / 2) + ly)
 
 
 @functools.lru_cache(maxsize=4096)
@@ -258,7 +286,7 @@ def draw_pow10(
     canvas = getattr(draw, "_image", None)
     if canvas is not None:
         tile, y_ref = _pow10_tile(exponent, px, fill if isinstance(fill, str) else tuple(fill))
-        canvas.paste(tile, (round(x), round(y) - y_ref), tile)
+        _paste_tile(canvas, tile, round(x), round(y) - y_ref)
     else:  # measurement-only draws (no backing image): direct render
         draw.text((x, y), "10", font=get_font(px), fill=fill, anchor="lm")
         draw.text(

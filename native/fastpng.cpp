@@ -604,6 +604,64 @@ extern "C" int fastpng_write_rgb(
 // broadcast stores) and their temporaries.
 // ---------------------------------------------------------------------------
 
+// ---------------------------------------------------------------------------
+// Cached-text-tile alpha blend (render/text's hot loop).
+//
+// The compositor pastes ~120 small cached RGBA text tiles per figure with
+// Pillow's Image.paste(tile, xy, tile); each call costs ~40 us of PIL
+// dispatch for ~3 k blended pixels.  This kernel is the arithmetic twin of
+// Pillow's paste_mask_RGBA (src/libImaging/Paste.c): every channel --
+// alpha included -- blends as (in1*(255-m) + in2*m + 127) / 255, the
+// precise-division BLEND of the installed Pillow (12.x), verified EXACT
+// against Image.paste over all 256^3 (mask, canvas, tile) byte triples
+// (tests/test_native_blit.py; the legacy approximate MULDIV255 pair
+// differs from it on 24.5%% of triples).  m == 0 and m == 255
+// short-circuits are exact no-op/copy under that rounding.
+// ---------------------------------------------------------------------------
+
+namespace {
+inline uint32_t pil_blend(uint32_t in1, uint32_t in2, uint32_t m) {
+    return (in1 * (255u - m) + in2 * m + 127u) / 255u;
+}
+}  // namespace
+
+extern "C" int fastpng_blend_tile(
+    uint8_t* canvas,           // RGBA rows, row y at y*canvas_stride
+    int64_t canvas_stride,     // bytes between canvas rows
+    int32_t H,
+    int32_t W,
+    const uint8_t* tile,       // th*tw*4 contiguous RGBA
+    int32_t tw,
+    int32_t th,
+    int32_t x0,                // paste origin in canvas coords (may be <0)
+    int32_t y0
+) {
+    if (!canvas || !tile || tw < 0 || th < 0) return -1;
+    // Clip exactly as ImagingPaste does: shift the tile window for
+    // negative origins, bound the extent by the canvas.
+    int32_t sx = 0, sy = 0;
+    if (x0 < 0) { sx = -x0; x0 = 0; }
+    if (y0 < 0) { sy = -y0; y0 = 0; }
+    int32_t bw = tw - sx, bh = th - sy;
+    if (bw > W - x0) bw = W - x0;
+    if (bh > H - y0) bh = H - y0;
+    if (bw <= 0 || bh <= 0) return 0;
+    for (int32_t y = 0; y < bh; ++y) {
+        uint8_t* out = canvas + size_t(y0 + y) * size_t(canvas_stride) + size_t(x0) * 4;
+        const uint8_t* in = tile + (size_t(sy + y) * size_t(tw) + size_t(sx)) * 4;
+        for (int32_t x = 0; x < bw; ++x, out += 4, in += 4) {
+            uint32_t m = in[3];
+            if (m == 0) continue;
+            if (m == 255) { std::memcpy(out, in, 4); continue; }
+            out[0] = uint8_t(pil_blend(out[0], in[0], m));
+            out[1] = uint8_t(pil_blend(out[1], in[1], m));
+            out[2] = uint8_t(pil_blend(out[2], in[2], m));
+            out[3] = uint8_t(pil_blend(out[3], in[3], m));
+        }
+    }
+    return 0;
+}
+
 extern "C" int fastpng_blit_runs(
     const uint8_t* idx,        // quantized indices, element [t, e] at t*idx_row_stride + e
     int64_t idx_row_stride,    // bytes between consecutive t rows

@@ -62,6 +62,31 @@ def test_get_timestamps_for_orbit():
     assert get_timestamps_for_orbit(big, 1, "ies", times) == [100.0, 400.0]
 
 
+def test_orbit_row_cache_semantics():
+    """The per-frame orbit-row cache matches the boolean-scan semantics:
+    first duplicate row wins, numeric key types interoperate, and the
+    cache entry dies with its dataframe."""
+    from configurable_spectrograms_tpu.data import cdf_utils
+
+    times = np.array([10.0, 20.0, 30.0, 40.0])
+    dup = pd.DataFrame(
+        {"orbit": [5, 5], "ees min index": [0, 3], "ees max index": [1, 3]}
+    )
+    # First row wins (reference .iloc[0]): indices (0, 1), not (3, 3).
+    assert get_timestamps_for_orbit(dup, 5, "ees", times) == [10.0, 20.0]
+    # np.int64 orbit argument hits the same entry.
+    assert get_timestamps_for_orbit(dup, np.int64(5), "ees", times) == [10.0, 20.0]
+    # Repeat call is served from the cache and stays correct.
+    assert get_timestamps_for_orbit(dup, 5, "ees", times) == [10.0, 20.0]
+    key_count = len(cdf_utils._orbit_row_cache)
+    assert key_count >= 1
+    del dup
+    import gc
+
+    gc.collect()
+    assert len(cdf_utils._orbit_row_cache) < key_count  # evicted on frame death
+
+
 def test_resolve_shared_orbit_and_from_files():
     assert resolve_shared_orbit(
         {

@@ -125,3 +125,82 @@ def test_blit_falls_back_on_unsupported_layout():
     assert fastpng.blit_runs(idx_c, np.full(4, 8, np.int32), *rest, out) is False
     bad_sel = (rest[0], np.full(1, 8, np.int32)) + rest[2:]
     assert fastpng.blit_runs(idx_c, t_idx, *bad_sel, out) is False
+
+
+# ---------------------------------------------------------------------------
+# fastpng_blend_tile: the native twin of Image.paste(tile, xy, tile).
+# ---------------------------------------------------------------------------
+
+
+def _pil_paste(canvas: np.ndarray, tile: np.ndarray, x: int, y: int) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.fromarray(canvas.copy(), "RGBA")
+    t = Image.fromarray(tile, "RGBA")
+    img.paste(t, (x, y), t)
+    return np.asarray(img)
+
+
+@pytest.mark.skipif(not fastpng.blend_available(), reason="native blend unavailable")
+def test_blend_tile_exhaustive_triples():
+    """Every (mask, canvas, tile) byte triple blends exactly like Pillow.
+
+    The blend is per-channel with only the tile's alpha as the mask, so
+    sweeping all 256^3 combinations in one image pins the arithmetic
+    (MULDIV255 rounding) for every reachable byte pattern -- including the
+    alpha channel's own blend, which Pillow applies with the same mask.
+    """
+    m, v1, v2 = np.meshgrid(
+        np.arange(256, dtype=np.uint8),
+        np.arange(256, dtype=np.uint8),
+        np.arange(256, dtype=np.uint8),
+        indexing="ij",
+    )
+    h, w = 4096, 4096
+    canvas = np.stack([v1, v1, v1, v1], axis=-1).reshape(h, w, 4).copy()
+    tile = np.stack([v2, v2, v2, m], axis=-1).reshape(h, w, 4).copy()
+    expected = _pil_paste(canvas, tile, 0, 0)
+    got = canvas.copy()
+    assert fastpng.blend_tile(got, tile, 0, 0)
+    np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.skipif(not fastpng.blend_available(), reason="native blend unavailable")
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_blend_tile_random_placement_and_clipping(seed):
+    rng = np.random.default_rng(seed)
+    canvas = rng.integers(0, 256, (64, 80, 4), np.uint8)
+    for _ in range(40):
+        th, tw = int(rng.integers(1, 30)), int(rng.integers(1, 30))
+        tile = rng.integers(0, 256, (th, tw, 4), np.uint8)
+        # Include fully outside, straddling every edge, and interior spots.
+        x = int(rng.integers(-tw - 4, 80 + 4))
+        y = int(rng.integers(-th - 4, 64 + 4))
+        expected = _pil_paste(canvas, tile, x, y)
+        assert fastpng.blend_tile(canvas, tile, x, y)
+        np.testing.assert_array_equal(canvas, expected)
+
+
+@pytest.mark.skipif(not fastpng.blend_available(), reason="native blend unavailable")
+def test_blend_tile_into_strided_canvas_rows():
+    """A canvas whose rows carry extra stride (a width-sliced view) blends
+    correctly -- the kernel walks canvas_stride, not w*4."""
+    rng = np.random.default_rng(7)
+    full = rng.integers(0, 256, (32, 48, 4), np.uint8)
+    tile = rng.integers(0, 256, (8, 8, 4), np.uint8)
+    view = full[:, 4:40]
+    expected = _pil_paste(np.ascontiguousarray(view), tile, 3, 5)
+    assert fastpng.blend_tile(view, tile, 3, 5)
+    np.testing.assert_array_equal(view, expected)
+
+
+def test_blend_tile_declines_bad_layouts():
+    canvas = np.zeros((8, 8, 4), np.uint8)
+    tile = np.zeros((2, 2, 4), np.uint8)
+    if fastpng.blend_available():
+        assert not fastpng.blend_tile(canvas[::-1], tile, 0, 0)  # negative stride
+        assert not fastpng.blend_tile(canvas.astype(np.int16), tile, 0, 0)
+        assert not fastpng.blend_tile(canvas, tile[:, :, :3], 0, 0)
+        assert not fastpng.blend_tile(canvas, tile[:, ::-1], 0, 0)  # non-contiguous tile
+    else:
+        assert not fastpng.blend_tile(canvas, tile, 0, 0)
