@@ -282,7 +282,16 @@ private:
         static thread_local std::vector<int64_t> hs;
         return hs;
     }
-    static constexpr int HBITS = 15;
+    // 11 bits = a 16 KB head table that stays L1-resident.  Real figure
+    // canvases are ~92% zero bytes after the Up filter; the non-zero
+    // remainder emits almost entirely literals, so the per-byte head
+    // probe/store is overhead with little match payoff and its cache
+    // footprint dominates.  Measured on a real 8.6 MB filtered canvas
+    // stream: HBITS 15 -> 5.7 ms / 493 kB, 13 -> 5.3 / 497, 12 -> 5.0 /
+    // 501, 11 -> 4.7 / 508, 10 -> 4.8 / 518 -- 11 takes ~18% off the
+    // compress phase for +3% file size.  (A paired two-literal bit-write
+    // variant re-measured 0% here, confirming the earlier rejection.)
+    static constexpr int HBITS = 11;
     BitWriter bw_;
     const uint8_t* in_;
     size_t i_ = 0;
