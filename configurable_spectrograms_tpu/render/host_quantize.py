@@ -148,7 +148,15 @@ def _quantized_idx(
         work = np.where(to_vmax, np.float32(vmax), np.where(to_vmin, np.float32(vmin), matrix))
         span = np.float32(vmax - vmin)
         norm = (work - np.float32(vmin)) / (span if span != 0 else np.float32(1.0))
-    idx = np.clip(np.floor(norm * np.float32(256.0)), 0, 255).astype(np.uint8)
+    if np.isnan(span):
+        # Log-z bounds go NaN when the percentile lerp hits an inf-inf pool
+        # (numpy's percentile does the same) or an explicit NaN/negative
+        # vmax survives to log10; a NaN span NaNs every cell of norm.  Pin
+        # the whole panel to LUT[0] -- the NaN->uint8 cast this used to
+        # rely on is platform-defined (0 on x86/ARM, but not guaranteed).
+        idx = np.zeros(matrix.shape, np.uint8)
+    else:
+        idx = np.clip(np.floor(norm * np.float32(256.0)), 0, 255).astype(np.uint8)
     return _IDX_CACHE.insert(key, idx, (matrix,))
 
 
@@ -352,7 +360,14 @@ def host_quantize(
             vmax = float(work[sel].max()) if sel.any() else 1.0
             span = np.float32(vmax - vmin)
             norm = (work - np.float32(vmin)) / (span if span != 0 else np.float32(1.0))
-            idx = np.clip(np.floor(norm * np.float32(256.0)), 0, 255).astype(np.uint8)
+            scaled = np.floor(norm * np.float32(256.0))
+            # NaN bounds survive the substitutions (NaN -> vmin keeps NaN
+            # when vmin itself is NaN), leaving NaN in ``scaled``; map such
+            # cells to LUT[0] explicitly -- the NaN->uint8 cast this used to
+            # rely on is platform-defined (0 on x86/ARM, but not guaranteed).
+            idx = np.where(np.isnan(scaled), np.float32(0.0), np.clip(scaled, 0, 255)).astype(
+                np.uint8
+            )
         else:
             idx = _quantized_idx(matrix, posfinite, "linear", vmin, vmax)
     return {

@@ -86,6 +86,35 @@ def test_linear_nonfinite_bounds_fallback_matches_cold(messy_matrix):
     _assert_same(warm2, cold)
 
 
+def test_nan_bounds_fallback_maps_nan_cells_to_lut0(messy_matrix):
+    """NaN explicit bounds leave NaN in the substituted work matrix (NaN ->
+    vmin keeps NaN when vmin itself is NaN); those cells must land on LUT[0]
+    deterministically -- the NaN->uint8 cast this path used to rely on is
+    platform-defined, not guaranteed to be 0."""
+    energy = np.geomspace(30000, 4, messy_matrix.shape[1]).astype(np.float32)
+    e_valid = np.ones(messy_matrix.shape[1], bool)
+    out = _quant(messy_matrix, energy, e_valid, 5, 30, (np.nan, np.nan), "linear", "linear")
+    nan_mask = np.isnan(messy_matrix)
+    assert nan_mask.any()  # the fixture guarantees NaN cells
+    assert out["idx"].shape == messy_matrix.shape
+    assert (out["idx"][nan_mask] == 0).all()
+    assert out["idx"].dtype == np.uint8
+
+
+def test_log_nan_span_pins_whole_panel_to_lut0(messy_matrix):
+    """A NaN log-z span (explicit NaN vmax, or percentile lerp over an
+    inf-inf pool) NaNs every norm cell; the panel must come out all LUT[0]
+    deterministically rather than via the platform-defined NaN->uint8 cast."""
+    energy = np.geomspace(30000, 4, messy_matrix.shape[1]).astype(np.float32)
+    e_valid = np.ones(messy_matrix.shape[1], bool)
+    out = _quant(messy_matrix, energy, e_valid, 0, 60, (1e-3, np.nan), "log", "log")
+    assert np.isnan(out["vmax"])
+    assert (out["idx"] == 0).all()
+    _assert_same(
+        out, _quant(messy_matrix.copy(), energy, e_valid, 0, 60, (1e-3, np.nan), "log", "log")
+    )
+
+
 def test_owner_death_evicts_derived_entries(rng):
     m = (rng.random((32, 16)) * 10).astype(np.float32)
     energy = np.linspace(100, 1, 16).astype(np.float32)
