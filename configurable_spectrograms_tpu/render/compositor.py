@@ -76,6 +76,8 @@ def ensure_canvas_pool_depth(workers: int) -> None:
 
 
 def _acquire_canvas(h: int, w: int) -> np.ndarray:
+    """A possibly-dirty (h, w, 4) canvas: the caller must whiten every pixel
+    its blits won't overwrite (see :func:`_fill_outside`)."""
     import sys
 
     while True:
@@ -83,7 +85,7 @@ def _acquire_canvas(h: int, w: int) -> np.ndarray:
             stack = _CANVAS_POOL.get((h, w))
             canvas = stack.pop() if stack else None
         if canvas is None:
-            return np.full((h, w, 4), 255, np.uint8)
+            return np.empty((h, w, 4), np.uint8)
         # The canvas was pooled when its figure Image was garbage-collected,
         # so by now the Image's references (``_np_canvas`` attribute, the
         # frombuffer-shared core buffer) are gone.  Anything beyond the two
@@ -92,8 +94,43 @@ def _acquire_canvas(h: int, w: int) -> np.ndarray:
         # would silently reset and redraw their pixels.  Drop such canvases
         # instead of reusing them.
         if sys.getrefcount(canvas) <= 2:
-            canvas[...] = 255  # writes to mapped pages: fast and predictable
             return canvas
+
+
+def _fill_outside(canvas: np.ndarray, rects: list[tuple[int, int, int, int]]) -> None:
+    """Whiten every pixel of *canvas* NOT covered by *rects* (half-open).
+
+    The pass-1 blits overwrite their rects completely -- every run row
+    writes every column, out-of-extent columns included -- so a recycled
+    canvas only needs its complement re-whitened.  On a 200-DPI pitch grid
+    that skips the ~40% of background writes under the data tiles AND the
+    second touch of those pages (fill then blit), which is where the
+    memory-bandwidth-bound composite stage actually pays.
+    """
+    H, W = canvas.shape[0], canvas.shape[1]
+    clipped = []
+    for x0, y0, x1, y1 in rects:
+        x0, y0 = max(int(x0), 0), max(int(y0), 0)
+        x1, y1 = min(int(x1), W), min(int(y1), H)
+        if x1 > x0 and y1 > y0:
+            clipped.append((x0, y0, x1, y1))
+    if not clipped:
+        canvas[...] = 255
+        return
+    # Horizontal bands split at every rect edge: within a band each rect
+    # either spans the band's full height or misses it entirely, so the
+    # complement is the gaps between that band's sorted x spans.
+    edges = sorted({0, H, *(r[1] for r in clipped), *(r[3] for r in clipped)})
+    for y0, y1 in zip(edges, edges[1:]):
+        spans = sorted((r[0], r[2]) for r in clipped if r[1] <= y0 and r[3] >= y1)
+        x = 0
+        for sx0, sx1 in spans:
+            if sx0 > x:
+                canvas[y0:y1, x:sx0] = 255
+            if sx1 > x:
+                x = sx1
+        if x < W:
+            canvas[y0:y1, x:W] = 255
 
 
 def _release_canvas(canvas: np.ndarray) -> None:
@@ -176,6 +213,7 @@ class _Layout:
             if ax.result is not None and ax.result.get("error"):
                 raise ValueError(ax.result["error"])
         canvas = _acquire_canvas(self.H, self.W)
+        _fill_outside(canvas, [r for ax in self.fig.axes for r in self._tile_rects(ax)])
         for ax in self.fig.axes:
             self._blit_tiles(canvas, ax)
         img = Image.frombuffer("RGBA", (self.W, self.H), canvas, "raw", "RGBA", 0, 1)
@@ -209,12 +247,27 @@ class _Layout:
             draw_text(draw, (x, y), t["s"], px, fill=t["color"], anchor=anchor)
         return img
 
-    def _blit_tiles(self, canvas: np.ndarray, ax) -> None:
-        """Numpy-blit this axes' data tile and colorbar strip into *canvas*."""
+    def _tile_rects(self, ax) -> list[tuple[int, int, int, int]]:
+        """The canvas rects (half-open) :meth:`_blit_tiles` fully overwrites
+        for this axes: the data tile and its colorbar gradient strip, or
+        nothing when the axes draws no tile.  :meth:`composite` whitens only
+        the complement of these rects, so they must match the blits exactly
+        -- both methods read their geometry from here."""
         p, r = ax.panel, ax.result
         if p is None or r is None or bool(r["empty"]):
-            return
+            return []
         x0, y0, x1, y1 = self.axes_rect(ax)
+        cb_x0 = x1 + round(0.035 * self.cell_w)
+        cb_w = max(4, round(0.045 * self.cell_w))
+        return [(x0, y0, x1, y1), (cb_x0, y0, cb_x0 + cb_w, y0 + self.tile_h)]
+
+    def _blit_tiles(self, canvas: np.ndarray, ax) -> None:
+        """Numpy-blit this axes' data tile and colorbar strip into *canvas*."""
+        rects = self._tile_rects(ax)
+        if not rects:
+            return
+        p, r = ax.panel, ax.result
+        (x0, y0, x1, y1), (cb_x0, _, cb_x1, cb_y1) = rects
         if hasattr(r, "draw_rgba_into"):
             # Lazy panel results resample straight into the canvas rect --
             # no intermediate (tile_h, tile_w, 4) tile is ever allocated.
@@ -223,11 +276,9 @@ class _Layout:
             canvas[y0:y1, x0:x1] = r["rgba"][: y1 - y0, : x1 - x0]
         from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
 
-        cb_x0 = x1 + round(0.035 * self.cell_w)
-        cb_w = max(4, round(0.045 * self.cell_w))
-        h = self.tile_h
+        h = cb_y1 - y0
         rows = np.clip(((1.0 - (np.arange(h) + 0.5) / h) * 256).astype(int), 0, 255)
-        canvas[y0 : y0 + h, cb_x0 : cb_x0 + cb_w] = colormap_lut(p.colormap)[rows][:, None]
+        canvas[y0:cb_y1, cb_x0:cb_x1] = colormap_lut(p.colormap)[rows][:, None]
 
     def _draw_axes(self, img: Image.Image, draw: ImageDraw.ImageDraw, ax) -> None:
         rect = self.axes_rect(ax)

@@ -172,6 +172,70 @@ def test_canvas_pool_recycles_after_collection(rng):
     np.testing.assert_array_equal(np.asarray(img2._np_canvas), ref_pixels)  # ...bit-identically
 
 
+def test_fill_outside_whitens_exactly_the_complement(rng):
+    """_fill_outside must whiten every pixel outside the rect union and
+    touch nothing inside it (the blits own those pixels)."""
+    from configurable_spectrograms_tpu.render import compositor as F
+
+    H, W = 40, 50
+    poison = rng.integers(0, 255, (H, W, 4)).astype(np.uint8)
+    canvas = poison.copy()
+    # Overlapping rects, one clipping off-canvas, one degenerate.
+    rects = [(5, 3, 20, 17), (18, 10, 35, 30), (-4, 35, 10, 60), (7, 7, 7, 20)]
+    F._fill_outside(canvas, rects)
+    covered = np.zeros((H, W), bool)
+    for x0, y0, x1, y1 in rects:
+        covered[max(y0, 0) : min(y1, H), max(x0, 0) : min(x1, W)] = True
+    assert (canvas[~covered] == 255).all()
+    np.testing.assert_array_equal(canvas[covered], poison[covered])
+    # With no rects the whole canvas whitens.
+    canvas2 = poison.copy()
+    F._fill_outside(canvas2, [])
+    assert (canvas2 == 255).all()
+
+
+def test_poisoned_recycled_canvas_renders_identically(rng):
+    """A recycled canvas arrives with arbitrary stale pixels; the complement
+    fill plus the full-coverage blits must erase every one of them.  Unlike
+    test_canvas_pool_recycles_after_collection (whose recycled canvas holds
+    the SAME figure's pixels), this seeds the pool with a garbage canvas so
+    any under-filled region shows through."""
+    import gc
+
+    from configurable_spectrograms_tpu.data.synthetic import synth_instrument_arrays
+    from configurable_spectrograms_tpu.render import compositor as F
+    from configurable_spectrograms_tpu.render.plotting import generic_plot_spectrogram_set
+
+    gc.collect()
+    with F._CANVAS_POOL_LOCK:
+        saved = dict(F._CANVAS_POOL)
+        F._CANVAS_POOL.clear()
+    try:
+        a = synth_instrument_arrays(rng, n_time=40, n_angle=6, n_energy=12)
+        ds = [{"x": a["time_unix"], "y": a["energy"][0, 0, :], "data": a["data"], "label": "R"}]
+        fig1, _ = generic_plot_spectrogram_set(ds, colormap="viridis")
+        img1 = fig1.render(dpi=40)
+        ref_pixels = np.asarray(img1._np_canvas).copy()
+        h, w = img1._np_canvas.shape[:2]
+        del img1, fig1
+        gc.collect()
+        with F._CANVAS_POOL_LOCK:
+            F._CANVAS_POOL.clear()
+        poison = np.empty((h, w, 4), np.uint8)
+        poison[...] = 13
+        F._release_canvas(poison)
+        poison_id = id(poison)
+        del poison
+        fig2, _ = generic_plot_spectrogram_set(ds, colormap="viridis")
+        img2 = fig2.render(dpi=40)
+        assert id(img2._np_canvas) == poison_id  # the poisoned canvas was reused
+        np.testing.assert_array_equal(np.asarray(img2._np_canvas), ref_pixels)
+    finally:
+        with F._CANVAS_POOL_LOCK:
+            F._CANVAS_POOL.clear()
+            F._CANVAS_POOL.update(saved)
+
+
 def test_fastpng_rle_encoder_roundtrip(tmp_path, rng, monkeypatch):
     """The specialized run/LZ fixed-Huffman deflate path (taken automatically
     for mostly-white canvases) is byte-exact for every canvas shape it can
