@@ -128,30 +128,48 @@ def _orbit_columns(dataframe: pd.DataFrame, instrument: str) -> tuple[str, str, 
 #: weakref finalizer evicting on the frame's death, so a recycled id can
 #: never serve a dead frame's rows (same discipline as the resident
 #: quantize caches, render/host_quantize.py).
-_orbit_row_cache: dict[tuple[int, tuple[str, str, str]], dict] = {}
+_orbit_row_cache: dict[tuple[int, tuple[str, str, str]], tuple[bytes | None, dict]] = {}
+
+
+def _column_fingerprint(orbits, lows, highs) -> bytes | None:
+    """Raw bytes of the three relevant columns, ``None`` when unhashable.
+
+    Recomputed on every cache hit (~µs for the 325-row cusp frame) so an
+    in-place mutation of the columns this function reads is always seen
+    -- the cached map replaces a ~3 ms pandas scan, not the reference's
+    re-read semantics.  Mutations to *other* columns don't change the
+    output and legitimately keep the hit.
+    """
+    try:
+        return orbits.tobytes() + lows.tobytes() + highs.tobytes()
+    except (TypeError, AttributeError):
+        return None  # object-dtype columns: no stable byte view
 
 
 def _orbit_row_map(dataframe: pd.DataFrame, cols: tuple[str, str, str]) -> dict:
     import weakref
 
-    key = (id(dataframe), cols)
-    hit = _orbit_row_cache.get(key)
-    if hit is not None:
-        return hit
     orbit_col, min_col, max_col = cols
     orbits = dataframe[orbit_col].to_numpy()
     lows = dataframe[min_col].to_numpy()
     highs = dataframe[max_col].to_numpy()
+    fp = _column_fingerprint(orbits, lows, highs)
+    key = (id(dataframe), cols)
+    hit = _orbit_row_cache.get(key)
+    if hit is not None and fp is not None and hit[0] == fp:
+        return hit[1]
     mapping: dict = {}
     for i in range(len(orbits)):
         ov = orbits[i]
         if ov not in mapping:  # first match wins, like .iloc[0]
             mapping[ov] = (lows[i], highs[i])
+    if fp is None:
+        return mapping  # unfingerprintable: serve without caching
     try:
         weakref.finalize(dataframe, _orbit_row_cache.pop, key, None)
     except TypeError:
         return mapping  # not weakref-able: serve without caching
-    _orbit_row_cache[key] = mapping
+    _orbit_row_cache[key] = (fp, mapping)
     return mapping
 
 
@@ -182,9 +200,10 @@ def get_timestamps_for_orbit(
     cols = _orbit_columns(filtered_orbits_dataframe, instrument_type)
     # dict lookup == the reference's boolean-mask + .iloc[0] row pick:
     # first row wins on duplicate orbits, numeric keys hash-compatibly
-    # across int/np.int64/float, and a missing orbit yields [].  (The
-    # cusp dataframe is read-only by contract; in-place mutation after
-    # the first lookup is not supported.)
+    # across int/np.int64/float, and a missing orbit yields [].  The
+    # cached map revalidates against the columns' bytes on every call,
+    # so in-place mutation of the frame is honored like the reference's
+    # per-call scan.
     row = _orbit_row_map(filtered_orbits_dataframe, cols).get(orbit_number)
     if row is None:
         return []

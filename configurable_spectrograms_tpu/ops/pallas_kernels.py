@@ -113,6 +113,9 @@ def _fused_quantize_kernel(
             span = vmax - vmin
             ramp = (work - vmin) / jnp.where(span == 0.0, 1.0, span)
             norm = jnp.where(vmin == vmax, 0.0, ramp)
+        # NaN cells (NaN bounds surviving to the ramp) pin to LUT[0] like
+        # the host path; the NaN->int convert is platform-defined.
+        norm = jnp.where(jnp.isnan(norm), 0.0, norm)
         # Mosaic has no f32->u8 cast; round-trip through int32.
         idx_ref[:] = jnp.clip(jnp.floor(norm * 256.0), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 

@@ -406,7 +406,12 @@ def _analyze_matrix(
         norm = jnp.where(vmin == vmax, 0.0, ramp)
 
     # matplotlib Colormap.__call__ index rule: int(norm * N), N==256,
-    # under -> 0, over -> N-1 (the default under/over colors).
+    # under -> 0, over -> N-1 (the default under/over colors).  NaN cells
+    # (NaN percentile bounds surviving to the ramp -- the NaN-span case
+    # the host path pins at render/host_quantize.py:151) map to LUT[0]
+    # explicitly; clip propagates NaN and the NaN->uint8 convert is
+    # platform-defined under XLA just as it is in C.
+    norm = jnp.where(jnp.isnan(norm), 0.0, norm)
     idx = jnp.clip(jnp.floor(norm * 256.0), 0, 255).astype(jnp.uint8)
 
     return {

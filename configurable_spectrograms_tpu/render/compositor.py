@@ -257,9 +257,20 @@ class _Layout:
         if p is None or r is None or bool(r["empty"]):
             return []
         x0, y0, x1, y1 = self.axes_rect(ax)
+        cb_x0, _, cb_x1, _ = self._colorbar_rect((x0, y0, x1, y1))
+        return [(x0, y0, x1, y1), (cb_x0, y0, cb_x1, y0 + self.tile_h)]
+
+    def _colorbar_rect(self, rect: tuple[int, int, int, int]) -> tuple[int, int, int, int]:
+        """The colorbar gradient strip for an axes *rect* (half-open).
+
+        The single source of the strip's geometry: :meth:`_tile_rects`
+        (which decides what the recycled canvas is NOT whitened over) and
+        :meth:`_draw_colorbar` (which frames and ticks the strip) must
+        agree exactly, or un-whitened canvas garbage shows through."""
+        x0, y0, x1, y1 = rect
         cb_x0 = x1 + round(0.035 * self.cell_w)
         cb_w = max(4, round(0.045 * self.cell_w))
-        return [(x0, y0, x1, y1), (cb_x0, y0, cb_x0 + cb_w, y0 + self.tile_h)]
+        return (cb_x0, y0, cb_x0 + cb_w, y1)
 
     def _blit_tiles(self, canvas: np.ndarray, ax) -> None:
         """Numpy-blit this axes' data tile and colorbar strip into *canvas*."""
@@ -382,8 +393,8 @@ class _Layout:
         # The gradient strip was numpy-blitted in pass 1; draw its frame,
         # ticks, and label here.
         x0, y0, x1, y1 = rect
-        cb_x0 = x1 + round(0.035 * self.cell_w)
-        cb_w = max(4, round(0.045 * self.cell_w))
+        cb_x0, _, cb_x1, _ = self._colorbar_rect(rect)
+        cb_w = cb_x1 - cb_x0
         h = self.tile_h
         draw.rectangle([cb_x0, y0, cb_x0 + cb_w, y1], outline="black", width=1)
 

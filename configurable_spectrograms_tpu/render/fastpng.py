@@ -203,8 +203,42 @@ def _load() -> ctypes.CDLL | None:
         ctypes.c_int32,   # y0
     ]
     blend.restype = ctypes.c_int32
-    lib._has_blend = True
+    # The kernel implements Pillow >=9.1's precise-division RGBA blend.
+    # Older Pillows paste with the legacy MULDIV255 pair, which differs
+    # on ~24.5% of (mask, canvas, tile) byte triples (native/fastpng.cpp)
+    # -- on such a Pillow the native path would silently diverge from the
+    # Image.paste fallback, so a one-shot probe compares both over a
+    # dense byte sweep and keeps whichever contract Pillow actually has.
+    lib._has_blend = _blend_matches_pillow(blend)
     return lib
+
+
+def _blend_matches_pillow(blend) -> bool:
+    """True when the native blend is byte-equal to this Pillow's paste."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return False
+    rng = np.random.default_rng(0)
+    h = w = 64
+    canvas = rng.integers(0, 256, (h, w, 4), np.uint8)
+    tile = rng.integers(0, 256, (h, w, 4), np.uint8)
+    tile[..., 3] = np.arange(h * w, dtype=np.uint32).reshape(h, w) % 256
+    pil = Image.fromarray(canvas.copy(), "RGBA")
+    pil.paste(Image.fromarray(tile, "RGBA"), (0, 0), Image.fromarray(tile, "RGBA"))
+    native = np.ascontiguousarray(canvas.copy())
+    rc = blend(
+        native.ctypes.data,
+        np.int64(native.strides[0]),
+        np.int32(h),
+        np.int32(w),
+        np.ascontiguousarray(tile).ctypes.data,
+        np.int32(w),
+        np.int32(h),
+        np.int32(0),
+        np.int32(0),
+    )
+    return rc == 0 and np.array_equal(native, np.asarray(pil))
 
 
 def blit_available() -> bool:

@@ -87,6 +87,25 @@ def test_orbit_row_cache_semantics():
     assert len(cdf_utils._orbit_row_cache) < key_count  # evicted on frame death
 
 
+def test_orbit_row_cache_sees_inplace_mutation():
+    """In-place edits of the relevant columns invalidate the cached map.
+
+    The cache replaces the reference's per-call boolean scan; its column
+    fingerprint must keep the public API's re-read semantics when a
+    caller mutates the frame between calls (and ONLY edits to the three
+    columns this function reads force a rebuild)."""
+    times = np.array([10.0, 20.0, 30.0, 40.0])
+    df = pd.DataFrame(
+        {"orbit": [5], "ees min index": [0], "ees max index": [1], "note": ["x"]}
+    )
+    assert get_timestamps_for_orbit(df, 5, "ees", times) == [10.0, 20.0]
+    df.loc[0, "ees min index"] = 2  # in-place mutation after the first lookup
+    assert get_timestamps_for_orbit(df, 5, "ees", times) == [30.0, 20.0]
+    # Unrelated-column edits keep serving the (still-valid) cached map.
+    df.loc[0, "note"] = "y"
+    assert get_timestamps_for_orbit(df, 5, "ees", times) == [30.0, 20.0]
+
+
 def test_resolve_shared_orbit_and_from_files():
     assert resolve_shared_orbit(
         {

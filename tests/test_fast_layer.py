@@ -351,3 +351,20 @@ def test_paced_gc_limits_full_collections(monkeypatch):
     po._paced_gc()
     po._paced_gc()
     assert calls == [(), ()]  # reference cadence: every call is full
+
+
+def test_gc_interval_env_malformed_falls_back():
+    """A malformed CST_GC_FULL_INTERVAL_S must not crash the import
+    (every sibling env parser falls back to its default)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from configurable_spectrograms_tpu.fast import process_orbit as m; "
+         "print(m._GC_FULL_INTERVAL_S)"],
+        env={**os.environ, "CST_GC_FULL_INTERVAL_S": "20s", "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert float(out.stdout.strip()) == 20.0

@@ -329,3 +329,38 @@ def test_fuzz_host_vs_device_quantize(seed):
             )
         )
     np.testing.assert_array_equal(tiles[0], tiles[1], err_msg=f"seed {seed}: rgba tile")
+
+
+@pytest.mark.parametrize("z_scale", ["log", "linear"])
+def test_nan_percentile_bounds_pin_lut0_on_both_backends(z_scale):
+    """An all-NaN time window with otherwise-live columns must render LUT[0].
+
+    The percentile pool is empty (every cell of the window is NaN while no
+    column is all-NaN over the full file, so ``empty`` stays False), the
+    lerp returns NaN bounds, and the whole panel's norm goes NaN.  The
+    host pins that panel to LUT[0] (render/host_quantize.py NaN-span
+    guard); the device program must NOT leave the result to the
+    platform-defined NaN->uint8 convert (ops/spectrogram.py) -- both
+    backends paint the identical all-zero index matrix.
+    """
+    rng = np.random.default_rng(11)
+    T, E = 24, 10
+    matrix = (rng.random((T, E)) * 40 + 1.0).astype(np.float32)
+    matrix[6:12, :] = np.nan  # the window rows only
+    energy = np.geomspace(4000, 5, E).astype(np.float32)
+    e_valid = np.ones(E, bool)
+    spec = RenderSpec(height=16, width=16, y_scale="linear", z_scale=z_scale)
+    dev = quantize_matrix(
+        jnp.asarray(matrix), jnp.asarray(energy), jnp.asarray(e_valid),
+        jnp.int32(T), jnp.int32(6), jnp.int32(6),
+        jnp.asarray(np.array([np.nan, np.nan], np.float32)), spec,
+    )
+    host = host_quantize(matrix, energy, e_valid, 6, 6, (None, None), "linear", z_scale, 1.0, 99.0)
+    assert not bool(dev["empty"]) and not host["empty"]
+    np.testing.assert_array_equal(np.asarray(dev["idx"]), host["idx"])
+    if z_scale == "log":
+        # Log-z has no data-derived fallback: NaN bounds stay NaN and the
+        # panel must be uniformly LUT[0] on both backends.
+        assert np.isnan(host["vmin"]) and np.isnan(host["vmax"])
+        assert np.all(host["idx"] == 0)
+        assert np.all(np.asarray(dev["idx"]) == 0)

@@ -204,3 +204,24 @@ def test_blend_tile_declines_bad_layouts():
         assert not fastpng.blend_tile(canvas, tile[:, ::-1], 0, 0)  # non-contiguous tile
     else:
         assert not fastpng.blend_tile(canvas, tile, 0, 0)
+
+
+def test_blend_probe_validates_against_pillow():
+    """The load-time probe keeps the native blend only when it is
+    byte-equal to this Pillow's Image.paste (older Pillows blend with the
+    legacy MULDIV255 pair, which diverges on ~24.5% of byte triples)."""
+    from configurable_spectrograms_tpu.render import fastpng
+
+    lib = fastpng._load()
+    if lib is None or not getattr(lib, "_has_blend", False):
+        import pytest
+
+        pytest.skip("native blend kernel unavailable")
+    # On this image Pillow uses the precise-division blend: probe passes.
+    assert fastpng._blend_matches_pillow(lib.fastpng_blend_tile)
+
+    # A blend that claims success but writes nothing must be rejected.
+    def _noop_blend(*_args):
+        return 0
+
+    assert not fastpng._blend_matches_pillow(_noop_blend)
