@@ -49,6 +49,21 @@ except ValueError:
 _GC_LAST_FULL = [0.0]
 
 
+def _copy_saved_png(src: str, dst: str) -> None:
+    """Duplicate an already-encoded PNG to a second target path.
+
+    Used for given/raw filename pairs whose content is identical by
+    construction; the copy rides the page cache (the source was written
+    moments ago) and joins the paced writeback queue like a real save.
+    """
+    import shutil
+
+    from configurable_spectrograms_tpu.utils.writeback import note_written
+
+    shutil.copyfile(src, dst)
+    note_written(dst)
+
+
 def _paced_gc() -> None:
     now = time.monotonic()
     if _GC_FULL_INTERVAL_S <= 0 or now - _GC_LAST_FULL[0] >= _GC_FULL_INTERVAL_S:
@@ -140,39 +155,60 @@ def FAST_process_single_orbit(
     """
     run = _OrbitRun(orbit_number, orbit_timeout_seconds, instrument_timeout_seconds)
 
-    def save_batch(figs: list[tuple[Any, str, str]]) -> None:
-        """Render a figure group in one pooled dispatch and write the PNGs."""
+    def save_batch(figs: list[tuple[Any, list[tuple[str, str]]]]) -> None:
+        """Render a figure group in one pooled dispatch and write the PNGs.
+
+        Each entry is ``(figure, [(out_path, desc), ...])``: a figure with
+        several targets encodes ONCE and the later paths receive a byte
+        copy of the first.  The per-orbit worker exploits this for the
+        given/raw pairs whose resolved extrema are identical (the raw-args
+        job, and instruments absent from the extrema dict): the reference
+        renders the pair twice to byte-identical content
+        (docs/parity.md "raw-args job writes given_extrema-named files";
+        reference fast/process_orbit.py:148-190), so one render + one
+        encode + one copy produces the exact same files at ~2/3 the cost.
+        """
         from configurable_spectrograms_tpu.render.figure import render_figures, save_image
 
         wanted = []
-        for fig, out_path, desc in figs:
-            if not override_plots and os.path.exists(out_path):
-                log_exception(f"[SKIP] Plot already exists, skipping: {out_path}", level="message")
-                close_all_axes_and_clear(fig)
+        for fig, targets in figs:
+            remaining = []
+            for out_path, desc in targets:
+                if not override_plots and os.path.exists(out_path):
+                    log_exception(f"[SKIP] Plot already exists, skipping: {out_path}", level="message")
+                else:
+                    remaining.append((out_path, desc))
+            if remaining:
+                wanted.append((fig, remaining))
             else:
-                wanted.append((fig, out_path, desc))
+                close_all_axes_and_clear(fig)
         if not wanted:
             return
         try:
-            images = render_figures([f for f, _, _ in wanted], dpi=FAST_SAVE_DPI)
+            images = render_figures([f for f, _ in wanted], dpi=FAST_SAVE_DPI)
         except Exception as exc:
             run.note_error("[FAIL] Rendering figure batch", exc)
-            for fig, _, _ in wanted:
+            for fig, _ in wanted:
                 close_all_axes_and_clear(fig)
             return
-        for (fig, out_path, desc), image in zip(wanted, images):
-            try:
-                log_exception(
-                    f"[DEBUG] Saving {desc} plot: y_axis_scale={y_axis_scale}, "
-                    f"z_axis_scale={z_axis_scale}, filename={out_path}",
-                    level="message",
-                )
-                save_image(image, out_path, compress_level=3)
-                log_exception(f"[SAVED] {out_path}", level="message")
-            except Exception as exc:
-                run.note_error(f"[FAIL] Saving figure {out_path}", exc)
-            finally:
-                close_all_axes_and_clear(fig)
+        for (fig, targets), image in zip(wanted, images):
+            written_first: str | None = None
+            for out_path, desc in targets:
+                try:
+                    log_exception(
+                        f"[DEBUG] Saving {desc} plot: y_axis_scale={y_axis_scale}, "
+                        f"z_axis_scale={z_axis_scale}, filename={out_path}",
+                        level="message",
+                    )
+                    if written_first is None:
+                        save_image(image, out_path, compress_level=3)
+                        written_first = out_path
+                    else:
+                        _copy_saved_png(written_first, out_path)
+                    log_exception(f"[SAVED] {out_path}", level="message")
+                except Exception as exc:
+                    run.note_error(f"[FAIL] Saving figure {out_path}", exc)
+            close_all_axes_and_clear(fig)
 
     try:
         first_path = next(
@@ -202,11 +238,28 @@ def FAST_process_single_orbit(
                 cusp_tag = "_cusp" if marks else ""
                 overrides = extrema_overrides(global_extrema, detected, y_axis_scale, z_axis_scale)
 
-                group = []
-                for variant, (ymn, ymx, zmn, zmx) in (
+                variants = [
                     ("given_extrema", overrides),
                     ("raw", (None, None, None, None)),
-                ):
+                ]
+                # All-None overrides (the raw-args job, or an instrument
+                # absent from the extrema dict) make the two variants'
+                # arguments identical, so their figures are byte-identical
+                # by determinism: render once, write under both names.
+                dedupe = overrides == (None, None, None, None)
+                group = []
+                for variant, (ymn, ymx, zmn, zmx) in variants:
+                    name = (
+                        f"{orbit_number}{cusp_tag}_pitch-angle_ESA_{detected}"
+                        f"_y-{y_axis_scale}_z-{z_axis_scale}_{variant}-{colormap}.png"
+                    )
+                    target = (
+                        os.path.join(out_dir, name),
+                        f"pitch-angle {detected} ({variant.replace('_', ' ')})",
+                    )
+                    if dedupe and group:
+                        group[0][1].append(target)
+                        continue
                     fig, _ = FAST_plot_pitch_angle_grid(
                         cdf_path,
                         filtered_orbits_df=filtered_orbits_dataframe,
@@ -224,14 +277,7 @@ def FAST_process_single_orbit(
                         cusp_marker_kwargs=cusp_marker_kwargs,
                     )
                     if fig is not None:
-                        name = (
-                            f"{orbit_number}{cusp_tag}_pitch-angle_ESA_{detected}"
-                            f"_y-{y_axis_scale}_z-{z_axis_scale}_{variant}-{colormap}.png"
-                        )
-                        group.append(
-                            (fig, os.path.join(out_dir, name),
-                             f"pitch-angle {detected} ({variant.replace('_', ' ')})")
-                        )
+                        group.append((fig, [target]))
                 save_batch(group)
             except Exception as exc:
                 run.note_error(f"[FAIL] Plotting Orbit {orbit_number} pitch angle grid for {inst}", exc)
@@ -242,8 +288,20 @@ def FAST_process_single_orbit(
         if not run.timed_out:
             stage_t0 = time.time()
             try:
+                # The raw-args job passes global_extrema=None: both
+                # variants' arguments are identical, so render once and
+                # write under both names (byte-identical by determinism).
+                dedupe = global_extrema is None
                 group = []
                 for variant, extrema in (("given_extrema", global_extrema), ("raw", None)):
+                    name = (
+                        f"{orbit_number}_instrument-grid_ESA_y-{y_axis_scale}"
+                        f"_z-{z_axis_scale}_{variant}-{colormap}.png"
+                    )
+                    target = (os.path.join(out_dir, name), f"instrument-grid ({variant})")
+                    if dedupe and group:
+                        group[0][1].append(target)
+                        continue
                     fig, _ = FAST_plot_instrument_grid(
                         instrument_file_paths,
                         filtered_orbits_df=filtered_orbits_dataframe,
@@ -259,11 +317,7 @@ def FAST_process_single_orbit(
                         cusp_marker_kwargs=cusp_marker_kwargs,
                     )
                     if fig is not None:
-                        name = (
-                            f"{orbit_number}_instrument-grid_ESA_y-{y_axis_scale}"
-                            f"_z-{z_axis_scale}_{variant}-{colormap}.png"
-                        )
-                        group.append((fig, os.path.join(out_dir, name), f"instrument-grid ({variant})"))
+                        group.append((fig, [target]))
                 save_batch(group)
             except Exception as exc:
                 run.note_error(f"[FAIL] Plotting Orbit {orbit_number} instrument grid", exc)
