@@ -361,6 +361,48 @@ def blend_available() -> bool:
     return lib is not None and bool(getattr(lib, "_has_blend", False))
 
 
+def canvas_blender(canvas: np.ndarray):
+    """A per-canvas fast-paste closure, or ``None`` when unavailable.
+
+    :func:`blend_tile` revalidates the canvas and rebuilds numpy scalar
+    arguments on every call (~15 µs); a figure pastes ~120 cached text
+    tiles into ONE canvas, so validating once and caching the canvas's
+    ctypes fields cuts each paste to one ctypes invoke (~4 µs measured).
+    The returned ``paste(tile, x, y) -> bool`` applies the same tile
+    checks as :func:`blend_tile`; identical arithmetic, same kernel.
+    """
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_blend", False):
+        return None
+    if (
+        canvas.dtype != np.uint8
+        or canvas.ndim != 3
+        or canvas.shape[2] != 4
+        or canvas.strides[0] < 0
+        or canvas.strides[1] != 4
+        or canvas.strides[2] != 1
+    ):
+        return None
+    blend = lib.fastpng_blend_tile
+    data = canvas.ctypes.data
+    stride = int(canvas.strides[0])
+    H, W = int(canvas.shape[0]), int(canvas.shape[1])
+
+    # ``_pinned`` keeps the canvas buffer alive for the closure's lifetime
+    # (the cached ``data`` pointer alone would not).
+    def paste(tile: np.ndarray, x: int, y: int, _pinned=canvas) -> bool:
+        if (
+            tile.dtype != np.uint8
+            or tile.ndim != 3
+            or tile.shape[2] != 4
+            or not tile.flags.c_contiguous
+        ):
+            return False
+        return blend(data, stride, H, W, tile.ctypes.data, tile.shape[1], tile.shape[0], x, y) == 0
+
+    return paste
+
+
 def blend_tile(canvas: np.ndarray, tile: np.ndarray, x: int, y: int) -> bool:
     """Alpha-blend a small RGBA *tile* into *canvas* at (*x*, *y*).
 

@@ -17,6 +17,10 @@ from PIL import Image, ImageDraw, ImageFont
 
 from configurable_spectrograms_tpu.render import fastpng
 
+#: Distinguishes "never resolved for this canvas" from a resolved None
+#: (native blend unavailable) in the per-canvas paste cache.
+_UNSET = object()
+
 _FONT_CANDIDATES = [
     "/opt/venv/lib/python*/site-packages/matplotlib/mpl-data/fonts/ttf/DejaVuSans.ttf",
     "/usr/lib/python*/site-packages/matplotlib/mpl-data/fonts/ttf/DejaVuSans.ttf",
@@ -73,14 +77,22 @@ def _paste_tile(canvas: Image.Image, tile: Image.Image, x: int, y: int) -> None:
     """
     np_canvas = getattr(canvas, "_np_canvas", None)
     if np_canvas is not None:
-        arr = getattr(tile, "_np_rgba", None)
-        if arr is None and tile.mode == "RGBA":
-            arr = np.asarray(tile, dtype=np.uint8)
-            if not (arr.ndim == 3 and arr.shape[2] == 4 and arr.flags.c_contiguous):
-                arr = False
-            tile._np_rgba = arr
-        if arr is not None and arr is not False and fastpng.blend_tile(np_canvas, arr, x, y):
-            return
+        # One validated blender per canvas (the compositor pastes ~120
+        # tiles into each): canvas fields cache once, each paste is one
+        # ctypes call (fastpng.canvas_blender).
+        paste = getattr(canvas, "_blend_paste", _UNSET)
+        if paste is _UNSET:
+            paste = fastpng.canvas_blender(np_canvas)
+            canvas._blend_paste = paste
+        if paste is not None:
+            arr = getattr(tile, "_np_rgba", None)
+            if arr is None and tile.mode == "RGBA":
+                arr = np.asarray(tile, dtype=np.uint8)
+                if not (arr.ndim == 3 and arr.shape[2] == 4 and arr.flags.c_contiguous):
+                    arr = False
+                tile._np_rgba = arr
+            if arr is not None and arr is not False and paste(arr, x, y):
+                return
     canvas.paste(tile, (x, y), tile)
 
 
