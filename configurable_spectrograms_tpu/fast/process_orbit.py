@@ -53,14 +53,31 @@ def _copy_saved_png(src: str, dst: str) -> None:
     """Duplicate an already-encoded PNG to a second target path.
 
     Used for given/raw filename pairs whose content is identical by
-    construction; the copy rides the page cache (the source was written
-    moments ago) and joins the paced writeback queue like a real save.
+    construction.  The source is read into memory in one pass (it was
+    written moments ago, but the paced writeback queue may already have
+    fsync'd and dropped its pages -- one bounded read either way), and
+    the destination is written atomically via a unique ``.tmp-*`` sibling
+    so a SIGKILL mid-copy never leaves a truncated PNG that the
+    skip-existing resume would then preserve.  The copy joins the paced
+    writeback queue like a real save.
     """
-    import shutil
+    import threading
 
     from configurable_spectrograms_tpu.utils.writeback import note_written
 
-    shutil.copyfile(src, dst)
+    with open(src, "rb") as fh:
+        data = fh.read()
+    tmp = f"{dst}.tmp-{os.getpid()}-{threading.get_ident()}"
+    try:
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, dst)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     note_written(dst)
 
 

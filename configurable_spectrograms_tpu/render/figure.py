@@ -184,7 +184,15 @@ def save_image(image: Image.Image, path: str, compress_level: int = 3) -> None:
 
     The native path (render/fastpng.py) releases the GIL for the whole
     encode, so batch worker threads overlap PNG writing with device work.
+
+    PNG writes are atomic (encode to a unique ``.tmp-*`` sibling, then
+    ``os.replace``): the batch resume protocol skips existing files
+    (``override_plots=False``), so a SIGKILL landing mid-write must never
+    leave a truncated PNG under its final name -- it would survive every
+    subsequent resume.
     """
+    import threading
+
     from configurable_spectrograms_tpu.utils.timing import active_stage
 
     is_png = path.lower().endswith(".png") or "." not in os.path.basename(path)
@@ -199,11 +207,20 @@ def save_image(image: Image.Image, path: str, compress_level: int = 3) -> None:
             if arr is None:
                 rgb = image if image.mode == "RGB" else image.convert("RGB")
                 arr = np.asarray(rgb)
-            if write_png_rgb(arr, path, compress_level):
-                note_written(path)
-                return
-            img = image if image.mode == "RGB" else image.convert("RGB")
-            img.save(path, format="PNG", compress_level=compress_level)
+            # Unique per writer: concurrent raw/given jobs may target the
+            # same final name (the reference's documented write race).
+            tmp = f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
+            try:
+                if not write_png_rgb(arr, tmp, compress_level):
+                    img = image if image.mode == "RGB" else image.convert("RGB")
+                    img.save(tmp, format="PNG", compress_level=compress_level)
+                os.replace(tmp, path)
+            except BaseException:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
             note_written(path)
     else:
         # Formats without alpha (JPEG, BMP) reject RGBA; flatten first.

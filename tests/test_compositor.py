@@ -354,3 +354,48 @@ def test_canvas_pool_depth_follows_worker_demand(monkeypatch):
         assert compositor._CANVAS_POOL_MAX_PER_SIZE == before + 7
     finally:
         compositor._CANVAS_POOL_MAX_PER_SIZE = before
+
+
+def test_save_image_png_write_is_atomic(tmp_path, monkeypatch):
+    """PNG saves go through a unique tmp sibling + os.replace: a crash
+    mid-encode must never leave a truncated file under the final name
+    (the batch resume protocol skips existing files, so a partial PNG
+    would survive every subsequent resume)."""
+    from PIL import Image
+
+    from configurable_spectrograms_tpu.render import figure as figure_mod
+
+    img = Image.new("RGB", (16, 12), (200, 30, 30))
+    out = tmp_path / "fig.png"
+    figure_mod.save_image(img, str(out))
+    assert out.exists() and Image.open(out).size == (16, 12)
+    assert not list(tmp_path.glob("*.tmp-*"))  # no tmp leftovers
+
+    # Simulated crash mid-encode: the encoder writes a partial tmp file
+    # then dies.  The final name must not appear, and the tmp is removed.
+    def _partial_then_die(arr, path, level):
+        with open(path, "wb") as fh:
+            fh.write(b"\x89PNG_truncated")
+        raise RuntimeError("killed mid-encode")
+
+    import configurable_spectrograms_tpu.render.fastpng as fastpng_mod
+
+    monkeypatch.setattr(fastpng_mod, "write_png_rgb", _partial_then_die)
+    out2 = tmp_path / "fig2.png"
+    try:
+        figure_mod.save_image(img, str(out2))
+    except RuntimeError:
+        pass
+    assert not out2.exists()
+    assert not list(tmp_path.glob("*.tmp-*"))
+
+
+def test_copy_saved_png_is_atomic(tmp_path):
+    from configurable_spectrograms_tpu.fast.process_orbit import _copy_saved_png
+
+    src = tmp_path / "a.png"
+    src.write_bytes(b"\x89PNG fake payload")
+    dst = tmp_path / "b.png"
+    _copy_saved_png(str(src), str(dst))
+    assert dst.read_bytes() == src.read_bytes()
+    assert not list(tmp_path.glob("*.tmp-*"))

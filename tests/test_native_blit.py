@@ -225,3 +225,38 @@ def test_blend_probe_validates_against_pillow():
         return 0
 
     assert not fastpng._blend_matches_pillow(_noop_blend)
+
+
+@pytest.mark.skipif(not fastpng.blend_available(), reason="native blend unavailable")
+@pytest.mark.parametrize("seed", [0, 1])
+def test_canvas_blender_matches_blend_tile(seed):
+    """The per-canvas paste closure is the same kernel and arithmetic as
+    blend_tile: byte-equal to Image.paste across placements incl. clipping,
+    and it declines the same bad tiles."""
+    rng = np.random.default_rng(seed)
+    canvas = rng.integers(0, 256, (48, 72, 4), np.uint8)
+    paste = fastpng.canvas_blender(canvas)
+    assert paste is not None
+    for _ in range(30):
+        th, tw = int(rng.integers(1, 24)), int(rng.integers(1, 24))
+        tile = rng.integers(0, 256, (th, tw, 4), np.uint8)
+        x = int(rng.integers(-tw - 3, 72 + 3))
+        y = int(rng.integers(-th - 3, 48 + 3))
+        expected = _pil_paste(canvas, tile, x, y)
+        assert paste(tile, x, y)
+        np.testing.assert_array_equal(canvas, expected)
+    # Same decline matrix as blend_tile.
+    tile = np.zeros((2, 2, 4), np.uint8)
+    assert not paste(tile.astype(np.int16), 0, 0)
+    assert not paste(tile[:, :, :3], 0, 0)
+    assert not paste(tile[:, ::-1], 0, 0)  # non-contiguous
+
+
+def test_canvas_blender_declines_bad_canvases():
+    bad = np.zeros((8, 8, 3), np.uint8)  # 3-channel canvas
+    assert fastpng.canvas_blender(bad) is None
+    assert fastpng.canvas_blender(np.zeros((8, 8, 4), np.int16)) is None
+    if fastpng.blend_available():
+        good = np.zeros((8, 8, 4), np.uint8)
+        assert fastpng.canvas_blender(good[::-1]) is None  # negative stride
+        assert fastpng.canvas_blender(good) is not None
