@@ -151,6 +151,26 @@ class _ProgressLedger:
             self.write(state, force=True)
 
 
+def _sweep_stale_tmp(output_base: str) -> None:
+    """Remove stranded ``*.tmp-*`` siblings from a previous crashed run.
+
+    PNG saves are atomic (unique tmp + ``os.replace``,
+    render/figure.py save_image), so a SIGKILL mid-write leaves a tmp
+    file whose pid/thread-unique name no later process reuses.  Drivers
+    sweep them at entry, before any worker writes.
+    """
+    import pathlib
+
+    try:
+        for p in pathlib.Path(output_base).rglob("*.tmp-*"):
+            try:
+                p.unlink()
+            except OSError:
+                pass
+    except OSError:
+        pass
+
+
 def _install_interrupt_escalation(shutdown_flag: dict) -> None:
     """First SIGINT/SIGTERM requests shutdown; a second forces exit 130."""
 
@@ -409,6 +429,7 @@ def FAST_plot_spectrograms_directory(
         flush_batch_size,
     )
 
+    _sweep_stale_tmp(output_base)
     orbit_map = discover_orbit_files(directory_path, instrument_order)
     orbits_sorted = sorted(orbit_map)
     ledger = _ProgressLedger(progress_json_path, y_scale, z_scale, flush_batch_size)
@@ -540,6 +561,7 @@ def FAST_plot_spectrograms_multi(
         for y_scale, z_scale, _cmap in normalized
     ]
 
+    _sweep_stale_tmp(output_base)
     orbit_map = discover_orbit_files(directory_path, instrument_order)
     orbits_sorted = sorted(orbit_map)
 

@@ -368,3 +368,21 @@ def test_gc_interval_env_malformed_falls_back():
     )
     assert out.returncode == 0, out.stderr
     assert float(out.stdout.strip()) == 20.0
+
+
+def test_driver_sweeps_stale_tmp_files(tmp_path):
+    """Stranded *.tmp-* siblings from a SIGKILLed save are removed at
+    driver entry (atomic saves never publish them as .png, but the
+    unique pid/thread names mean no later process overwrites them)."""
+    from configurable_spectrograms_tpu.fast.batch_directory import _sweep_stale_tmp
+
+    out = tmp_path / "plots" / "2001" / "01" / "3000"
+    out.mkdir(parents=True)
+    stale = out / "3000_x.png.tmp-123-456"
+    stale.write_bytes(b"partial")
+    keep = out / "3000_x.png"
+    keep.write_bytes(b"\x89PNG done")
+    _sweep_stale_tmp(str(tmp_path / "plots"))
+    assert not stale.exists()
+    assert keep.exists()
+    _sweep_stale_tmp(str(tmp_path / "missing"))  # no-op, no raise
