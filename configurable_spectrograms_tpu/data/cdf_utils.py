@@ -139,11 +139,19 @@ def _column_fingerprint(orbits, lows, highs) -> bytes | None:
     -- the cached map replaces a ~3 ms pandas scan, not the reference's
     re-read semantics.  Mutations to *other* columns don't change the
     output and legitimately keep the hit.
+
+    Object-dtype columns report ``None`` explicitly: their ``tobytes()``
+    does NOT raise -- it returns raw PyObject pointer bytes, under which
+    an in-place mutation of a cell (same pointer, new contents) would
+    yield a stale hit and a freed/reallocated object could alias a dead
+    pointer (ADVICE r4).
     """
+    if any(getattr(a, "dtype", None) == object for a in (orbits, lows, highs)):
+        return None  # pointer bytes are not a stable content view
     try:
         return orbits.tobytes() + lows.tobytes() + highs.tobytes()
     except (TypeError, AttributeError):
-        return None  # object-dtype columns: no stable byte view
+        return None  # no stable byte view
 
 
 def _orbit_row_map(dataframe: pd.DataFrame, cols: tuple[str, str, str]) -> dict:
@@ -165,10 +173,15 @@ def _orbit_row_map(dataframe: pd.DataFrame, cols: tuple[str, str, str]) -> dict:
             mapping[ov] = (lows[i], highs[i])
     if fp is None:
         return mapping  # unfingerprintable: serve without caching
-    try:
-        weakref.finalize(dataframe, _orbit_row_cache.pop, key, None)
-    except TypeError:
-        return mapping  # not weakref-able: serve without caching
+    if key not in _orbit_row_cache:
+        # Register the death-eviction finalizer only on first insert: a
+        # frame mutated between calls rebuilds the mapping many times, and
+        # one finalizer per rebuild would accumulate for the frame's
+        # lifetime (ADVICE r4) -- the pop-by-key is idempotent either way.
+        try:
+            weakref.finalize(dataframe, _orbit_row_cache.pop, key, None)
+        except TypeError:
+            return mapping  # not weakref-able: serve without caching
     _orbit_row_cache[key] = (fp, mapping)
     return mapping
 

@@ -151,19 +151,53 @@ class _ProgressLedger:
             self.write(state, force=True)
 
 
+#: A tmp sibling older than this (seconds) is swept even when its embedded
+#: pid cannot be checked -- no healthy save holds a tmp open for an hour.
+_STALE_TMP_AGE_SEC = 3600.0
+
+
+def _tmp_owner_alive(name: str) -> bool:
+    """True when the ``.tmp-{pid}-{tid}`` suffix names a live process.
+
+    Unparseable names (foreign writers, truncated suffixes) report alive
+    =False so the age threshold alone decides; a live pid means the tmp
+    may belong to a CONCURRENT driver sharing the output tree, whose
+    in-flight ``os.replace`` must not be raced (ADVICE r4 medium).
+    """
+    tail = name.rsplit(".tmp-", 1)[-1]
+    pid_s = tail.split("-", 1)[0]
+    if not pid_s.isdigit():
+        return False
+    try:
+        os.kill(int(pid_s), 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except OSError:
+        # EPERM etc.: the pid exists but isn't ours -- treat as alive.
+        return True
+
+
 def _sweep_stale_tmp(output_base: str) -> None:
     """Remove stranded ``*.tmp-*`` siblings from a previous crashed run.
 
-    PNG saves are atomic (unique tmp + ``os.replace``,
-    render/figure.py save_image), so a SIGKILL mid-write leaves a tmp
-    file whose pid/thread-unique name no later process reuses.  Drivers
-    sweep them at entry, before any worker writes.
+    PNG saves are atomic (unique ``.tmp-{pid}-{tid}`` sibling +
+    ``os.replace``, render/figure.py save_image), so a SIGKILL mid-write
+    leaves a tmp file whose pid/thread-unique name no later process
+    reuses.  Drivers sweep them at entry, before any worker writes --
+    but only tmp files whose owning pid is dead or whose mtime is older
+    than :data:`_STALE_TMP_AGE_SEC`: a concurrently running driver
+    sharing the same output tree keeps its live in-flight writes.
     """
     import pathlib
+    import time as _time
 
+    now = _time.time()
     try:
         for p in pathlib.Path(output_base).rglob("*.tmp-*"):
             try:
+                if _tmp_owner_alive(p.name) and now - p.stat().st_mtime < _STALE_TMP_AGE_SEC:
+                    continue
                 p.unlink()
             except OSError:
                 pass

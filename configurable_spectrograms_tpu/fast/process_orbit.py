@@ -42,10 +42,13 @@ from configurable_spectrograms_tpu.utils.logging import log_exception
 # pass (frees the figure<->axes cycles while they are still young) and a
 # full pass at most once per interval; ``CST_GC_FULL_INTERVAL_S=0``
 # restores the reference's every-orbit full collection.
+_GC_FULL_INTERVAL_DEFAULT_S = 20.0
 try:
-    _GC_FULL_INTERVAL_S = float(os.environ.get("CST_GC_FULL_INTERVAL_S", "20") or 0.0)
+    _GC_FULL_INTERVAL_S = float(
+        os.environ.get("CST_GC_FULL_INTERVAL_S", str(_GC_FULL_INTERVAL_DEFAULT_S)) or 0.0
+    )
 except ValueError:
-    _GC_FULL_INTERVAL_S = 20.0
+    _GC_FULL_INTERVAL_S = _GC_FULL_INTERVAL_DEFAULT_S
 _GC_LAST_FULL = [0.0]
 
 

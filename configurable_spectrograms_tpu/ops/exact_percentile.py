@@ -91,16 +91,23 @@ def numpy_lerp_percentile(v_lo: float, v_hi: float, gamma: np.float32) -> float:
     Branch for branch: ``a + diff*t`` below ``t >= 0.5``, ``b - diff*(1-t)``
     above, all in float32 (numpy matched gamma's dtype to the float32
     array), with the float32-rounded difference.
+
+    Infinite order statistics (a pool holding ``inf``) make ``diff``
+    NaN -- exactly as numpy's own ``_lerp`` does, and numpy then returns
+    NaN for the percentile.  The arithmetic is kept identical for bit
+    parity; only the RuntimeWarning is suppressed (``np.errstate``),
+    since the NaN here is the CONTRACTED result, not an error.
     """
-    a32 = np.float32(v_lo)
-    b32 = np.float32(v_hi)
-    t = np.float32(gamma)
-    diff = np.float32(b32 - a32)
-    if t >= np.float32(0.5):
-        v = b32 - diff * (np.float32(1.0) - t)
-    else:
-        v = a32 + diff * t
-    return float(np.float32(v))
+    with np.errstate(invalid="ignore"):
+        a32 = np.float32(v_lo)
+        b32 = np.float32(v_hi)
+        t = np.float32(gamma)
+        diff = np.float32(b32 - a32)
+        if t >= np.float32(0.5):
+            v = b32 - diff * (np.float32(1.0) - t)
+        else:
+            v = a32 + diff * t
+        return float(np.float32(v))
 
 
 def _normalize(intervals: list[tuple[int, int]]) -> list[tuple[int, int]]:

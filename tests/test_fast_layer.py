@@ -386,3 +386,30 @@ def test_driver_sweeps_stale_tmp_files(tmp_path):
     assert not stale.exists()
     assert keep.exists()
     _sweep_stale_tmp(str(tmp_path / "missing"))  # no-op, no raise
+
+
+def test_sweep_keeps_live_concurrent_tmp(tmp_path):
+    """A tmp whose embedded pid is ALIVE and recent survives the sweep: it
+    belongs to a concurrently running driver sharing the output tree, and
+    unlinking it would make the victim's os.replace fail (ADVICE r4)."""
+    import os as _os
+
+    from configurable_spectrograms_tpu.fast import batch_directory as bd
+
+    out = tmp_path / "plots" / "2001" / "01" / "3000"
+    out.mkdir(parents=True)
+    live = out / f"3000_x.png.tmp-{_os.getpid()}-789"
+    live.write_bytes(b"in flight")
+    bd._sweep_stale_tmp(str(tmp_path / "plots"))
+    assert live.exists(), "live concurrent writer's tmp must survive"
+    # ... but an ANCIENT tmp with a live pid is still swept (no healthy
+    # save holds a tmp for an hour; the pid may have been recycled).
+    old = _os.stat(live).st_mtime - bd._STALE_TMP_AGE_SEC - 10
+    _os.utime(live, (old, old))
+    bd._sweep_stale_tmp(str(tmp_path / "plots"))
+    assert not live.exists()
+    # Unparseable suffixes fall back to the age rule alone.
+    odd = out / "3000_y.png.tmp-notapid"
+    odd.write_bytes(b"foreign")
+    bd._sweep_stale_tmp(str(tmp_path / "plots"))
+    assert not odd.exists()
