@@ -7,6 +7,17 @@ cache cuts a warm-cache fresh process to roughly a second.  Controlled by:
 * ``CST_COMPILE_CACHE_DIR`` -- cache location (default
   ``~/.cache/configurable_spectrograms_tpu/jax``)
 * ``CST_NO_COMPILE_CACHE=1`` -- disable entirely
+* ``CST_COMPILE_CACHE_NO_FINGERPRINT=1`` -- use the directory as given
+
+The cache directory is namespaced by a MACHINE FINGERPRINT (CPU
+architecture + ISA feature flags + JAX version): XLA:CPU AOT results
+compiled on one host are loaded verbatim on another sharing the same
+cache path, and a feature-set mismatch is at best a loader warning spam
+and at worst a SIGILL at execute time (observed: MULTICHIP_r04's dryrun
+tail full of "Machine type used for XLA:CPU compilation doesn't match"
+from a cache seeded on a different box).  Distinct fingerprints get
+distinct subdirectories, so a mismatched AOT artifact is never even
+opened.
 """
 
 from __future__ import annotations
@@ -14,6 +25,36 @@ from __future__ import annotations
 import os
 
 _done = False
+
+
+def machine_fingerprint() -> str:
+    """Short stable hash of this host's CPU architecture + ISA features.
+
+    Uses ``/proc/cpuinfo``'s flags line (Linux; the deploy target) plus
+    ``platform.machine()`` and the JAX version -- anything that changes
+    XLA:CPU AOT code generation or cache format.  Hash-stable across
+    processes on the same host, different across hosts with different
+    vector ISAs.
+    """
+    import hashlib
+    import platform
+
+    parts = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    parts.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                    break
+    except OSError:  # pragma: no cover - non-Linux
+        parts.append(platform.processor() or "unknown")
+    try:
+        import jax
+
+        parts.append(jax.__version__)
+    except Exception:  # pragma: no cover - defensive
+        pass
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 
 def enable_compilation_cache() -> None:
@@ -30,6 +71,12 @@ def enable_compilation_cache() -> None:
             "CST_COMPILE_CACHE_DIR",
             os.path.join(os.path.expanduser("~"), ".cache", "configurable_spectrograms_tpu", "jax"),
         )
+        # Machine-feature namespacing (see module docstring): an explicit
+        # CST_COMPILE_CACHE_DIR is honored as given only with
+        # CST_COMPILE_CACHE_NO_FINGERPRINT=1; by default every path gains
+        # the fingerprint leaf so shared/NFS cache roots stay safe.
+        if os.environ.get("CST_COMPILE_CACHE_NO_FINGERPRINT") != "1":
+            cache_dir = os.path.join(cache_dir, machine_fingerprint())
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
