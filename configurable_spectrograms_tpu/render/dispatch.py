@@ -353,6 +353,13 @@ def _prepare_group(panels: list[PanelData], idxs: list[int], Tp: int, Ap: int, E
     return g, inputs
 
 
+#: Spec keys whose jitted program has already been built in this process.
+#: A bucket whose key is NEW pays the one-time trace+compile during (or
+#: deferred past) its dispatch, so its drain is exempt from the soft cap
+#: and excluded from the healthy baseline (render/drain.py).
+_SEEN_PROGRAM_SPECS: set[tuple] = set()
+
+
 def _enqueue_group(g: _GroupDispatch, inputs: tuple, mesh) -> object:
     """Upload the bucket's cubes and enqueue the jitted program (no readback).
 
@@ -366,11 +373,15 @@ def _enqueue_group(g: _GroupDispatch, inputs: tuple, mesh) -> object:
      zb_e_valids, zb_full, t_maps, unique_cubes) = inputs
     g.upload_bytes = _group_upload_bytes(unique_cubes, g.Tp, g.Ap, g.Ep, mesh)
     cubes = _stack_cubes(unique_cubes, g.Tp, g.Ap, g.Ep, mesh)
-    fn = _batched_quantize_fn(
-        (g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, g.explicit, g.gather_w,
-         g.Ap, g.Ep, mesh is not None, "pallas" if g.use_pallas else "xla"),
-        mesh,
-    )
+    spec_key = (g.y_scale, g.z_scale, g.lo_pct, g.hi_pct, g.explicit, g.gather_w,
+                g.Ap, g.Ep, mesh is not None, "pallas" if g.use_pallas else "xla")
+    # Include the lane count: jit re-traces (and may re-compile) per input
+    # shape, so a known spec with an unseen lane width is still a fresh
+    # compile for soft-cap purposes.
+    compile_key = spec_key + (g.n_lanes, g.Tp)
+    g.fresh_program = compile_key not in _SEEN_PROGRAM_SPECS
+    _SEEN_PROGRAM_SPECS.add(compile_key)
+    fn = _batched_quantize_fn(spec_key, mesh)
     rows = _pack_lanes(u_idx, masks, t_valids, energies, e_valids, t_starts,
                        t_counts, z_bounds, zb_e_valids, zb_full, t_maps)
     # The row layout contract lives in two places (pack builds from the

@@ -57,6 +57,31 @@ def machine_fingerprint() -> str:
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 
+def _cpu_backend_selected() -> bool:
+    """True when this process is pinned to the XLA:CPU backend.
+
+    XLA:CPU persists AOT machine code whose compile-time feature string
+    includes tuning pseudo-features (``+prefer-no-scatter`` /
+    ``+prefer-no-gather``) that the host-feature detector never reports,
+    so EVERY warm cache load on CPU spams "machine type doesn't match /
+    could lead to SIGILL" loader errors -- even for a cache this same
+    machine wrote (verified: a second ``dryrun_multichip`` run over a
+    fingerprint-fresh cache reproduces them).  CPU compiles are local
+    LLVM and fast; the persistent cache's value is the remote TPU
+    compiler (~15-40 s per program), so CPU processes simply skip it.
+    """
+    env = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if env == "cpu":
+        return True
+    try:
+        import jax
+
+        cfg = getattr(jax.config, "jax_platforms", None)
+        return (cfg or "").strip().lower() == "cpu"
+    except Exception:  # pragma: no cover - defensive
+        return False
+
+
 def enable_compilation_cache() -> None:
     """Idempotently point JAX at the on-disk compilation cache."""
     global _done
@@ -64,6 +89,8 @@ def enable_compilation_cache() -> None:
         _done = True
         return
     _done = True
+    if _cpu_backend_selected():
+        return
     try:
         import jax
 

@@ -30,8 +30,14 @@ def _clean_rate_state(monkeypatch):
     # The one-shot calibration is the round-2 blunt instrument; these tests
     # exercise the round-4 continuous detector, so suppress it.
     monkeypatch.setitem(link._BACKEND, "calibrated", True)
+    # Probe-measured link numbers leak across tests and now feed the
+    # derived bootstrap cap; start every test unmeasured.
+    link._BACKEND.pop("link_steady_dt", None)
+    link._BACKEND.pop("link_mbps", None)
     yield
     link.reset_rate_state()
+    link._BACKEND.pop("link_steady_dt", None)
+    link._BACKEND.pop("link_mbps", None)
 
 
 def _panel(rng, n_t=64, n_a=8, n_e=16):
@@ -425,3 +431,91 @@ def test_latency_upload_estimate_dedups_shared_cubes(rng, monkeypatch):
     }
     total = dispatch._latency_upload_bytes(groups, [p_raw, p_given])
     assert total == 64 * 8 * 16 * 4  # one padded upload, not two
+
+
+# ---------------------------------------------------------------------------
+# round-5: derived bootstrap soft cap (VERDICT r4 weak 2)
+# ---------------------------------------------------------------------------
+
+def test_bootstrap_cap_derived_from_probe_measurement():
+    """With no healthy-drain baseline but a fresh probe measurement, the
+    bootstrap cap derives from RTT/bandwidth (expected drain x margin,
+    floored) instead of the flat 15 s that hid the round-4 stall."""
+    link._RATE["drain_s"].clear()
+    link._BACKEND["link_steady_dt"] = 0.028  # the observed relay RTT
+    link._BACKEND["link_mbps"] = 25.0
+    cap = link.bucket_soft_timeout(8, 0, readback_bytes=100_000)
+    assert cap == pytest.approx(link._BOOTSTRAP_FLOOR_SEC)  # floor dominates
+    assert cap < 5.0  # a ~13 s first-bucket stall now trips
+    # A genuinely large predicted transfer scales the cap past the floor.
+    big = link.bucket_soft_timeout(8, 0, readback_bytes=200_000_000)
+    assert big > link._BOOTSTRAP_FLOOR_SEC
+    assert big == pytest.approx(
+        link._BOOTSTRAP_MARGIN * (2 * 0.028 + 8 * link._BOOTSTRAP_PANEL_SEC
+                                  + 200_000_000 / 25e6))
+    # Upload allowance still rides on top.
+    assert link.bucket_soft_timeout(8, 2_000_000) == pytest.approx(
+        link._BOOTSTRAP_FLOOR_SEC + 2_000_000 / (link._SOFT_CAP_UPLOAD_MBPS * 1e6))
+
+
+def test_bootstrap_cap_flat_without_probe_measurement():
+    link._RATE["drain_s"].clear()
+    link._BACKEND.pop("link_steady_dt", None)
+    assert link.bucket_soft_timeout(8, 0) == link._SOFT_DRAIN_BOOTSTRAP_SEC
+
+
+def test_first_bucket_stall_trips_under_derived_bootstrap(rng, monkeypatch):
+    """The round-4 failure mode, synthesized: a freshly probed pass with NO
+    healthy-drain baseline stalls in its FIRST bucket.  The derived
+    bootstrap cap must trip it (the flat 15 s cap let a ~13 s stall pass
+    undetected, BENCH_r04_builder pass 3 at 24 panels/s)."""
+    # A prior healthy render marks the program compiled (pass 3's programs
+    # were compiled in passes 1-2), then the baseline is cleared as a
+    # fresh probe window does.
+    dispatch.device_render_panels([_panel(rng)], 16, 24)
+    link.reset_rate_state()  # no keep_baseline: drains empty
+    monkeypatch.setitem(link._BACKEND, "forced_host", False)
+    monkeypatch.setitem(link._BACKEND, "why_host", None)
+    link._BACKEND["link_steady_dt"] = 0.028
+    link._BACKEND["link_mbps"] = 25.0
+    link.note_host_group(8, 0.08)  # host measured: far faster than a stall
+    monkeypatch.setattr(link, "_BOOTSTRAP_FLOOR_SEC", 1.0)  # keep test fast
+    monkeypatch.setattr(drain, "_readback", lambda out_dev: time.sleep(600))
+    t0 = time.monotonic()
+    results = dispatch.device_render_panels([_panel(rng)], 16, 24)
+    elapsed = time.monotonic() - t0
+    assert all(r is not None and "rgba" in r for r in results)  # host fallback
+    assert elapsed < 8, f"first-bucket stall hid under the bootstrap cap ({elapsed:.1f}s)"
+    assert link._BACKEND["forced_host"] is True
+    assert link._BACKEND["why_host"] == "slow"
+
+
+def test_fresh_compile_bucket_exempt_from_soft_cap(rng, monkeypatch):
+    """A bucket whose program compiles for the first time in the process
+    must NOT soft-trip even when its drain exceeds the derived cap: the
+    one-time compile path is excluded so cold runs never false-trip."""
+    from configurable_spectrograms_tpu.render import dispatch as d
+
+    d._SEEN_PROGRAM_SPECS.clear()
+    link.reset_rate_state()
+    link._BACKEND["link_steady_dt"] = 0.028
+    link._BACKEND["link_mbps"] = 25.0
+    link.note_host_group(8, 0.08)
+    monkeypatch.setattr(link, "_BOOTSTRAP_FLOOR_SEC", 0.5)
+    # The deliberately slow readback must exercise ONLY the soft-cap
+    # exemption: pin the unrelated bandwidth watchdog and one-shot
+    # calibration out of reach (each has its own unit tests).
+    monkeypatch.setattr(drain, "_MIN_LINK_MBPS", 0.0)
+    monkeypatch.setattr(drain, "_CALIBRATE_XFER_SEC_PER_PANEL", 1e9)
+    real_readback = np.asarray
+
+    def slow_first(out_dev):
+        time.sleep(1.5)  # 3x the floor: would trip a non-fresh bucket
+        return real_readback(out_dev)
+
+    monkeypatch.setattr(drain, "_readback", slow_first)
+    results = dispatch.device_render_panels([_panel(rng)], 16, 24)
+    assert all(r is not None and "rgba" in r for r in results)
+    assert link._BACKEND["forced_host"] is False, "fresh compile must not trip"
+    # The compile-inflated drain stayed out of the healthy baseline.
+    assert len(link._RATE["drain_s"]) == 0

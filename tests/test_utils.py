@@ -255,6 +255,10 @@ def test_compile_cache_dir_is_machine_fingerprinted(tmp_path, monkeypatch):
     monkeypatch.delenv("CST_NO_COMPILE_CACHE", raising=False)
     monkeypatch.delenv("CST_COMPILE_CACHE_NO_FINGERPRINT", raising=False)
     importlib.reload(jax_setup)
+    # The test process is pinned to XLA:CPU (conftest), where the cache is
+    # deliberately skipped (AOT pseudo-feature loader spam); bypass that
+    # gate to exercise the fingerprint namespacing itself.
+    monkeypatch.setattr(jax_setup, "_cpu_backend_selected", lambda: False)
     jax_setup.enable_compilation_cache()
     import jax
 
@@ -262,3 +266,17 @@ def test_compile_cache_dir_is_machine_fingerprinted(tmp_path, monkeypatch):
     fp = jax_setup.machine_fingerprint()
     assert got == str(tmp_path / "jaxcache" / fp), got
     assert len(fp) == 16 and fp == jax_setup.machine_fingerprint()
+
+
+def test_compile_cache_skipped_on_cpu_backend(tmp_path, monkeypatch):
+    """XLA:CPU AOT cache loads spam mismatched-machine loader errors even
+    same-machine (pseudo-features); CPU-pinned processes skip the cache."""
+    import importlib
+
+    from configurable_spectrograms_tpu.utils import jax_setup
+
+    monkeypatch.setenv("CST_COMPILE_CACHE_DIR", str(tmp_path / "never"))
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    importlib.reload(jax_setup)
+    jax_setup.enable_compilation_cache()
+    assert not (tmp_path / "never").exists()
