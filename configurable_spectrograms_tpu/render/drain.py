@@ -107,12 +107,75 @@ class _GroupDispatch:
 
 
 
-def _finish_group(panels: list[PanelData], g: _GroupDispatch, packed: np.ndarray,
-                  tile_h: int, tile_w: int, results: list) -> None:
-    """Unpack one bucket's readback buffer into per-panel result dicts."""
+def build_panel_result(p: PanelData, idx_j: np.ndarray, meta_j: np.ndarray,
+                       t_start: int, t_count: int, pre_gathered: bool,
+                       tile_h: int, tile_w: int, y_scale: str, z_scale: str):
+    """One panel's result dict from its (copied) device idx + metadata rows.
+
+    Shared by the readback unpack (:func:`_finish_group`) and the resident
+    device result cache's hit path (render/device_results.py): both hold
+    the identical ``(idx, meta)`` pair, so the constructed result -- the
+    lazy resample closure included -- is the same object shape either way.
+    """
     import time as _time
 
     from configurable_spectrograms_tpu.ops._colormap_data import colormap_lut
+
+    n_kept_j, flip_j, y0_j, y1_j, vmin_j, vmax_j, empty_j = meta_j[:7]
+    if z_scale == "log" and not bool(empty_j) and vmin_j > vmax_j:
+        # Explicit log bounds whose safe-positive floor exceeds vmax:
+        # matplotlib's LogNorm raises at draw time in the reference
+        # (batch drivers record the orbit as a plotting error);
+        # rendering on would silently invert the color ramp.  The
+        # error is recorded per panel and raised when the OWNING
+        # figure composites, so pooled dispatches keep serving the
+        # other figures.
+        return {"error": "minvalue must be less than or equal to maxvalue"}
+
+    def _render(out=None, _idx=idx_j, _meta=meta_j, _p=p, _ts=t_start, _tc=t_count):
+        t0 = _time.perf_counter()
+        kept_pos_j = _meta[7:].astype(np.int32)
+        tile = resample_indices(
+            _idx,
+            kept_pos_j,
+            int(_meta[0]),
+            bool(_meta[1]),
+            float(_meta[2]),
+            float(_meta[3]),
+            _ts,
+            _tc,
+            make_x_map(_p.window, tile_w),
+            tile_h,
+            tile_w,
+            y_scale,
+            colormap_lut(_p.colormap),
+            empty=bool(_meta[6]),
+            pre_gathered=pre_gathered,
+            out=out,
+        )
+        from configurable_spectrograms_tpu.utils import timing as _timing
+
+        if _timing.ACTIVE is not None:
+            _timing.ACTIVE.add("host_resample", _time.perf_counter() - t0)
+        return tile
+
+    return _panel_mod.LazyPanelResult(
+        {
+            "vmin": float(vmin_j),
+            "vmax": float(vmax_j),
+            "y0": float(y0_j),
+            "y1": float(y1_j),
+            "n_kept": int(n_kept_j),
+            "empty": bool(empty_j),
+        },
+        _render,
+    )
+
+
+def _finish_group(panels: list[PanelData], g: _GroupDispatch, packed: np.ndarray,
+                  tile_h: int, tile_w: int, results: list) -> None:
+    """Unpack one bucket's readback buffer into per-panel result dicts."""
+    from configurable_spectrograms_tpu.render import device_results
 
     n = len(g.idxs)
     rows_out = g.gather_w if g.gather_w else g.Tp
@@ -120,21 +183,10 @@ def _finish_group(panels: list[PanelData], g: _GroupDispatch, packed: np.ndarray
     meta_host = packed[:n, rows_out * g.Ep :].copy().view(np.float32).reshape(n, 7 + g.Ep)
     y_scale = g.y_scale
     pre_gathered = bool(g.gather_w)
+    cache_results = device_results.enabled()
 
     for j, i in enumerate(g.idxs):
         p = panels[i]
-        n_kept_j, flip_j, y0_j, y1_j, vmin_j, vmax_j, empty_j = meta_host[j, :7]
-        if g.z_scale == "log" and not bool(empty_j) and vmin_j > vmax_j:
-            # Explicit log bounds whose safe-positive floor exceeds vmax:
-            # matplotlib's LogNorm raises at draw time in the reference
-            # (batch drivers record the orbit as a plotting error);
-            # rendering on would silently invert the color ramp.  The
-            # error is recorded per panel and raised when the OWNING
-            # figure composites, so pooled dispatches keep serving the
-            # other figures.
-            results[i] = {"error": "minvalue must be less than or equal to maxvalue"}
-            continue
-
         # Capture COPIES of just this panel's rows: a closure over
         # idx_host (a view of ``packed``) or over ``g`` would pin the
         # bucket's whole readback buffer and the device output buffer for
@@ -144,44 +196,15 @@ def _finish_group(panels: list[PanelData], g: _GroupDispatch, packed: np.ndarray
         meta_j = meta_host[j].copy()
         t_start_j = int(g.t_starts[j])
         t_count_j = int(g.t_counts[j])
-
-        def _render(out=None, _idx=idx_j, _meta=meta_j, _p=p, _ts=t_start_j, _tc=t_count_j):
-            t0 = _time.perf_counter()
-            kept_pos_j = _meta[7:].astype(np.int32)
-            tile = resample_indices(
-                _idx,
-                kept_pos_j,
-                int(_meta[0]),
-                bool(_meta[1]),
-                float(_meta[2]),
-                float(_meta[3]),
-                _ts,
-                _tc,
-                make_x_map(_p.window, tile_w),
-                tile_h,
-                tile_w,
-                y_scale,
-                colormap_lut(_p.colormap),
-                empty=bool(_meta[6]),
-                pre_gathered=pre_gathered,
-                out=out,
-            )
-            from configurable_spectrograms_tpu.utils import timing as _timing
-
-            if _timing.ACTIVE is not None:
-                _timing.ACTIVE.add("host_resample", _time.perf_counter() - t0)
-            return tile
-
-        results[i] = _panel_mod.LazyPanelResult(
-            {
-                "vmin": float(vmin_j),
-                "vmax": float(vmax_j),
-                "y0": float(y0_j),
-                "y1": float(y1_j),
-                "n_kept": int(n_kept_j),
-                "empty": bool(empty_j),
-            },
-            _render,
+        if cache_results:
+            # Resident result cache: a repeat render of this exact panel
+            # (same cube/mask/bounds/scales/window/geometry) skips the
+            # dispatch and readback entirely next time -- the device
+            # analog of the host backend's resident quantize caches.
+            device_results.insert(p, tile_w, idx_j, meta_j, pre_gathered)
+        results[i] = build_panel_result(
+            p, idx_j, meta_j, t_start_j, t_count_j, pre_gathered,
+            tile_h, tile_w, y_scale, g.z_scale,
         )
 
 
