@@ -247,7 +247,14 @@ def _extrema_for_combo(
     """
     if max_processing_percentile is None:
         return None
-    extrema_kwargs = {} if extrema_json_path is None else {"extrema_json_path": extrema_json_path}
+    if extrema_json_path is None:
+        from configurable_spectrograms_tpu.fast.constants import FAST_EXTREMA_JSON_PATH
+
+        extrema_json_path = FAST_EXTREMA_JSON_PATH
+    # Under a multi-host run every process scans the full archive (the
+    # values are identical by determinism) but each writes its own cache
+    # file -- the extrema JSON is a single-writer document.
+    extrema_kwargs = {"extrema_json_path": _per_process_path(extrema_json_path)}
     return compute_global_extrema(
         directory_path,
         y_scale,
@@ -260,6 +267,49 @@ def _extrema_for_combo(
         log_floor_value=-1.0,
         flush_batch_size=flush_batch_size,
     )
+
+
+def _shard_orbits_across_processes(orbits_sorted: list[int]) -> list[int]:
+    """This process's orbit slice under a multi-host (``jax.distributed``) run.
+
+    Hosts partition the archive at the orbit level (docs/deployment.md;
+    SURVEY section 2's "DCN for multi-host batch sharding"): process ``p``
+    of ``n`` takes ``orbits_sorted[p::n]`` -- a STABLE assignment computed
+    on the full sorted list, so resume after a restart re-derives the same
+    slice (the per-process progress cursor then applies within it).
+    Single-process runs pass through untouched.  The assignment reads the
+    identity recorded by ``init_distributed`` (parallel/mesh.py) instead of
+    calling into jax, which could hang on a dead remote backend.
+    """
+    from configurable_spectrograms_tpu.parallel.mesh import process_shard_info
+
+    pid, n = process_shard_info()
+    if n <= 1:
+        return orbits_sorted
+    mine = orbits_sorted[pid::n]
+    log_exception(
+        f"[SHARD] multi-host run: process {pid}/{n} takes {len(mine)} of "
+        f"{len(orbits_sorted)} orbits",
+        level="message",
+    )
+    return mine
+
+
+def _per_process_path(path: str | None) -> str | None:
+    """Suffix a state-file path with the process id under multi-host runs.
+
+    The progress ledger and the extrema cache are single-writer JSON
+    documents; two processes flushing one file would interleave torn
+    snapshots.  Outputs (PNGs) need no suffix: the orbit sharding makes
+    every figure path land on exactly one process, and the stale-tmp
+    sweep's pid-liveness guard protects concurrent in-flight writes.
+    """
+    from configurable_spectrograms_tpu.parallel.mesh import process_shard_info
+
+    pid, n = process_shard_info()
+    if n <= 1 or path is None:
+        return path
+    return f"{path}.proc{pid}"
 
 
 def _pending_orbits(
@@ -465,8 +515,10 @@ def FAST_plot_spectrograms_directory(
 
     _sweep_stale_tmp(output_base)
     orbit_map = discover_orbit_files(directory_path, instrument_order)
-    orbits_sorted = sorted(orbit_map)
-    ledger = _ProgressLedger(progress_json_path, y_scale, z_scale, flush_batch_size)
+    orbits_sorted = _shard_orbits_across_processes(sorted(orbit_map))
+    ledger = _ProgressLedger(
+        _per_process_path(progress_json_path), y_scale, z_scale, flush_batch_size
+    )
     pending_orbits = _pending_orbits(ledger, orbits_sorted, ignore_progress_json)
 
     def worker_args(orbit: int, extrema: dict | None) -> tuple:
@@ -597,7 +649,7 @@ def FAST_plot_spectrograms_multi(
 
     _sweep_stale_tmp(output_base)
     orbit_map = discover_orbit_files(directory_path, instrument_order)
-    orbits_sorted = sorted(orbit_map)
+    orbits_sorted = _shard_orbits_across_processes(sorted(orbit_map))
 
     # One shared state dict behind every combo's ledger: interleaved
     # completions write the same progress file, and independent disk-seeded
@@ -605,7 +657,9 @@ def FAST_plot_spectrograms_multi(
     ledgers: list[_ProgressLedger] = []
     shared_state: dict[str, Any] | None = None
     for y_scale, z_scale, _cmap in normalized:
-        ledger = _ProgressLedger(progress_json_path, y_scale, z_scale, flush_batch_size)
+        ledger = _ProgressLedger(
+            _per_process_path(progress_json_path), y_scale, z_scale, flush_batch_size
+        )
         if shared_state is None:
             shared_state = ledger.state()
         else:

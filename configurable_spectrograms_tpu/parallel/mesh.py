@@ -144,3 +144,26 @@ def init_distributed(
     if process_id is not None:
         kwargs["process_id"] = process_id
     jax.distributed.initialize(**kwargs)
+    _DISTRIBUTED["process_id"] = int(jax.process_index())
+    _DISTRIBUTED["num_processes"] = int(jax.process_count())
+
+
+#: Distributed-run identity recorded by :func:`init_distributed`.  The
+#: batch drivers consult THIS (not ``jax.process_count()``) to decide
+#: orbit sharding: calling into jax would initialize the backend, which
+#: on a dead remote link hangs unboundedly (the exact hazard
+#: ``data_parallel_mesh`` routes around), while a plain dict read is
+#: always safe.  Processes that initialize ``jax.distributed`` directly
+#: can set the same facts via :func:`set_process_shard`.
+_DISTRIBUTED = {"process_id": 0, "num_processes": 1}
+
+
+def process_shard_info() -> tuple[int, int]:
+    """``(process_id, num_processes)`` of this multi-host run (0, 1 alone)."""
+    return _DISTRIBUTED["process_id"], _DISTRIBUTED["num_processes"]
+
+
+def set_process_shard(process_id: int, num_processes: int) -> None:
+    """Record multi-host identity for callers that bypassed init_distributed."""
+    _DISTRIBUTED["process_id"] = int(process_id)
+    _DISTRIBUTED["num_processes"] = int(num_processes)

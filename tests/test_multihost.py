@@ -54,3 +54,73 @@ def test_two_process_extrema_reduction():
     # Both hosts must report the identical global histogram total.
     totals = {line.split("hist_total=")[1] for _, out in outs for line in out.splitlines() if "MULTIHOST_OK" in line}
     assert len(totals) == 1, totals
+
+
+def test_two_process_flagship_batch_matches_single_host(tmp_path):
+    """VERDICT r4 item 4: the FLAGSHIP driver itself runs across 2 real
+    processes x 4 virtual devices.  The driver's orbit-level process
+    sharding gives each host a disjoint slice writing one shared output
+    tree; the union of PNGs must be byte-identical to a single-host run
+    of the same archive (determinism is the cross-host correctness
+    contract)."""
+    import pathlib
+    import sys as _sys
+
+    _sys.path.insert(0, _REPO)
+    from configurable_spectrograms_tpu.data.synthetic import synth_fast_archive
+
+    archive = tmp_path / "data"
+    csv = tmp_path / "cusp.tsv"
+    synth_fast_archive(
+        str(archive), [3001, 3002], n_time=256, n_angle=16, n_energy=24,
+        cusp_csv_path=str(csv),
+    )
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_flagship_worker.py")
+    out_multi = tmp_path / "out_multi"
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["CST_FAST_SAVE_DPI"] = "50"  # small canvases: this test pins bytes, not scale
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, str(pid), "2", str(port),
+             str(archive), str(csv), str(out_multi),
+             str(tmp_path / f"progress_{pid}.json")],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append((p.returncode, out))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out in outs:
+        assert rc == 0, f"flagship worker failed (rc={rc}):\n{out[-3000:]}"
+        assert "FLAGSHIP_OK" in out, out[-3000:]
+
+    # Single-host reference run of the same archive (separate process so
+    # the module-level caches/backends of THIS test process stay out).
+    out_single = tmp_path / "out_single"
+    single = subprocess.run(
+        [_sys.executable, worker, "0", "1", str(_free_port()),
+         str(archive), str(csv), str(out_single),
+         str(tmp_path / "progress_single.json")],
+        capture_output=True, text=True, env=env, timeout=420,
+    )
+    assert single.returncode == 0, single.stdout[-3000:] + single.stderr[-2000:]
+
+    multi_pngs = {p.relative_to(out_multi): p for p in pathlib.Path(out_multi).rglob("*.png")}
+    single_pngs = {p.relative_to(out_single): p for p in pathlib.Path(out_single).rglob("*.png")}
+    assert multi_pngs, "multi-host run produced no figures"
+    assert set(multi_pngs) == set(single_pngs), (
+        sorted(set(single_pngs) - set(multi_pngs)),
+        sorted(set(multi_pngs) - set(single_pngs)),
+    )
+    for rel, path in sorted(multi_pngs.items()):
+        assert path.read_bytes() == single_pngs[rel].read_bytes(), f"{rel} differs"

@@ -21,6 +21,14 @@ from configurable_spectrograms_tpu.render.figure import PanelData, device_render
 from configurable_spectrograms_tpu.render.tile import TimeWindow  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _no_result_cache(monkeypatch):
+    """These tests assert on the dispatch/sharding machinery itself; the
+    resident result cache would (correctly) serve the sharded-vs-unsharded
+    re-renders without any dispatch, leaving LAST_DISPATCH stale."""
+    monkeypatch.setenv("CST_DEVICE_RESULT_CACHE", "0")
+
+
 def _require_devices(n):
     if len(jax.devices()) < n:
         pytest.skip(f"needs {n} devices")
