@@ -195,9 +195,11 @@ def save_image(image: Image.Image, path: str, compress_level: int = 3) -> None:
 
     from configurable_spectrograms_tpu.utils.timing import active_stage
 
+    from configurable_spectrograms_tpu.utils.compute_gate import host_compute_gate
+
     is_png = path.lower().endswith(".png") or "." not in os.path.basename(path)
     if is_png:
-        with active_stage("png_encode"):
+        with host_compute_gate(), active_stage("png_encode"):
             from configurable_spectrograms_tpu.render.fastpng import write_png_rgb
             from configurable_spectrograms_tpu.utils.writeback import note_written
 
@@ -251,8 +253,14 @@ def render_figures(figures: list["SpectroFigure"], dpi: float | None = None) -> 
         results = coalesced_render(panels, tile_h, tile_w)
         for (f_i, a_i), res in zip(slots, results):
             figures[f_i].axes[a_i].result = res
+    from configurable_spectrograms_tpu.utils.compute_gate import host_compute_gate
     from configurable_spectrograms_tpu.utils.timing import active_stage
 
-    with active_stage("composite"):
-        return [layout.composite() for layout in layouts]
+    def _composite_one(layout):
+        # Gated per figure: compositing is pure host CPU, and feeder pools
+        # sized for device-wait overlap oversubscribe it (utils/compute_gate).
+        with host_compute_gate(), active_stage("composite"):
+            return layout.composite()
+
+    return [_composite_one(layout) for layout in layouts]
 

@@ -359,3 +359,36 @@ def test_sibling_batches_fast_trip_after_watchdog(rng, monkeypatch):
         link_mod._BACKEND["forced_host"] = False
         link_mod._BACKEND["why_host"] = None
         link_mod._BACKEND["last_dispatch_failure_ts"] = 0.0
+
+
+def test_host_compute_gate_bounds_concurrency(monkeypatch):
+    """The gate admits at most the configured slot count concurrently and
+    is a no-op when disabled (utils/compute_gate)."""
+    import threading
+    import time
+
+    from configurable_spectrograms_tpu.utils import compute_gate
+
+    monkeypatch.setenv("CST_HOST_COMPUTE_GATE", "2")
+    live = {"n": 0, "max": 0}
+    lock = threading.Lock()
+
+    def work():
+        with compute_gate.host_compute_gate():
+            with lock:
+                live["n"] += 1
+                live["max"] = max(live["max"], live["n"])
+            time.sleep(0.05)
+            with lock:
+                live["n"] -= 1
+
+    threads = [threading.Thread(target=work) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert live["max"] == 2, live
+
+    monkeypatch.setenv("CST_HOST_COMPUTE_GATE", "0")
+    with compute_gate.host_compute_gate():
+        pass  # disabled: no semaphore interaction, no raise
