@@ -53,7 +53,13 @@ def main() -> int:
         progress_json_path=progress,
         max_processing_percentile=99.0,
         extrema_json_path=os.path.join(os.path.dirname(progress), "extrema.json"),
-        max_workers=2,
+        # ONE worker: the raw and given jobs of an orbit both write the
+        # given_extrema filename (the reference's own quirk, docs/parity.md
+        # "raw-args job writes given_extrema-named files"); with 2+ workers
+        # the final bytes follow completion order and the byte-identity
+        # assertion against the single-host run becomes a coin flip.
+        # Serializing jobs pins last-writer = the given job on every host.
+        max_workers=1,
         verbose=False,
         use_tqdm=False,
     )
