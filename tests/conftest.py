@@ -26,12 +26,19 @@ import pytest
 
 @pytest.fixture(autouse=True)
 def _reset_link_rate_meter():
-    """The slow-dispatch detector and host-rate meter are process-global
-    (render/link.py); leaked probation/streak state from one test must not
-    route another test's renders."""
-    yield
+    """The slow-dispatch detector, host-rate meter, and backend-selection
+    state are process-global (render/link.py); leaked probation/streak or
+    forced-host state from one test must not route another test's renders
+    (a leaked ``forced_host=True`` makes ``data_parallel_mesh()`` return
+    None and the sharding tests crash building a NamedSharding)."""
     from configurable_spectrograms_tpu.render import link
 
+    with link._BACKEND_LOCK:
+        backend_before = dict(link._BACKEND)
+    yield
+    with link._BACKEND_LOCK:
+        link._BACKEND.clear()
+        link._BACKEND.update(backend_before)
     link.reset_rate_state()
     with link._RATE_LOCK:
         link._RATE["host_panels"] = 0.0
