@@ -160,8 +160,16 @@ class SpectroFigure:
         ``compress_level`` trades PNG size for encode speed.  PNG output
         goes through the native encoder when available (2.5x faster than
         PIL at equal size on these figures) with a PIL fallback.
+
+        One compute-gate slot spans render AND encode (the inner gates
+        are re-entrant): releasing between the two would let a sibling
+        feeder thread start its composite mid-figure and steal GIL slices
+        from this one's encode (utils/compute_gate).
         """
-        save_image(self.render(dpi=dpi), path, compress_level=compress_level)
+        from configurable_spectrograms_tpu.utils.compute_gate import host_compute_gate
+
+        with host_compute_gate():
+            save_image(self.render(dpi=dpi), path, compress_level=compress_level)
 
     def render(self, dpi: float | None = None) -> Image.Image:
         return render_figures([self], dpi=dpi)[0]
@@ -239,28 +247,38 @@ def render_figures(figures: list["SpectroFigure"], dpi: float | None = None) -> 
     from its process pool (reference fast/batch_directory.py:337), obtained
     here by widening the batch instead.
     """
-    layouts = [_Layout(fig, float(dpi or fig.dpi)) for fig in figures]
-    by_tile: dict[tuple[int, int], list[tuple[int, int]]] = {}
-    for f_i, (fig, layout) in enumerate(zip(figures, layouts)):
-        for a_i, ax in enumerate(fig.axes):
-            ax.result = None
-            if ax.panel is not None:
-                by_tile.setdefault((layout.tile_h, layout.tile_w), []).append((f_i, a_i))
     from configurable_spectrograms_tpu.render.service import coalesced_render
-
-    for (tile_h, tile_w), slots in by_tile.items():
-        panels = [figures[f_i].axes[a_i].panel for f_i, a_i in slots]
-        results = coalesced_render(panels, tile_h, tile_w)
-        for (f_i, a_i), res in zip(slots, results):
-            figures[f_i].axes[a_i].result = res
-    from configurable_spectrograms_tpu.utils.compute_gate import host_compute_gate
+    from configurable_spectrograms_tpu.utils.compute_gate import (
+        gate_released,
+        host_compute_gate,
+    )
     from configurable_spectrograms_tpu.utils.timing import active_stage
 
     def _composite_one(layout):
-        # Gated per figure: compositing is pure host CPU, and feeder pools
-        # sized for device-wait overlap oversubscribe it (utils/compute_gate).
+        # Re-entrant under the outer gate; still gates direct callers that
+        # reach composite outside render_figures' scope.
         with host_compute_gate(), active_stage("composite"):
             return layout.composite()
 
-    return [_composite_one(layout) for layout in layouts]
+    # One gate slot spans the WHOLE render: with only composite/encode
+    # gated, sibling feeder threads' ungated Python steals GIL slices from
+    # the gate holder (~10% wall on warm 4-thread batches, docs/budget.md
+    # round-5 notes).  The slot is yielded around the coalesced render --
+    # the one section that legitimately blocks on the device -- so wide
+    # pools still overlap device waits exactly as before.
+    with host_compute_gate():
+        layouts = [_Layout(fig, float(dpi or fig.dpi)) for fig in figures]
+        by_tile: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        for f_i, (fig, layout) in enumerate(zip(figures, layouts)):
+            for a_i, ax in enumerate(fig.axes):
+                ax.result = None
+                if ax.panel is not None:
+                    by_tile.setdefault((layout.tile_h, layout.tile_w), []).append((f_i, a_i))
+        for (tile_h, tile_w), slots in by_tile.items():
+            panels = [figures[f_i].axes[a_i].panel for f_i, a_i in slots]
+            with gate_released():
+                results = coalesced_render(panels, tile_h, tile_w)
+            for (f_i, a_i), res in zip(slots, results):
+                figures[f_i].axes[a_i].result = res
+        return [_composite_one(layout) for layout in layouts]
 

@@ -29,6 +29,7 @@ from configurable_spectrograms_tpu.render.figure import (  # noqa: F401 - Axes r
     SpectroFigure,
 )
 from configurable_spectrograms_tpu.render.tile import compute_time_window
+from configurable_spectrograms_tpu.utils.compute_gate import gated
 from configurable_spectrograms_tpu.utils.logging import log_message
 
 #: Colormaps whose high end is already red, so the cusp line marker's top
@@ -52,6 +53,7 @@ def close_all_axes_and_clear(fig) -> None:
         log_message(f"[WARN] Error clearing figure: {exc}")
 
 
+@gated
 def make_spectrogram(
     x_axis_values,
     y_axis_values,
@@ -176,6 +178,7 @@ def make_spectrogram(
     return axis_object, x_axis_plot
 
 
+@gated
 def generic_plot_spectrogram_set(
     datasets,
     collapse_axis=1,
@@ -248,6 +251,7 @@ def generic_plot_spectrogram_set(
     return fig, fig
 
 
+@gated
 def generic_plot_multirow_optional_zoom(
     datasets,
     vertical_lines=None,
